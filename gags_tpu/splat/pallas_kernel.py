@@ -1,0 +1,379 @@
+"""Pallas TPU kernels for tile-binned Gaussian alpha compositing.
+
+Replaces the CUDA forward/backward blend kernels the reference uses through
+gsplat (`gaussian_renderer/__init__.py:56-70`). TPU-first layout decisions:
+
+  * A tile is TH x TW pixels, flattened to P = TH*TW sublanes. Gaussians are
+    processed in depth-ordered chunks of G = 128 lanes, so every per-chunk
+    attribute row ((1, G)) slices straight out of the DMA'd (8, G) geometry
+    block with no transpose.
+  * The front-to-back transmittance product is computed in log space as one
+    (P, G) @ (G, G) upper-triangular matmul on the MXU — a parallel prefix
+    instead of the CUDA kernel's sequential per-Gaussian loop.
+  * Colour accumulation is a (P, G) @ (G, C) MXU matmul of blend weights
+    against the chunk's colour block.
+  * Per-pixel early termination (T < 1e-4, gsplat semantics) falls out of the
+    same log-transmittance: a splat is included iff its *inclusive* naive
+    transmittance stays above the threshold, which is exactly the reference's
+    "skip the splat that would end the ray" rule; whole chunks stop via the
+    while-loop condition once every pixel is saturated.
+  * Instance ranges are G-aligned by the binner (dummy instances reference a
+    zero-opacity padded Gaussian), so chunk DMAs never straddle tiles and the
+    backward kernel's per-chunk gradient writes are race-free.
+
+Numerics match `reference.rasterize_reference` (alpha floor 1/255, clamp
+0.999, T epsilon 1e-4) to float tolerance.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ALPHA_FLOOR = 1.0 / 255.0
+ALPHA_CLAMP = 0.999
+LOG_T_EPS = math.log(1e-4)
+
+# geometry row layout in the (8, M) instance array
+ROW_MX, ROW_MY, ROW_CA, ROW_CB, ROW_CC, ROW_OPAC, _ROW_PAD0, _ROW_PAD1 = range(8)
+GEOM_ROWS = 8
+
+
+def _pixel_coords(tile_idx, tiles_x: int, tile_h: int, tile_w: int, p: int):
+    """(P, 1) pixel-centre coordinates of tile `tile_idx` (row-major tiles)."""
+    ty = tile_idx // tiles_x
+    tx = tile_idx - ty * tiles_x
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    row = pix // tile_w
+    col = pix - row * tile_w
+    px = (tx * tile_w + col).astype(jnp.float32) + 0.5
+    py = (ty * tile_h + row).astype(jnp.float32) + 0.5
+    return px, py
+
+
+def _chunk_alpha(geom, px, py):
+    """Blend alpha for one chunk: (P, G) from (8, G) geometry block."""
+    mx = geom[ROW_MX : ROW_MX + 1, :]  # (1, G)
+    my = geom[ROW_MY : ROW_MY + 1, :]
+    ca = geom[ROW_CA : ROW_CA + 1, :]
+    cb = geom[ROW_CB : ROW_CB + 1, :]
+    cc = geom[ROW_CC : ROW_CC + 1, :]
+    op = geom[ROW_OPAC : ROW_OPAC + 1, :]
+    dx = px - mx  # (P, G)
+    dy = py - my
+    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    alpha = jnp.minimum(ALPHA_CLAMP, op * jnp.exp(-sigma))
+    live = (sigma >= 0.0) & (alpha >= ALPHA_FLOOR)
+    return jnp.where(live, alpha, 0.0)
+
+
+def _tri_incl(g: int) -> jnp.ndarray:
+    """(G, G) ones where row <= col: cum[p, j] = sum_{k<=j} l[p, k]."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+    return (r <= c).astype(jnp.float32)
+
+
+def _blend_weights(alpha, log_t, g: int):
+    """Per-splat blend weights + updated log transmittance for one chunk.
+
+    Returns (w, log_t_incl_masked, new_log_t):
+      w[p, j]           = alpha * T_before * include  (compositing weight)
+      log_t_incl_masked = inclusive naive log T where included, else 0
+      new_log_t         = naive log T after the whole chunk
+    """
+    l1m = jnp.log1p(-alpha)  # (P, G); 0 for skipped splats
+    cum_incl = jax.lax.dot_general(
+        l1m,
+        _tri_incl(g),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    log_t_incl = log_t + cum_incl  # (P, G) naive inclusive
+    log_t_excl = log_t_incl - l1m  # exclusive (T before this splat)
+    include = log_t_incl >= LOG_T_EPS
+    w = jnp.where(include, alpha * jnp.exp(log_t_excl), 0.0)
+    new_log_t = log_t + cum_incl[:, g - 1 : g]
+    return w, jnp.where(include, log_t_incl, 0.0), new_log_t
+
+
+def _forward_kernel(
+    # scalar prefetch
+    tile_starts_ref,
+    tile_counts_ref,
+    # inputs (HBM)
+    geom_hbm,  # (8, M)
+    colors_hbm,  # (M, C)
+    # outputs (VMEM blocks)
+    out_colors_ref,  # (1, P, C)
+    out_alpha_ref,  # (1, P, 1)
+    # scratch
+    geom_vmem,  # (8, G)
+    colors_vmem,  # (G, C)
+    acc_ref,  # (P, C)
+    sems,  # DMA semaphores (2,)
+    *,
+    tiles_x: int,
+    tile_h: int,
+    tile_w: int,
+    g: int,
+):
+    t = pl.program_id(0)
+    start = tile_starts_ref[t]
+    count = tile_counts_ref[t]
+    p = tile_h * tile_w
+
+    px, py = _pixel_coords(t, tiles_x, tile_h, tile_w, p)
+    acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    nchunks = pl.cdiv(count, g)
+
+    def cond(carry):
+        k, log_t, _ = carry
+        return jnp.logical_and(k < nchunks, jnp.max(log_t) >= LOG_T_EPS)
+
+    def body(carry):
+        k, log_t, log_t_rep = carry
+        off = start + k * g
+        cp_g = pltpu.make_async_copy(
+            geom_hbm.at[:, pl.ds(off, g)], geom_vmem, sems.at[0]
+        )
+        cp_c = pltpu.make_async_copy(
+            colors_hbm.at[pl.ds(off, g), :], colors_vmem, sems.at[1]
+        )
+        cp_g.start()
+        cp_c.start()
+        cp_g.wait()
+        cp_c.wait()
+
+        alpha = _chunk_alpha(geom_vmem[:, :], px, py)  # (P, G)
+        w, log_t_incl_masked, new_log_t = _blend_weights(alpha, log_t, g)
+
+        # colour accumulation: (P, G) @ (G, C) on the MXU
+        acc_ref[:, :] += jax.lax.dot_general(
+            w,
+            colors_vmem[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # last surviving transmittance (0 in log space = "no update")
+        chunk_min = jnp.min(
+            jnp.where(log_t_incl_masked < 0.0, log_t_incl_masked, 0.0),
+            axis=1,
+            keepdims=True,
+        )
+        log_t_rep = jnp.minimum(log_t_rep, chunk_min)
+        return k + 1, new_log_t, log_t_rep
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((p, 1), jnp.float32),
+        jnp.zeros((p, 1), jnp.float32),
+    )
+    _, _, log_t_rep = jax.lax.while_loop(cond, body, init)
+
+    out_colors_ref[0, :, :] = acc_ref[:, :]
+    out_alpha_ref[0, :, :] = 1.0 - jnp.exp(log_t_rep)
+
+
+def _backward_kernel(
+    tile_starts_ref,
+    tile_counts_ref,
+    geom_hbm,  # (8, M)
+    gout_ref,  # (1, P, C) upstream gradient block
+    grad_colors_hbm,  # output, (M, C) in HBM
+    geom_vmem,  # (8, G)
+    gcol_vmem,  # (G, C) chunk gradient staging
+    sems,
+    *,
+    tiles_x: int,
+    tile_h: int,
+    tile_w: int,
+    g: int,
+):
+    """d L / d colors_inst, written chunk-by-chunk into (M, C).
+
+    Recomputes blend weights (no residuals are stored by the forward):
+    grad_colors[j, c] = sum_p w[p, j] * gout[p, c] — one MXU matmul/chunk.
+    After per-pixel saturation ends the main loop early, remaining chunks in
+    this tile's range are zero-filled so the output buffer is fully defined.
+    """
+    t = pl.program_id(0)
+    start = tile_starts_ref[t]
+    count = tile_counts_ref[t]
+    p = tile_h * tile_w
+
+    px, py = _pixel_coords(t, tiles_x, tile_h, tile_w, p)
+    nchunks = pl.cdiv(count, g)
+
+    def write_chunk(k):
+        cp_o = pltpu.make_async_copy(
+            gcol_vmem, grad_colors_hbm.at[pl.ds(start + k * g, g), :], sems.at[1]
+        )
+        cp_o.start()
+        cp_o.wait()
+
+    def cond(carry):
+        k, log_t = carry
+        return jnp.logical_and(k < nchunks, jnp.max(log_t) >= LOG_T_EPS)
+
+    def body(carry):
+        k, log_t = carry
+        off = start + k * g
+        cp_g = pltpu.make_async_copy(
+            geom_hbm.at[:, pl.ds(off, g)], geom_vmem, sems.at[0]
+        )
+        cp_g.start()
+        cp_g.wait()
+
+        alpha = _chunk_alpha(geom_vmem[:, :], px, py)
+        w, _, new_log_t = _blend_weights(alpha, log_t, g)
+
+        gcol_vmem[:, :] = jax.lax.dot_general(
+            w,  # (P, G)
+            gout_ref[0, :, :],  # (P, C)
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        write_chunk(k)
+        return k + 1, new_log_t
+
+    init = (jnp.zeros((), jnp.int32), jnp.zeros((p, 1), jnp.float32))
+    k_done, _ = jax.lax.while_loop(cond, body, init)
+
+    # zero-fill chunks skipped by early termination
+    gcol_vmem[:, :] = jnp.zeros_like(gcol_vmem)
+
+    def zero_body(k, _):
+        write_chunk(k)
+        return 0
+
+    jax.lax.fori_loop(k_done, nchunks, zero_body, 0)
+
+
+def _fwd_cost(num_tiles: int, p: int, g: int, c: int, m: int) -> pl.CostEstimate:
+    # rough per-tile estimate assuming ~2 chunks average; guides scheduling only
+    chunks = max(2 * num_tiles, m // g)
+    flops = chunks * (2 * p * g * g + 2 * p * g * c + 30 * p * g)
+    return pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=chunks * g * (GEOM_ROWS + c) * 4 + num_tiles * p * c * 4,
+        transcendentals=chunks * 2 * p * g,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "tiles_y", "tile_h", "tile_w", "chunk", "interpret"),
+)
+def tile_blend_forward(
+    geom: jnp.ndarray,  # (8, M)
+    colors: jnp.ndarray,  # (M, C)
+    tile_starts: jnp.ndarray,  # (num_tiles,)
+    tile_counts: jnp.ndarray,  # (num_tiles,)
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    tile_h: int,
+    tile_w: int,
+    chunk: int = 128,
+    interpret: bool = False,
+):
+    """Returns (tile_colors (T, P, C), tile_alpha (T, P, 1))."""
+    num_tiles = tiles_x * tiles_y
+    p = tile_h * tile_w
+    c = colors.shape[1]
+    m = colors.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, p, c), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((GEOM_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((chunk, c), jnp.float32),
+            pltpu.VMEM((p, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _forward_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w, g=chunk
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, p, c), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, p, 1), jnp.float32),
+        ],
+        cost_estimate=_fwd_cost(num_tiles, p, chunk, c, m),
+        interpret=interpret,
+    )(tile_starts, tile_counts, geom, colors)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "tiles_y", "tile_h", "tile_w", "chunk", "interpret"),
+)
+def tile_blend_backward(
+    geom: jnp.ndarray,  # (8, M)
+    tile_starts: jnp.ndarray,
+    tile_counts: jnp.ndarray,
+    grad_tile_colors: jnp.ndarray,  # (T, P, C)
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    tile_h: int,
+    tile_w: int,
+    chunk: int = 128,
+    interpret: bool = False,
+):
+    """Returns grad wrt per-instance colours, shape (M, C).
+
+    Rows past the last tile's padded range are never written — callers must
+    rely on the sentinel Gaussian id to drop them in the segment-sum.
+    """
+    num_tiles = tiles_x * tiles_y
+    p = tile_h * tile_w
+    c = grad_tile_colors.shape[-1]
+    m = geom.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, p, c), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((GEOM_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((chunk, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _backward_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w, g=chunk
+    )
+    (grad_colors,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((m, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(tile_starts, tile_counts, geom, grad_tile_colors)
+    return grad_colors

@@ -1,0 +1,224 @@
+"""High-level differentiable rasterizer: project → bin → Pallas blend.
+
+API parity target: `gsplat.rasterization` as the reference calls it
+(`gaussian_renderer/__init__.py:56-70`) — N Gaussians, C-channel colours
+(3 for RGB, 16 for distilled features), optional expected-depth channel,
+background blending, returned alpha map.
+
+Differentiation: gradients flow to `colors` (exact, via the Pallas backward
+kernel + a segment-sum back to Gaussians). Geometry inputs (means / quats /
+scales / opacities) are treated as frozen — exactly the GAD training setup,
+where only `_semantic_feature` is optimised and geometry has
+requires_grad=False (reference `scene/gaussian_model.py:192-206`). Their
+gradients are defined as zero; full geometry VJP (needed only for RGB
+pre-training / densification) is a planned extension.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gags_tpu.splat import tiles
+from gags_tpu.splat import pallas_kernel as pk
+from gags_tpu.splat.projection import project_gaussians
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeConfig:
+    tile_h: int = 16
+    tile_w: int = 128
+    chunk: int = 128
+    budget_factor: int = 6  # instance budget = factor * N
+    budget: Optional[int] = None  # explicit override
+    interpret: bool = False  # Pallas interpreter mode (CPU tests)
+
+    def instance_budget(self, n: int) -> int:
+        if self.budget is not None:
+            return self.budget
+        return max(self.budget_factor * n, 4 * self.chunk)
+
+
+class RasterizeResult(NamedTuple):
+    image: jnp.ndarray  # (H, W, C)
+    alpha: jnp.ndarray  # (H, W)
+    radii: jnp.ndarray  # (N,) int32, 0 = culled
+    means2d: jnp.ndarray  # (N, 2)
+    overflow: jnp.ndarray  # () int32 dropped instances (0 in normal operation)
+
+
+def _tiles_to_image(tile_img, tiles_x, tiles_y, tile_h, tile_w, height, width):
+    """(T, P, C) tile-major → (H, W, C) with crop of the padded border."""
+    c = tile_img.shape[-1]
+    img = tile_img.reshape(tiles_y, tiles_x, tile_h, tile_w, c)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(
+        tiles_y * tile_h, tiles_x * tile_w, c
+    )
+    return img[:height, :width]
+
+
+def _image_to_tiles(img, tiles_x, tiles_y, tile_h, tile_w):
+    """(H, W, C) → (T, P, C), zero-padding to the tile grid."""
+    h, w, c = img.shape
+    ph = tiles_y * tile_h - h
+    pw = tiles_x * tile_w - w
+    img = jnp.pad(img, ((0, ph), (0, pw), (0, 0)))
+    img = img.reshape(tiles_y, tile_h, tiles_x, tile_w, c)
+    return img.transpose(0, 2, 1, 3, 4).reshape(tiles_x * tiles_y, tile_h * tile_w, c)
+
+
+def _prepare(means, quats, scales, opacities, viewmat, K, width, height, cfg):
+    """Project + bin + build per-instance geometry. No colour dependence."""
+    n = means.shape[0]
+    proj = project_gaussians(means, quats, scales, viewmat, K, width, height)
+    tiles_x = -(-width // cfg.tile_w)
+    tiles_y = -(-height // cfg.tile_h)
+    binned = tiles.bin_gaussians(
+        proj.means2d,
+        proj.radii,
+        proj.depths,
+        width,
+        height,
+        cfg.tile_w,
+        cfg.tile_h,
+        budget=cfg.instance_budget(n),
+        chunk=cfg.chunk,
+    )
+    # (8, N+1) geometry with a zero (opacity-0) sentinel column
+    geom = jnp.zeros((pk.GEOM_ROWS, n + 1), jnp.float32)
+    geom = geom.at[pk.ROW_MX, :n].set(proj.means2d[:, 0])
+    geom = geom.at[pk.ROW_MY, :n].set(proj.means2d[:, 1])
+    geom = geom.at[pk.ROW_CA, :n].set(proj.conics[:, 0])
+    geom = geom.at[pk.ROW_CB, :n].set(proj.conics[:, 1])
+    geom = geom.at[pk.ROW_CC, :n].set(proj.conics[:, 2])
+    geom = geom.at[pk.ROW_OPAC, :n].set(opacities * proj.compensations)
+    geom_inst = geom[:, binned.inst_gid]  # (8, M)
+    return proj, binned, geom_inst, tiles_x, tiles_y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _blend(colors, geom_inst, inst_gid, tile_starts, tile_counts, grid_dims, cfg):
+    """Differentiable (wrt colors) tile blend. grid_dims = (tiles_x, tiles_y)."""
+    return _blend_fwd_impl(
+        colors, geom_inst, inst_gid, tile_starts, tile_counts, grid_dims, cfg
+    )
+
+
+def _blend_fwd_impl(colors, geom_inst, inst_gid, tile_starts, tile_counts, grid_dims, cfg):
+    tiles_x, tiles_y = grid_dims
+    colors_pad = jnp.concatenate(
+        [colors, jnp.zeros((1, colors.shape[1]), colors.dtype)], axis=0
+    )
+    colors_inst = colors_pad[inst_gid]  # (M, C)
+    return pk.tile_blend_forward(
+        geom_inst,
+        colors_inst,
+        tile_starts,
+        tile_counts,
+        tiles_x=tiles_x,
+        tiles_y=tiles_y,
+        tile_h=cfg.tile_h,
+        tile_w=cfg.tile_w,
+        chunk=cfg.chunk,
+        interpret=cfg.interpret,
+    )
+
+
+def _blend_fwd(colors, geom_inst, inst_gid, tile_starts, tile_counts, grid_dims, cfg):
+    out = _blend_fwd_impl(
+        colors, geom_inst, inst_gid, tile_starts, tile_counts, grid_dims, cfg
+    )
+    residuals = (colors.shape[0], geom_inst, inst_gid, tile_starts, tile_counts)
+    return out, residuals
+
+
+def _float0_like(x):
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+def _blend_bwd(grid_dims, cfg, res, g):
+    n, geom_inst, inst_gid, tile_starts, tile_counts = res
+    tiles_x, tiles_y = grid_dims
+    g_img, _g_alpha = g  # alpha has no colour dependence
+    grad_inst = pk.tile_blend_backward(
+        geom_inst,
+        tile_starts,
+        tile_counts,
+        g_img,
+        tiles_x=tiles_x,
+        tiles_y=tiles_y,
+        tile_h=cfg.tile_h,
+        tile_w=cfg.tile_w,
+        chunk=cfg.chunk,
+        interpret=cfg.interpret,
+    )  # (M, C)
+    grad_colors = jax.ops.segment_sum(
+        grad_inst, inst_gid, num_segments=n + 1, indices_are_sorted=False
+    )[:n]
+    return (
+        grad_colors,
+        jnp.zeros_like(geom_inst),
+        _float0_like(inst_gid),
+        _float0_like(tile_starts),
+        _float0_like(tile_counts),
+    )
+
+
+_blend.defvjp(_blend_fwd, _blend_bwd)
+
+
+def rasterize(
+    means: jnp.ndarray,
+    quats: jnp.ndarray,
+    scales: jnp.ndarray,
+    opacities: jnp.ndarray,
+    colors: jnp.ndarray,
+    viewmat: jnp.ndarray,
+    K: jnp.ndarray,
+    width: int,
+    height: int,
+    background: Optional[jnp.ndarray] = None,
+    config: RasterizeConfig = RasterizeConfig(),
+) -> RasterizeResult:
+    """Rasterize N Gaussians with C colour channels into an (H, W, C) image.
+
+    Gradients: d image / d colors is exact; geometry inputs are
+    stop-gradiented (GAD trains features only — see module docstring).
+    """
+    means = jax.lax.stop_gradient(means)
+    quats = jax.lax.stop_gradient(quats)
+    scales = jax.lax.stop_gradient(scales)
+    opacities = jax.lax.stop_gradient(opacities)
+
+    proj, binned, geom_inst, tiles_x, tiles_y = _prepare(
+        means, quats, scales, opacities, viewmat, K, width, height, config
+    )
+    tile_img, tile_alpha = _blend(
+        colors,
+        geom_inst,
+        binned.inst_gid,
+        binned.tile_starts,
+        binned.tile_counts,
+        (tiles_x, tiles_y),
+        config,
+    )
+    img = _tiles_to_image(
+        tile_img, tiles_x, tiles_y, config.tile_h, config.tile_w, height, width
+    )
+    alpha = _tiles_to_image(
+        tile_alpha, tiles_x, tiles_y, config.tile_h, config.tile_w, height, width
+    )[..., 0]
+    if background is not None:
+        img = img + (1.0 - alpha[..., None]) * background[None, None, :]
+    return RasterizeResult(
+        image=img,
+        alpha=alpha,
+        radii=proj.radii,
+        means2d=proj.means2d,
+        overflow=binned.overflow,
+    )

@@ -1,0 +1,146 @@
+"""Pallas tile rasterizer vs the pure-JAX oracle (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gags_tpu.splat.projection import project_gaussians
+from gags_tpu.splat.reference import rasterize_reference
+from gags_tpu.splat.rasterizer import RasterizeConfig, rasterize
+from gags_tpu.splat import tiles
+
+W, H, F = 64, 32, 40.0
+CFG = RasterizeConfig(tile_h=8, tile_w=16, chunk=8, interpret=True)
+
+
+def _scene(n, seed=0, cdim=3):
+    rng = np.random.default_rng(seed)
+    means = jnp.asarray(
+        np.stack(
+            [rng.uniform(-1.5, 1.5, n), rng.uniform(-1, 1, n), rng.uniform(3, 9, n)], 1
+        ).astype(np.float32)
+    )
+    quats = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    scales = jnp.asarray(
+        np.exp(rng.normal(-1.8, 0.4, size=(n, 3))).astype(np.float32)
+    )
+    op = jnp.asarray(rng.uniform(0.2, 0.95, n).astype(np.float32))
+    col = jnp.asarray(rng.uniform(0, 1, (n, cdim)).astype(np.float32))
+    vm = jnp.eye(4)
+    K = jnp.array([[F, 0, W / 2], [0, F, H / 2], [0, 0, 1]], jnp.float32)
+    return means, quats, scales, op, col, vm, K
+
+
+def test_binning_invariants():
+    means, quats, scales, op, col, vm, K = _scene(200)
+    p = project_gaussians(means, quats, scales, vm, K, W, H)
+    binned = tiles.bin_gaussians(
+        p.means2d, p.radii, p.depths, W, H, CFG.tile_w, CFG.tile_h,
+        budget=CFG.instance_budget(200), chunk=CFG.chunk,
+    )
+    tiles_x = -(-W // CFG.tile_w)
+    tiles_y = -(-H // CFG.tile_h)
+    num_tiles = tiles_x * tiles_y
+    gid = np.asarray(binned.inst_gid)
+    starts = np.asarray(binned.tile_starts)
+    counts = np.asarray(binned.tile_counts)
+    depths = np.asarray(p.depths)
+    means2d = np.asarray(p.means2d)
+    radii = np.asarray(p.radii)
+
+    assert int(binned.overflow) == 0
+    # ranges are chunk-aligned and disjoint
+    assert (starts % CFG.chunk == 0).all()
+    total_hits = 0
+    for t in range(num_tiles):
+        s, c = starts[t], counts[t]
+        ids = gid[s : s + c]
+        assert (ids < 200).all()  # real gaussians inside the count
+        # depth-sorted front to back
+        d = depths[ids]
+        assert (np.diff(d) >= -1e-6).all()
+        # every listed gaussian's rect covers this tile
+        ty, tx = divmod(t, tiles_x)
+        for g in ids:
+            r = radii[g]
+            assert r > 0
+            x0 = (means2d[g, 0] - r) / CFG.tile_w
+            x1 = (means2d[g, 0] + r) / CFG.tile_w
+            y0 = (means2d[g, 1] - r) / CFG.tile_h
+            y1 = (means2d[g, 1] + r) / CFG.tile_h
+            assert x0 - 1e-4 <= tx + 1 and x1 + 1e-4 >= tx
+            assert y0 - 1e-4 <= ty + 1 and y1 + 1e-4 >= ty
+        # padding rows are sentinel
+        pad = gid[s + c : s + ((c + CFG.chunk - 1) // CFG.chunk) * CFG.chunk]
+        assert (pad == 200).all()
+        total_hits += c
+    # total == sum over gaussians of rect areas
+    expect = 0
+    for g in range(200):
+        if radii[g] <= 0:
+            continue
+        x0 = int(np.clip(np.floor((means2d[g, 0] - radii[g]) / CFG.tile_w), 0, tiles_x))
+        x1 = int(np.clip(np.ceil((means2d[g, 0] + radii[g]) / CFG.tile_w), 0, tiles_x))
+        y0 = int(np.clip(np.floor((means2d[g, 1] - radii[g]) / CFG.tile_h), 0, tiles_y))
+        y1 = int(np.clip(np.ceil((means2d[g, 1] + radii[g]) / CFG.tile_h), 0, tiles_y))
+        expect += max(0, x1 - x0) * max(0, y1 - y0)
+    assert total_hits == expect
+
+
+@pytest.mark.parametrize("n,cdim,seed", [(60, 3, 0), (200, 3, 1), (120, 16, 2)])
+def test_forward_matches_reference(n, cdim, seed):
+    means, quats, scales, op, col, vm, K = _scene(n, seed, cdim)
+    p = project_gaussians(means, quats, scales, vm, K, W, H)
+    ref_img, ref_alpha = rasterize_reference(
+        p.means2d, p.conics, p.depths, p.radii, op, col, W, H
+    )
+    res = rasterize(means, quats, scales, op, col, vm, K, W, H, config=CFG)
+    np.testing.assert_allclose(
+        np.asarray(res.image), np.asarray(ref_img), atol=2e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.alpha), np.asarray(ref_alpha), atol=2e-5
+    )
+
+
+def test_forward_with_background():
+    means, quats, scales, op, col, vm, K = _scene(80, 3)
+    bg = jnp.array([0.2, 0.4, 0.6])
+    p = project_gaussians(means, quats, scales, vm, K, W, H)
+    ref_img, _ = rasterize_reference(
+        p.means2d, p.conics, p.depths, p.radii, op, col, W, H, background=bg
+    )
+    res = rasterize(means, quats, scales, op, col, vm, K, W, H, background=bg, config=CFG)
+    np.testing.assert_allclose(
+        np.asarray(res.image), np.asarray(ref_img), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_color_gradients_match_reference_autodiff():
+    n = 80
+    means, quats, scales, op, col, vm, K = _scene(n, 3, cdim=16)
+    p = project_gaussians(means, quats, scales, vm, K, W, H)
+    tgt = jnp.asarray(np.random.default_rng(9).uniform(0, 1, (H, W, 16)).astype(np.float32))
+
+    def loss_ref(c):
+        img, _ = rasterize_reference(
+            p.means2d, p.conics, p.depths, p.radii, op, c, W, H
+        )
+        return jnp.mean(jnp.abs(img - tgt))
+
+    def loss_pallas(c):
+        res = rasterize(means, quats, scales, op, c, vm, K, W, H, config=CFG)
+        return jnp.mean(jnp.abs(res.image - tgt))
+
+    l_ref, g_ref = jax.value_and_grad(loss_ref)(col)
+    l_pal, g_pal = jax.value_and_grad(loss_pallas)(col)
+    np.testing.assert_allclose(float(l_pal), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref), atol=1e-6, rtol=1e-4)
+
+
+def test_budget_overflow_flagged():
+    means, quats, scales, op, col, vm, K = _scene(300, 4)
+    cfg = RasterizeConfig(tile_h=8, tile_w=16, chunk=8, budget=64, interpret=True)
+    res = rasterize(means, quats, scales, op, col, vm, K, W, H, config=cfg)
+    assert int(res.overflow) > 0
