@@ -1,0 +1,102 @@
+"""GAD loss library, vectorised with segment reductions.
+
+Counterparts of the reference's `utils/loss_utils.py` — but the per-region
+python loops there (`Scale_balance_loss` lines 47-54 and
+`scale_region_regulation_loss` lines 117-133, each a host loop over segment
+ids with device syncs) become `jax.ops.segment_sum` over a static segment
+capacity, so the whole loss stack stays inside one jitted step.
+
+Conventions: images channel-last (H, W, C); seg maps int32 (H, W) with -1
+for "no mask" (the reference keeps float maps with -1.0).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def l1(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(x - y))
+
+
+def l1_map(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel L1 averaged over channels: (H, W, C) → (H, W).
+
+    (reference `l1_loss_map` averages over the channel dim, loss_utils.py:23-24)
+    """
+    return jnp.mean(jnp.abs(x - y), axis=-1)
+
+
+def l2(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((x - y) ** 2)
+
+
+def cosine_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """1 - mean cosine similarity along channels."""
+    num = jnp.sum(x * y, axis=-1)
+    den = jnp.linalg.norm(x, axis=-1) * jnp.linalg.norm(y, axis=-1)
+    return 1.0 - jnp.mean(num / jnp.maximum(den, 1e-8))
+
+
+def scale_entropy_loss(scale_map: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Entropy regulariser pushing the 3-way softmax toward one-hot.
+
+    scale_map: (H, W, 3). Matches `scale_regulation_loss` (loss_utils.py:59-66).
+    """
+    return jnp.mean(-scale_map * jnp.log(scale_map + eps))
+
+
+def region_balanced_l1(
+    loss_map: jnp.ndarray,  # (H, W) per-pixel loss
+    seg: jnp.ndarray,  # (H, W) int32 mixed segment ids, -1 = invalid
+    max_segments: int,
+) -> jnp.ndarray:
+    """Mean over regions of the per-region mean loss.
+
+    Matches `Scale_balance_loss(mix_seg=True)` (loss_utils.py:36-57): regions
+    weigh equally regardless of pixel count, so small objects aren't drowned
+    out by walls/floors.
+    """
+    ids = (seg + 1).reshape(-1)  # 0 = invalid bucket
+    flat = loss_map.reshape(-1)
+    sums = jax.ops.segment_sum(flat, ids, num_segments=max_segments + 1)[1:]
+    cnts = jax.ops.segment_sum(jnp.ones_like(flat), ids, num_segments=max_segments + 1)[1:]
+    present = cnts > 0
+    means = jnp.where(present, sums / jnp.maximum(cnts, 1.0), 0.0)
+    return jnp.sum(means) / jnp.maximum(jnp.sum(present), 1)
+
+
+def region_variance_loss(
+    feat: jnp.ndarray,  # (H, W, C)
+    seg: jnp.ndarray,  # (H, W) int32, -1 = invalid
+    max_segments: int,
+) -> jnp.ndarray:
+    """Pixel-count-weighted per-region feature variance.
+
+    Matches `scale_region_regulation_loss(mix_seg=True)` (loss_utils.py:
+    103-136): for each region with >=2 pixels, the unbiased variance per
+    channel, averaged over channels, times the pixel count; summed and
+    normalised by H*W.
+    """
+    h, w, c = feat.shape
+    ids = (seg + 1).reshape(-1)
+    flat = feat.reshape(-1, c)
+    ns = max_segments + 1
+    cnt = jax.ops.segment_sum(jnp.ones((h * w,), feat.dtype), ids, num_segments=ns)
+    s1 = jax.ops.segment_sum(flat, ids, num_segments=ns)  # (S, C)
+    s2 = jax.ops.segment_sum(flat * flat, ids, num_segments=ns)
+    n = cnt[:, None]
+    # unbiased: (sum(x^2) - n*mean^2) / (n - 1)
+    var = (s2 - s1 * s1 / jnp.maximum(n, 1.0)) / jnp.maximum(n - 1.0, 1.0)
+    var = jnp.maximum(var, 0.0)  # guard fp cancellation
+    valid = (cnt >= 2).at[0].set(False)  # drop the invalid bucket
+    contrib = jnp.where(valid, cnt * jnp.mean(var, axis=-1), 0.0)
+    return jnp.sum(contrib) / (h * w)
+
+
+def tv_loss(feat: jnp.ndarray) -> jnp.ndarray:
+    """Total variation on (H, W, C) (reference loss_utils.py:201-210)."""
+    dx = feat[:, 1:, :] - feat[:, :-1, :]
+    dy = feat[1:, :, :] - feat[:-1, :, :]
+    return jnp.sum(dx * dx) + jnp.sum(dy * dy)

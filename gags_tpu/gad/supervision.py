@@ -1,0 +1,86 @@
+"""GT supervision construction: gather + blend CLIP features per pixel.
+
+Counterpart of the reference's `read_sam_clip_feature`
+(`scene/dataset_readers.py:54-121`) and `get_trained_seg`
+(`utils/loss_utils.py:138-154`), expressed as pure vectorised gathers so
+they run *inside* the jitted train step — the reference instead stages
+img_embed/seg_map on CPU and moves them every iteration (train.py:51-52,
+162-165).
+
+Layouts: seg_map (H, W, 4) int32 with levels [default, s, m, l] and -1 for
+"no mask"; img_embed (M, D) padded to a static M; scale_map (H, W, 3).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from gags_tpu.utils.image import mean_smooth, resize_bilinear_align_corners, resize_nearest
+
+
+def mixed_seg_map(seg_map: jnp.ndarray, scale_map: jnp.ndarray) -> jnp.ndarray:
+    """Compose one (H, W) id map by picking the argmax granularity per pixel.
+
+    The scale map is box-smoothed (k=5) first, then argmax over the 3
+    granularities selects which of the s/m/l id maps supplies each pixel —
+    matching `get_trained_seg` exactly.
+    """
+    sm = mean_smooth(scale_map, 5)  # (H, W, 3)
+    sel = jnp.argmax(sm, axis=-1)  # (H, W) in {0,1,2}
+    sml = seg_map[..., 1:4]  # (H, W, 3)
+    return jnp.take_along_axis(sml, sel[..., None], axis=-1)[..., 0]
+
+
+def blend_gt_feature_map(
+    img_embed: jnp.ndarray,  # (M, D) per-mask CLIP embeddings
+    seg_map: jnp.ndarray,  # (H, W, 4) int32
+    scale_map: jnp.ndarray,  # (h, w, 3) granularity weights at render res
+    max_mode: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel GT CLIP map blended across granularities.
+
+    Returns (feature_map (h, w, D), mask (h, w, 1)).
+
+    Parity notes vs the reference:
+      * seg ids of -1 gather `img_embed[-1]` there (python negative
+        indexing); those pixels are excluded by the mask, so we clamp to 0
+        instead — identical under the mask.
+      * feature maps are bilinear-resized with align_corners=True and masks
+        nearest-resized when seg and render resolutions differ
+        (dataset_readers.py:72-79).
+    """
+    h_out, w_out = scale_map.shape[0], scale_map.shape[1]
+
+    seg_sml = seg_map[..., 1:4]  # (H, W, 3)
+    valid = seg_sml != -1
+    idx = jnp.maximum(seg_sml, 0)
+    feats = img_embed[idx]  # (H, W, 3, D)
+
+    mask_all = jnp.all(valid, axis=-1).astype(jnp.float32)[..., None]  # (H, W, 1)
+    mask = resize_nearest(mask_all, (h_out, w_out)).astype(bool)
+
+    fs = resize_bilinear_align_corners(feats[..., 0, :], (h_out, w_out))
+    fm = resize_bilinear_align_corners(feats[..., 1, :], (h_out, w_out))
+    fl = resize_bilinear_align_corners(feats[..., 2, :], (h_out, w_out))
+
+    if max_mode:
+        ms = resize_nearest(valid[..., 0].astype(jnp.float32), (h_out, w_out))
+        mm = resize_nearest(valid[..., 1].astype(jnp.float32), (h_out, w_out))
+        ml = resize_nearest(valid[..., 2].astype(jnp.float32), (h_out, w_out))
+        sel = jnp.argmax(scale_map, axis=-1)
+        one_hot = jnp.eye(3, dtype=scale_map.dtype)[sel]  # (h, w, 3)
+        fmap = (
+            fs * (one_hot[..., 0] * ms)[..., None]
+            + fm * (one_hot[..., 1] * mm)[..., None]
+            + fl * (one_hot[..., 2] * ml)[..., None]
+        )
+        mask = fmap[..., 0:1] != 0.0
+    else:
+        fmap = (
+            fs * scale_map[..., 0:1]
+            + fm * scale_map[..., 1:2]
+            + fl * scale_map[..., 2:3]
+        )
+    return fmap, mask

@@ -108,13 +108,13 @@ def _forward_kernel(
     tile_counts_ref,
     # inputs (HBM)
     geom_hbm,  # (8, M)
-    colors_hbm,  # (M, C)
+    colors_hbm,  # (C, M)
     # outputs (VMEM blocks)
     out_colors_ref,  # (1, P, C)
     out_alpha_ref,  # (1, P, 1)
     # scratch
     geom_vmem,  # (8, G)
-    colors_vmem,  # (G, C)
+    colors_vmem,  # (C, G)
     acc_ref,  # (P, C)
     sems,  # DMA semaphores (2,)
     *,
@@ -139,12 +139,12 @@ def _forward_kernel(
 
     def body(carry):
         k, log_t, log_t_rep = carry
-        off = start + k * g
+        off = pl.multiple_of(start + k * g, g)
         cp_g = pltpu.make_async_copy(
             geom_hbm.at[:, pl.ds(off, g)], geom_vmem, sems.at[0]
         )
         cp_c = pltpu.make_async_copy(
-            colors_hbm.at[pl.ds(off, g), :], colors_vmem, sems.at[1]
+            colors_hbm.at[:, pl.ds(off, g)], colors_vmem, sems.at[1]
         )
         cp_g.start()
         cp_c.start()
@@ -154,11 +154,11 @@ def _forward_kernel(
         alpha = _chunk_alpha(geom_vmem[:, :], px, py)  # (P, G)
         w, log_t_incl_masked, new_log_t = _blend_weights(alpha, log_t, g)
 
-        # colour accumulation: (P, G) @ (G, C) on the MXU
+        # colour accumulation: (P, G) x (C, G) -> (P, C) on the MXU
         acc_ref[:, :] += jax.lax.dot_general(
             w,
             colors_vmem[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         # last surviving transmittance (0 in log space = "no update")
@@ -186,9 +186,9 @@ def _backward_kernel(
     tile_counts_ref,
     geom_hbm,  # (8, M)
     gout_ref,  # (1, P, C) upstream gradient block
-    grad_colors_hbm,  # output, (M, C) in HBM
+    grad_colors_hbm,  # output, (C, M) in HBM
     geom_vmem,  # (8, G)
-    gcol_vmem,  # (G, C) chunk gradient staging
+    gcol_vmem,  # (C, G) chunk gradient staging
     sems,
     *,
     tiles_x: int,
@@ -196,10 +196,10 @@ def _backward_kernel(
     tile_w: int,
     g: int,
 ):
-    """d L / d colors_inst, written chunk-by-chunk into (M, C).
+    """d L / d colors_inst, written chunk-by-chunk into (C, M).
 
     Recomputes blend weights (no residuals are stored by the forward):
-    grad_colors[j, c] = sum_p w[p, j] * gout[p, c] — one MXU matmul/chunk.
+    grad_colors[c, j] = sum_p gout[p, c] * w[p, j] — one MXU matmul/chunk.
     After per-pixel saturation ends the main loop early, remaining chunks in
     this tile's range are zero-filled so the output buffer is fully defined.
     """
@@ -212,8 +212,9 @@ def _backward_kernel(
     nchunks = pl.cdiv(count, g)
 
     def write_chunk(k):
+        off = pl.multiple_of(start + k * g, g)
         cp_o = pltpu.make_async_copy(
-            gcol_vmem, grad_colors_hbm.at[pl.ds(start + k * g, g), :], sems.at[1]
+            gcol_vmem, grad_colors_hbm.at[:, pl.ds(off, g)], sems.at[1]
         )
         cp_o.start()
         cp_o.wait()
@@ -224,7 +225,7 @@ def _backward_kernel(
 
     def body(carry):
         k, log_t = carry
-        off = start + k * g
+        off = pl.multiple_of(start + k * g, g)
         cp_g = pltpu.make_async_copy(
             geom_hbm.at[:, pl.ds(off, g)], geom_vmem, sems.at[0]
         )
@@ -235,8 +236,8 @@ def _backward_kernel(
         w, _, new_log_t = _blend_weights(alpha, log_t, g)
 
         gcol_vmem[:, :] = jax.lax.dot_general(
-            w,  # (P, G)
             gout_ref[0, :, :],  # (P, C)
+            w,  # (P, G)
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -273,7 +274,7 @@ def _fwd_cost(num_tiles: int, p: int, g: int, c: int, m: int) -> pl.CostEstimate
 )
 def tile_blend_forward(
     geom: jnp.ndarray,  # (8, M)
-    colors: jnp.ndarray,  # (M, C)
+    colors: jnp.ndarray,  # (C, M)
     tile_starts: jnp.ndarray,  # (num_tiles,)
     tile_counts: jnp.ndarray,  # (num_tiles,)
     *,
@@ -287,8 +288,8 @@ def tile_blend_forward(
     """Returns (tile_colors (T, P, C), tile_alpha (T, P, 1))."""
     num_tiles = tiles_x * tiles_y
     p = tile_h * tile_w
-    c = colors.shape[1]
-    m = colors.shape[0]
+    c = colors.shape[0]
+    m = colors.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -303,7 +304,7 @@ def tile_blend_forward(
         ],
         scratch_shapes=[
             pltpu.VMEM((GEOM_ROWS, chunk), jnp.float32),
-            pltpu.VMEM((chunk, c), jnp.float32),
+            pltpu.VMEM((c, chunk), jnp.float32),
             pltpu.VMEM((p, c), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -340,7 +341,7 @@ def tile_blend_backward(
     chunk: int = 128,
     interpret: bool = False,
 ):
-    """Returns grad wrt per-instance colours, shape (M, C).
+    """Returns grad wrt per-instance colours, shape (C, M).
 
     Rows past the last tile's padded range are never written — callers must
     rely on the sentinel Gaussian id to drop them in the segment-sum.
@@ -362,7 +363,7 @@ def tile_blend_backward(
         ],
         scratch_shapes=[
             pltpu.VMEM((GEOM_ROWS, chunk), jnp.float32),
-            pltpu.VMEM((chunk, c), jnp.float32),
+            pltpu.VMEM((c, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -372,7 +373,7 @@ def tile_blend_backward(
     (grad_colors,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((m, c), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((c, m), jnp.float32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(tile_starts, tile_counts, geom, grad_tile_colors)

@@ -114,7 +114,7 @@ def _blend_fwd_impl(colors, geom_inst, inst_gid, tile_starts, tile_counts, grid_
     colors_pad = jnp.concatenate(
         [colors, jnp.zeros((1, colors.shape[1]), colors.dtype)], axis=0
     )
-    colors_inst = colors_pad[inst_gid]  # (M, C)
+    colors_inst = colors_pad.T[:, inst_gid]  # (C, M) lane-major for the kernel
     return pk.tile_blend_forward(
         geom_inst,
         colors_inst,
@@ -156,9 +156,9 @@ def _blend_bwd(grid_dims, cfg, res, g):
         tile_w=cfg.tile_w,
         chunk=cfg.chunk,
         interpret=cfg.interpret,
-    )  # (M, C)
+    )  # (C, M)
     grad_colors = jax.ops.segment_sum(
-        grad_inst, inst_gid, num_segments=n + 1, indices_are_sorted=False
+        grad_inst.T, inst_gid, num_segments=n + 1, indices_are_sorted=False
     )[:n]
     return (
         grad_colors,
