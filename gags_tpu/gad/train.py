@@ -1,0 +1,196 @@
+"""GAD distillation: one fused, jitted train step.
+
+Behavioural counterpart of the reference loop body (`train.py:109-228`),
+redesigned as a single pure function: render 16-dim features (Pallas) →
+scale decode → GT gather/blend → losses → grads → three Adam updates. The
+reference's CPU staging of img_embed/seg_map (train.py:51-52,162-165) is
+replaced by keeping supervision on-device and double-buffered by the data
+loader.
+
+Gradient topology (matches reference exactly):
+  * scale decoder sees a stop-gradiented feature map (train.py:149) but
+    receives L1 gradient through the scale-blended GT map plus the entropy
+    regulariser;
+  * Gaussian features + feature decoder train through the distillation L1
+    and (after iter 15000) the region-variance loss on the 16-dim map
+    (train.py:153 — computed before decoding);
+  * geometry is frozen (gaussian_model.py:192-206).
+
+Loss schedule (train.py:161-172 with default flags): region-balanced L1
+from iteration 1; weights (entropy_w, regionvar_w) = (0.001, 0) before
+iteration 15001, (0.002, 0.1) after — passed as scalars so the schedule
+flip doesn't recompile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gags_tpu.gad import losses
+from gags_tpu.gad.supervision import blend_gt_feature_map, mixed_seg_map
+from gags_tpu.models.decoders import FeatureDecoder, ScaleDecoder
+from gags_tpu.scene.gaussian_data import GaussianScene
+from gags_tpu.splat.rasterizer import RasterizeConfig, rasterize
+
+
+@dataclasses.dataclass(frozen=True)
+class GadConfig:
+    feature_dim: int = 16          # distilled dim (512/32 speedup, train.py:68)
+    clip_dim: int = 512
+    feature_lr: float = 1e-3       # arguments/__init__.py:85
+    decoder_lr: float = 1e-4       # train.py:72,76
+    adam_eps_features: float = 1e-15  # gaussian_model.py:208
+    max_segments: int = 4096       # static cap for segment reductions
+    entropy_w_early: float = 1e-3
+    entropy_w_late: float = 2e-3
+    regionvar_w_late: float = 0.1
+    schedule_switch: int = 15001   # scale_regulation_iteration default
+    raster: RasterizeConfig = RasterizeConfig()
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    step: jnp.ndarray
+    features: jnp.ndarray              # (N, F) trainable per-Gaussian features
+    decoder_params: Any
+    scale_params: Any
+    opt_feat: Any
+    opt_dec: Any
+    opt_scale: Any
+
+
+def create_train_state(
+    scene: GaussianScene, key: jax.Array, cfg: GadConfig
+) -> Tuple[TrainState, Dict[str, Any]]:
+    """Build state + the static bits (optimisers, module defs)."""
+    n = scene.num_gaussians
+    if scene.semantic_features is not None and scene.semantic_features.shape[1] == cfg.feature_dim:
+        feats = scene.semantic_features
+    else:
+        feats = jnp.zeros((n, cfg.feature_dim), jnp.float32)
+
+    dec = FeatureDecoder(output_dim=cfg.clip_dim)
+    scl = ScaleDecoder()
+    k1, k2 = jax.random.split(key)
+    dummy = jnp.zeros((1, 1, cfg.feature_dim))
+    dec_params = dec.init(k1, dummy)
+    scl_params = scl.init(k2, dummy)
+
+    tx_feat = optax.adam(cfg.feature_lr, eps=cfg.adam_eps_features)
+    tx_dec = optax.adam(cfg.decoder_lr)
+    tx_scale = optax.adam(cfg.decoder_lr)
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        features=feats,
+        decoder_params=dec_params,
+        scale_params=scl_params,
+        opt_feat=tx_feat.init(feats),
+        opt_dec=tx_dec.init(dec_params),
+        opt_scale=tx_scale.init(scl_params),
+    )
+    statics = dict(decoder=dec, scale_decoder=scl, tx_feat=tx_feat, tx_dec=tx_dec, tx_scale=tx_scale)
+    return state, statics
+
+
+def loss_weights(step: int, cfg: GadConfig) -> Tuple[float, float]:
+    if step < cfg.schedule_switch:
+        return cfg.entropy_w_early, 0.0
+    return cfg.entropy_w_late, cfg.regionvar_w_late
+
+
+def make_train_step(statics: Dict[str, Any], geometry: GaussianScene, width: int, height: int, cfg: GadConfig):
+    """Returns jitted step(state, batch, entropy_w, regionvar_w) → (state, metrics).
+
+    `geometry` supplies the frozen Gaussian arrays (closed over as constants
+    of the compiled step). `batch`: dict with viewmat (4,4), K (3,3),
+    img_embed (M, clip_dim), seg_map (H, W, 4) int32.
+    """
+    dec: FeatureDecoder = statics["decoder"]
+    scl: ScaleDecoder = statics["scale_decoder"]
+    tx_feat, tx_dec, tx_scale = statics["tx_feat"], statics["tx_dec"], statics["tx_scale"]
+
+    means = geometry.means
+    quats = geometry.quats
+    scales = geometry.scales
+    opac = geometry.opacities
+    bg = jnp.zeros((cfg.feature_dim,), jnp.float32)
+
+    def loss_fn(params, batch, entropy_w, regionvar_w):
+        features, dec_params, scl_params = params
+        res = rasterize(
+            means, quats, scales, opac, features,
+            batch["viewmat"], batch["K"], width, height,
+            background=bg, config=cfg.raster,
+        )
+        feat_map = res.image  # (H, W, F)
+
+        scale_map = scl.apply(scl_params, jax.lax.stop_gradient(feat_map))  # (H, W, 3)
+        seg_mixed = mixed_seg_map(batch["seg_map"], scale_map)  # (H, W) ids
+
+        gt_map, mask = blend_gt_feature_map(
+            batch["img_embed"], batch["seg_map"], scale_map
+        )  # (H, W, D), (H, W, 1)
+        maskf = mask.astype(jnp.float32)
+
+        decoded = dec.apply(dec_params, feat_map)  # (H, W, D)
+        l1_pix = losses.l1_map(decoded * maskf, gt_map * maskf)  # (H, W)
+        l1_feature = losses.region_balanced_l1(l1_pix, seg_mixed, cfg.max_segments)
+
+        ent = losses.scale_entropy_loss(scale_map)
+        regvar = losses.region_variance_loss(feat_map, seg_mixed, cfg.max_segments)
+
+        total = l1_feature + entropy_w * ent + regionvar_w * regvar
+        metrics = dict(
+            loss=total,
+            l1_feature=l1_feature,
+            entropy=ent,
+            region_var=regvar,
+            scale_mean_s=jnp.mean(scale_map[..., 0]),
+            scale_mean_m=jnp.mean(scale_map[..., 1]),
+            scale_mean_l=jnp.mean(scale_map[..., 2]),
+            overflow=res.overflow,
+        )
+        return total, metrics
+
+    @jax.jit
+    def step(state: TrainState, batch, entropy_w, regionvar_w):
+        params = (state.features, state.decoder_params, state.scale_params)
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            params, batch, entropy_w, regionvar_w
+        )
+        g_feat, g_dec, g_scale = grads
+        up_f, opt_feat = tx_feat.update(g_feat, state.opt_feat, state.features)
+        up_d, opt_dec = tx_dec.update(g_dec, state.opt_dec, state.decoder_params)
+        up_s, opt_scale = tx_scale.update(g_scale, state.opt_scale, state.scale_params)
+        new_state = TrainState(
+            step=state.step + 1,
+            features=optax.apply_updates(state.features, up_f),
+            decoder_params=optax.apply_updates(state.decoder_params, up_d),
+            scale_params=optax.apply_updates(state.scale_params, up_s),
+            opt_feat=opt_feat,
+            opt_dec=opt_dec,
+            opt_scale=opt_scale,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def render_feature_map(statics, geometry: GaussianScene, state: TrainState, viewmat, K, width, height, cfg: GadConfig, decode: bool = False):
+    """Inference helper: render the 16-dim map (optionally decode to CLIP)."""
+    res = rasterize(
+        geometry.means, geometry.quats, geometry.scales, geometry.opacities,
+        state.features, viewmat, K, width, height,
+        background=jnp.zeros((cfg.feature_dim,), jnp.float32), config=cfg.raster,
+    )
+    if not decode:
+        return res.image
+    return statics["decoder"].apply(state.decoder_params, res.image)

@@ -16,7 +16,38 @@ Architectures (exact parity with the reference):
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+def _torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """kaiming_uniform(a=sqrt(5)) — torch's Conv/Linear default: U(+-1/sqrt(fan_in)).
+
+    Matters beyond parity: zero-init biases (the flax default) make the whole
+    decoder output exactly zero at step 0 (features start at zero), and
+    ReLU'(0)=0 then blocks every gradient — training would never start.
+    """
+    fan_in = shape[0]
+    bound = (1.0 / fan_in) ** 0.5
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _torch_conv_bias_init(fan_in):
+    bound = (1.0 / fan_in) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _dense(feat_out, fan_in, name):
+    return nn.Dense(
+        feat_out,
+        name=name,
+        kernel_init=_torch_conv_kernel_init,
+        bias_init=_torch_conv_bias_init(fan_in),
+    )
 
 
 class FeatureDecoder(nn.Module):
@@ -29,17 +60,21 @@ class FeatureDecoder(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (..., C_in) channel-last. Returns (..., output_dim), unit-norm."""
         h = self.hidden
-        x1 = nn.relu(nn.Dense(h, name="d0")(x))
-        x2 = nn.relu(nn.Dense(h, name="d1")(x1))
-        x2 = nn.relu(nn.Dense(h, name="d2")(x2))
-        x3 = nn.relu(nn.Dense(h, name="d3")(x1 + x2))
-        x4 = nn.relu(nn.Dense(h, name="d4")(x3))
-        x4 = nn.relu(nn.Dense(h, name="d5")(x4))
-        x5 = nn.relu(nn.Dense(h, name="d6")(x3 + x4))
-        x5 = nn.relu(nn.Dense(h, name="d7")(x5))
-        x5 = nn.Dense(self.output_dim, name="d8")(x5)
-        norm = jnp.linalg.norm(x5, axis=-1, keepdims=True)
-        return x5 / jnp.maximum(norm, 1e-12)
+        c_in = x.shape[-1]
+        x1 = nn.relu(_dense(h, c_in, "d0")(x))
+        x2 = nn.relu(_dense(h, h, "d1")(x1))
+        x2 = nn.relu(_dense(h, h, "d2")(x2))
+        x3 = nn.relu(_dense(h, h, "d3")(x1 + x2))
+        x4 = nn.relu(_dense(h, h, "d4")(x3))
+        x4 = nn.relu(_dense(h, h, "d5")(x4))
+        x5 = nn.relu(_dense(h, h, "d6")(x3 + x4))
+        x5 = nn.relu(_dense(h, h, "d7")(x5))
+        x5 = _dense(self.output_dim, h, "d8")(x5)
+        # L2-normalise with a grad-safe rsqrt (x=0 gives 0, not NaN —
+        # features start at zero so the unprotected sqrt VJP would poison
+        # the very first step)
+        sq = jnp.sum(x5 * x5, axis=-1, keepdims=True)
+        return x5 * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
 
 
 class ScaleDecoder(nn.Module):
@@ -50,6 +85,6 @@ class ScaleDecoder(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, h in enumerate((64, 128, 64, 32, 16)):
-            x = nn.relu(nn.Dense(h, name=f"d{i}")(x))
-        x = nn.Dense(self.output_dim, name="d5")(x)
+            x = nn.relu(_dense(h, x.shape[-1], f"d{i}")(x))
+        x = _dense(self.output_dim, x.shape[-1], "d5")(x)
         return nn.softmax(x, axis=-1)

@@ -93,6 +93,7 @@ def _blend_weights(alpha, log_t, g: int):
         _tri_incl(g),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     log_t_incl = log_t + cum_incl  # (P, G) naive inclusive
     log_t_excl = log_t_incl - l1m  # exclusive (T before this splat)
@@ -160,6 +161,7 @@ def _forward_kernel(
             colors_vmem[:, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         # last surviving transmittance (0 in log space = "no update")
         chunk_min = jnp.min(
@@ -240,6 +242,7 @@ def _backward_kernel(
             w,  # (P, G)
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         write_chunk(k)
         return k + 1, new_log_t
