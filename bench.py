@@ -1,0 +1,81 @@
+"""Headline benchmark: 16-channel feature-map rendering FPS on one TPU chip.
+
+The reference's headline performance claim is open-vocabulary inference
+speed (README.md:21: "2x faster" than LangSplat-class methods on an RTX
+4090, at LERF-OVS ~720p with 16-dim distilled features decoded to CLIP
+space). We measure the same operation — Pallas rasterization of 250k
+Gaussians' 16-dim features at 1280x720 — steady-state, excluding compile.
+
+vs_baseline uses 100 FPS as the RTX-4090 reference figure for gsplat-style
+16-channel 720p rendering (the repo publishes no table — see BASELINE.md;
+100 FPS is a deliberately generous estimate for the 4090 path).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 100.0
+
+N = 250_000
+W, H = 1280, 720
+ITERS = 30
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    from gags_tpu.splat.rasterizer import RasterizeConfig, rasterize
+    from gags_tpu.utils.synthetic import make_scene, make_camera
+
+    on_cpu = jax.default_backend() == "cpu"
+    n = 5000 if on_cpu else N
+    w, h = (128, 64) if on_cpu else (W, H)
+
+    raw = make_scene(n, seed=0, extent=3.0)
+    cam = make_camera(w, h)
+    means = jnp.asarray(raw["means"])
+    quats = jnp.asarray(raw["quats"])
+    scales = jnp.asarray(raw["scales"])
+    opac = jnp.asarray(raw["opacities"])
+    feats = jnp.asarray(raw["features"])
+    cfg = RasterizeConfig(interpret=on_cpu)
+    bg = jnp.zeros((feats.shape[1],), jnp.float32)
+
+    @jax.jit
+    def render(f):
+        return rasterize(
+            means, quats, scales, opac, f, cam.viewmat, cam.K, w, h,
+            background=bg, config=cfg,
+        ).image
+
+    img = render(feats)
+    img.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        img = render(feats)
+    img.block_until_ready()
+    dt = (time.perf_counter() - t0) / ITERS
+    fps = 1.0 / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": f"feature_render_fps_{w}x{h}_{n}g_c16",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""GAD distillation CLI — counterpart of the reference `train.py` driver.
+
+Usage:
+  python -m gags_tpu.cli.train_gad -s <scene_dir> -m <model_dir> \
+      --ply <pretrained point_cloud.ply> [-r 2] [--iterations 30000]
+
+The scene dir must contain a COLMAP reconstruction plus
+`language_features/<img>_{f,s}.npy` from the GAS stage; geometry comes from
+a pretrained RGB 3DGS checkpoint (PLY). Checkpoints at {15000, 30000} as
+orbax trees plus reference-compatible PLY snapshots.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gags_tpu.gad.checkpoints import (
+    export_ply,
+    latest_checkpoint_step,
+    load_checkpoint,
+    save_checkpoint,
+)
+from gags_tpu.gad.data import GadDataset, prefetch_to_device
+from gags_tpu.gad.train import (
+    GadConfig,
+    TrainState,
+    create_train_state,
+    loss_weights,
+    make_train_step,
+)
+from gags_tpu.scene.dataset import detect_and_load
+from gags_tpu.scene.gaussian_data import GaussianScene
+from gags_tpu.utils.config import save_config
+from gags_tpu.utils.logging import EmaProgress, MetricsWriter
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    source_path: str = ""
+    model_path: str = ""
+    ply_path: str = ""
+    resolution: int = 2          # GAD.sh runs -r 2
+    iterations: int = 30000
+    save_iterations: str = "15000,30000"
+    seed: int = 0
+    resume: bool = False
+
+
+def run(rc: RunConfig, gad_cfg: GadConfig = GadConfig()) -> TrainState:
+    os.makedirs(rc.model_path, exist_ok=True)
+    save_config(rc, rc.model_path)
+
+    scene_info = detect_and_load(rc.source_path)
+    geometry = GaussianScene.from_ply(rc.ply_path)
+    print(f"{geometry.num_gaussians} gaussians; {len(scene_info.train_cameras)} train cams")
+
+    dataset = GadDataset(scene_info.train_cameras, resolution=rc.resolution)
+    print(f"render {dataset.width}x{dataset.height}, max {dataset.max_masks} masks")
+
+    state, statics = create_train_state(geometry, jax.random.PRNGKey(rc.seed), gad_cfg)
+    first_iter = 0
+    if rc.resume:
+        step0 = latest_checkpoint_step(rc.model_path)
+        if step0 is not None:
+            state = load_checkpoint(rc.model_path, step0, state)
+            first_iter = step0
+            print(f"resumed from iteration {step0}")
+
+    step_fn = make_train_step(statics, geometry, dataset.width, dataset.height, gad_cfg)
+
+    rng = np.random.default_rng(rc.seed)
+    save_at = {int(s) for s in rc.save_iterations.split(",") if s}
+    save_at.add(rc.iterations)
+
+    metrics_w = MetricsWriter(rc.model_path)
+    progress = EmaProgress(rc.iterations)
+
+    def batch_stream():
+        while True:
+            for i in dataset.epoch_order(rng):
+                yield dataset.batch(int(i))
+
+    stream = prefetch_to_device(batch_stream())
+    t_iter = time.time()
+    for it in range(first_iter + 1, rc.iterations + 1):
+        ew, rw = loss_weights(it, gad_cfg)
+        batch = next(stream)
+        state, m = step_fn(state, batch, jnp.float32(ew), jnp.float32(rw))
+        if it % 10 == 0:
+            loss = float(m["loss"])  # sync point every 10 iters only
+            progress.update(it, loss)
+        if it % 500 == 0:
+            dt = (time.time() - t_iter)
+            t_iter = time.time()
+            metrics_w.write(
+                it,
+                dict(
+                    loss=float(m["loss"]),
+                    l1_feature=float(m["l1_feature"]),
+                    entropy=float(m["entropy"]),
+                    region_var=float(m["region_var"]),
+                    scale_s=float(m["scale_mean_s"]),
+                    scale_m=float(m["scale_mean_m"]),
+                    scale_l=float(m["scale_mean_l"]),
+                    overflow=float(m["overflow"]),
+                    sec_per_500=dt,
+                ),
+            )
+        if it in save_at:
+            print(f"\n[iter {it}] saving checkpoint + PLY")
+            save_checkpoint(rc.model_path, state, it)
+            export_ply(rc.model_path, geometry, state, it)
+    metrics_w.close()
+    return state
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-s", "--source_path", required=True)
+    p.add_argument("-m", "--model_path", required=True)
+    p.add_argument("--ply", dest="ply_path", required=True)
+    p.add_argument("-r", "--resolution", type=int, default=2)
+    p.add_argument("--iterations", type=int, default=30000)
+    p.add_argument("--save_iterations", default="15000,30000")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args()
+    run(RunConfig(**vars(args)))
+
+
+if __name__ == "__main__":
+    main()

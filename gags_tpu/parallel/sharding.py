@@ -1,0 +1,120 @@
+"""Device-mesh parallelism for GAD training.
+
+The reference is strictly single-process single-GPU (SURVEY.md §2.3: no
+torch.distributed / NCCL anywhere) — batch size is one camera per step.
+Here multi-chip scaling is a first-class design: a 1-D `dp` mesh shards a
+*batch of cameras* across chips with `shard_map`; Gaussian parameters and
+decoder weights are replicated, and gradients are `psum`-averaged over ICI
+before three identical Adam updates — so an 8-chip step is mathematically a
+batch-8 step (a strict generalisation of the reference's batch-1 SGD).
+
+Gaussian-axis sharding (for scenes too large to replicate) and tile-space
+sharding (for >1080p renders) are the planned extensions; the KNN module is
+already embarrassingly row-shardable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gags_tpu.gad.train import GadConfig, TrainState
+from gags_tpu.scene.gaussian_data import GaussianScene
+from gags_tpu.splat.rasterizer import rasterize
+from gags_tpu.gad import losses
+from gags_tpu.gad.supervision import blend_gt_feature_map, mixed_seg_map
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def make_dp_train_step(
+    mesh: Mesh,
+    statics: Dict[str, Any],
+    geometry: GaussianScene,
+    width: int,
+    height: int,
+    cfg: GadConfig,
+):
+    """Jitted data-parallel step over a camera batch of size mesh.size.
+
+    batch arrays: viewmat (B,4,4), K (B,3,3), img_embed (B,M,D),
+    seg_map (B,H,W,4) — leading axis sharded over `dp`.
+    """
+    dec = statics["decoder"]
+    scl = statics["scale_decoder"]
+    tx_feat, tx_dec, tx_scale = statics["tx_feat"], statics["tx_dec"], statics["tx_scale"]
+
+    means, quats = geometry.means, geometry.quats
+    scales, opac = geometry.scales, geometry.opacities
+    bg = jnp.zeros((cfg.feature_dim,), jnp.float32)
+    axis = mesh.axis_names[0]
+
+    def local_loss(params, batch, entropy_w, regionvar_w):
+        features, dec_params, scl_params = params
+        res = rasterize(
+            means, quats, scales, opac, features,
+            batch["viewmat"], batch["K"], width, height,
+            background=bg, config=cfg.raster,
+        )
+        feat_map = res.image
+        scale_map = scl.apply(scl_params, jax.lax.stop_gradient(feat_map))
+        seg_mixed = mixed_seg_map(batch["seg_map"], scale_map)
+        gt_map, mask = blend_gt_feature_map(batch["img_embed"], batch["seg_map"], scale_map)
+        maskf = mask.astype(jnp.float32)
+        decoded = dec.apply(dec_params, feat_map)
+        l1_pix = losses.l1_map(decoded * maskf, gt_map * maskf)
+        l1_feature = losses.region_balanced_l1(l1_pix, seg_mixed, cfg.max_segments)
+        ent = losses.scale_entropy_loss(scale_map)
+        regvar = losses.region_variance_loss(feat_map, seg_mixed, cfg.max_segments)
+        return l1_feature + entropy_w * ent + regionvar_w * regvar
+
+    def per_device(state: TrainState, batch, entropy_w, regionvar_w):
+        # one camera per device: strip the size-1 shard axis
+        local = {k: v[0] for k, v in batch.items()}
+        params = (state.features, state.decoder_params, state.scale_params)
+        loss, grads = jax.value_and_grad(local_loss)(
+            params, local, entropy_w, regionvar_w
+        )
+        # mean over the camera batch rides ICI
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        g_feat, g_dec, g_scale = grads
+        up_f, opt_feat = tx_feat.update(g_feat, state.opt_feat, state.features)
+        up_d, opt_dec = tx_dec.update(g_dec, state.opt_dec, state.decoder_params)
+        up_s, opt_scale = tx_scale.update(g_scale, state.opt_scale, state.scale_params)
+        import optax
+
+        new_state = TrainState(
+            step=state.step + 1,
+            features=optax.apply_updates(state.features, up_f),
+            decoder_params=optax.apply_updates(state.decoder_params, up_d),
+            scale_params=optax.apply_updates(state.scale_params, up_s),
+            opt_feat=opt_feat,
+            opt_dec=opt_dec,
+            opt_scale=opt_scale,
+        )
+        return new_state, loss
+
+    batch_spec = dict(
+        viewmat=P(mesh.axis_names[0]),
+        K=P(mesh.axis_names[0]),
+        img_embed=P(mesh.axis_names[0]),
+        seg_map=P(mesh.axis_names[0]),
+    )
+    shard_fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), batch_spec, P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn)

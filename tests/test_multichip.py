@@ -1,0 +1,60 @@
+"""Data-parallel training over the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gags_tpu.gad.train import GadConfig, create_train_state
+from gags_tpu.parallel import make_mesh, make_dp_train_step
+from gags_tpu.scene.gaussian_data import GaussianScene
+from gags_tpu.splat.rasterizer import RasterizeConfig
+from gags_tpu.utils.synthetic import make_scene, make_camera
+
+W, H, N = 32, 16, 60
+
+
+def _setup(n_dev):
+    raw = make_scene(N, seed=0)
+    scene = GaussianScene(
+        means=jnp.asarray(raw["means"]),
+        sh=jnp.asarray(raw["sh"]),
+        opacities_raw=jnp.asarray(np.log(raw["opacities"] / (1 - raw["opacities"]))),
+        scales_raw=jnp.asarray(np.log(raw["scales"])),
+        quats=jnp.asarray(raw["quats"]),
+        semantic_features=jnp.zeros((N, 8)),
+    )
+    cfg = GadConfig(
+        feature_dim=8,
+        clip_dim=16,
+        max_segments=16,
+        raster=RasterizeConfig(tile_h=8, tile_w=16, chunk=8, interpret=True),
+    )
+    state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(n_dev)
+    step = make_dp_train_step(mesh, statics, scene, W, H, cfg)
+
+    rng = np.random.default_rng(1)
+    cam = make_camera(W, H)
+    b = n_dev
+    emb = rng.normal(size=(b, 5, 16)).astype(np.float32)
+    seg = rng.integers(-1, 5, size=(b, H, W, 4)).astype(np.int32)
+    batch = dict(
+        viewmat=jnp.tile(cam.viewmat[None], (b, 1, 1)),
+        K=jnp.tile(cam.K[None], (b, 1, 1)),
+        img_embed=jnp.asarray(emb),
+        seg_map=jnp.asarray(seg),
+    )
+    return state, step, batch
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_dp_step_runs_and_updates(n_dev):
+    assert len(jax.devices()) >= n_dev
+    state, step, batch = _setup(n_dev)
+    s1, loss = step(state, batch, jnp.float32(1e-3), jnp.float32(0.0))
+    assert np.isfinite(float(loss))
+    assert float(jnp.abs(s1.features - state.features).max()) > 0
+    s2, loss2 = step(s1, batch, jnp.float32(1e-3), jnp.float32(0.0))
+    assert np.isfinite(float(loss2))
+    assert int(s2.step) == 2
