@@ -1,0 +1,143 @@
+"""GAS stage tests: NMS vs loop oracle, packing, prompts, depth sampling."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gags_tpu.gas import masks as gm
+from gags_tpu.gas import prompts as gp
+from gags_tpu.gas.depth_sampler import (
+    min_depth_over_cameras,
+    project_points,
+    splat_depth_samples,
+)
+
+
+def _rand_masks(n, h, w, seed):
+    rng = np.random.default_rng(seed)
+    out = np.zeros((n, h, w), bool)
+    for i in range(n):
+        y, x = rng.integers(0, h - 4), rng.integers(0, w - 4)
+        hh, ww = rng.integers(3, h - y), rng.integers(3, w - x)
+        out[i, y : y + hh, x : x + ww] = True
+    return out
+
+
+def _nms_oracle(masks, scores, iou_thr, score_thr, inner_thr):
+    """Literal re-derivation of the reference's loop algorithm."""
+    order = np.argsort(-scores, kind="stable")
+    s, m = scores[order], masks[order]
+    n = len(order)
+    areas = m.reshape(n, -1).sum(1).astype(float)
+    iou = np.zeros((n, n))
+    inner = np.zeros((n, n))
+    for i in range(n):
+        for j in range(i, n):
+            inter = np.logical_and(m[i], m[j]).sum()
+            union = np.logical_or(m[i], m[j]).sum()
+            iou[i, j] = inter / union if union else 0
+            if inter / areas[i] < 0.5 and inter / areas[j] >= 0.85:
+                inner[i, j] = 1 - (inter / areas[j]) * (inter / areas[i])
+            if inter / areas[i] >= 0.85 and inter / areas[j] < 0.5:
+                inner[j, i] = 1 - (inter / areas[j]) * (inter / areas[i])
+    iou = np.triu(iou, 1)
+    keep = iou.max(0) <= iou_thr
+    keep_conf = s > score_thr
+    kiu = np.triu(inner, 1).max(0) <= 1 - inner_thr
+    kil = np.tril(inner, 1).max(0) <= 1 - inner_thr
+    for k in (keep_conf, kiu, kil):
+        if k.sum() == 0:
+            k[np.argsort(-s)[:3]] = True
+    keep = keep & keep_conf & kiu & kil
+    return set(order[keep].tolist())
+
+
+def test_mask_nms_matches_oracle():
+    for seed in range(4):
+        masks = _rand_masks(12, 24, 30, seed)
+        rng = np.random.default_rng(100 + seed)
+        scores = rng.uniform(0.5, 1.0, 12).astype(np.float32)
+        got = set(gm.mask_nms(masks, scores, 0.8, 0.7, 0.5).tolist())
+        expect = _nms_oracle(masks, scores, 0.8, 0.7, 0.5)
+        assert got == expect, (seed, got, expect)
+
+
+def test_pack_granularities_offsets():
+    rng = np.random.default_rng(0)
+    h, w = 8, 10
+    embeds = {k: rng.normal(size=(n, 4)).astype(np.float32)
+              for k, n in zip(["default", "s", "m", "l"], [3, 2, 4, 1])}
+    segs = {
+        "default": np.full((h, w), 2, np.int32),
+        "s": np.full((h, w), 1, np.int32),
+        "m": np.full((h, w), 3, np.int32),
+        "l": np.zeros((h, w), np.int32),
+    }
+    segs["s"][0, 0] = -1
+    embed, packed = gm.pack_granularities(embeds, segs)
+    assert embed.shape == (10, 4)
+    assert packed.shape == (4, h, w)
+    assert packed[0, 3, 3] == 2          # level 0 unshifted
+    assert packed[1, 3, 3] == 1 + 3      # + len(default)
+    assert packed[1, 0, 0] == -1         # -1 preserved
+    assert packed[2, 3, 3] == 3 + 5      # + len(default)+len(s)
+    assert packed[3, 3, 3] == 0 + 9
+    # ids index into the concatenated embedding correctly
+    np.testing.assert_array_equal(embed[packed[2, 3, 3]], embeds["m"][3])
+
+
+def test_pad_to_square_and_crops():
+    img = np.zeros((6, 10, 3), np.uint8)
+    img[:, :, 0] = 200
+    sq = gm.pad_to_square(img)
+    assert sq.shape == (10, 10, 3)
+    assert (sq[2:8] == img).all()
+    m = dict(segmentation=np.ones((6, 10), bool), bbox=(2, 1, 5, 4))
+    crops = gm.extract_mask_crops([m], img, size=32)
+    assert crops.shape == (1, 32, 32, 3)
+    assert crops.max() <= 1.0 and crops.min() >= 0.0
+
+
+def test_uniform_point_grid():
+    pts = gp.build_point_grid(4)
+    assert pts.shape == (16, 2)
+    assert abs(pts[0, 0] - 1 / 8) < 1e-9
+    assert abs(pts[-1, 1] - 7 / 8) < 1e-9
+
+
+def test_mindepth_grid_ratio_rule():
+    rng = np.random.default_rng(0)
+    h, w = 64, 64
+    depth = np.full((h, w), 8.0, np.float32)
+    sample = np.zeros((h, w), np.float32)
+    sample[::4, ::4] = 2.0  # min-hit depth 2 → ratio 4 → k = 16 per cell
+    pts, boxes = gp.build_mindepth_point_grid(2, depth, sample, 4, rng)
+    # 4 cells × min(16,20)^2 = 4*256
+    assert pts.shape == (4 * 256, 2)
+    assert (pts >= 0).all() and (pts <= 1).all()
+    # empty sample map → ratio nan → 1 point per cell
+    pts2, _ = gp.build_mindepth_point_grid(2, depth, np.zeros_like(sample), 4, rng)
+    assert pts2.shape == (4, 2)
+
+
+def test_project_points_occlusion():
+    pts = jnp.array([[0.0, 0.0, 4.0], [0.0, 0.0, 6.0]])  # second occluded
+    vm = jnp.eye(4)
+    K = jnp.array([[50.0, 0, 32], [0, 50, 24], [0, 0, 1]])
+    depth = jnp.full((48, 64), 4.0)
+    u, v, vis = project_points(pts, vm, K, depth, 64, 48)
+    assert bool(vis[0]) and not bool(vis[1])
+    assert int(u[0]) == 32 and int(v[0]) == 24
+
+
+def test_min_depth_and_splat():
+    pts = jnp.array([[0.0, 0.0, 4.0], [0.5, 0.0, 5.0]])
+    vm = jnp.eye(4)[None]
+    K = jnp.array([[50.0, 0, 32], [0, 50, 24], [0, 0, 1]])[None]
+    depth = jnp.stack([jnp.full((48, 64), 4.0)])
+    depth = depth.at[0, 24, 37].set(5.0)  # make second point visible too
+    mind, vis, uv = min_depth_over_cameras(pts, vm, K, depth)
+    assert np.allclose(np.asarray(mind), [4.0, 5.0])
+    m = splat_depth_samples(mind, vis[:, 0], uv[:, 0], 48, 64)
+    assert float(m[24, 32]) == 4.0
+    assert float(m[24, 37]) == 5.0
+    assert float(np.asarray(m).sum()) == 9.0
