@@ -49,18 +49,21 @@ def main():
     bg = jnp.zeros((feats.shape[1],), jnp.float32)
 
     @jax.jit
-    def render(f):
+    def render(means_, quats_, scales_, opac_, f):
         return rasterize(
-            means, quats, scales, opac, f, cam.viewmat, cam.K, w, h,
+            means_, quats_, scales_, opac_, f, cam.viewmat, cam.K, w, h,
             background=bg, config=cfg,
         ).image
 
-    img = render(feats)
+    def render_call(f):
+        return render(means, quats, scales, opac, f)
+
+    img = render_call(feats)
     img.block_until_ready()
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        img = render(feats)
+        img = render_call(feats)
     img.block_until_ready()
     dt = (time.perf_counter() - t0) / ITERS
     fps = 1.0 / dt

@@ -1,0 +1,146 @@
+"""Rendering CLI — counterpart of the reference `render.py`.
+
+Modes:
+  * RGB (optionally "RGB+ED": saves <name>_depth.npy + a turbo depth png,
+    reference render.py:124-145), rendered at full GT resolution;
+  * --feature_mode: renders 16-dim maps, saves PCA visualisation + scale
+    map; --feature_npy dumps the raw feature maps (render.py:121-122,147-175).
+
+Usage:
+  python -m gags_tpu.cli.render -m <model_dir> -s <scene_dir> \
+      --iteration 30000 [--feature_mode] [--feature_npy] [--render_mode RGB+ED] \
+      [--skip_train] [--skip_test]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from gags_tpu.scene.dataset import detect_and_load, camera_from_info
+from gags_tpu.scene.gaussian_data import GaussianScene
+from gags_tpu.splat.render import render
+from gags_tpu.utils.colormaps import apply_depth_colormap, apply_pca_colormap
+
+
+def _save_png(path: str, img: np.ndarray) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+def render_set(
+    model_dir: str,
+    split: str,
+    iteration: int,
+    cam_infos,
+    scene: GaussianScene,
+    feature_mode: bool,
+    feature_npy: bool,
+    render_mode: str,
+    resolution: int,
+    scale_params=None,
+    scale_decoder=None,
+):
+    base = os.path.join(model_dir, split, f"ours_{iteration}")
+    renders_dir = os.path.join(base, "renders")
+    pca_proj = None
+    bg = jnp.zeros((3,), jnp.float32)
+
+    for info in cam_infos:
+        cam = camera_from_info(info, resolution)
+        name = os.path.splitext(info.name)[0]
+        if feature_mode:
+            out = render(
+                cam,
+                means=scene.means,
+                quats=scene.quats,
+                scales=scene.scales,
+                opacities=scene.opacities,
+                semantic_features=scene.semantic_features,
+                feature_mode=True,
+                bg_color=jnp.zeros((3,)),
+            )
+            fmap = np.asarray(out.render)
+            if feature_npy:
+                npy_dir = os.path.join(base, "saved_feature")
+                os.makedirs(npy_dir, exist_ok=True)
+                # reference saves (C, H, W)
+                np.save(os.path.join(npy_dir, name + "_fmap_CxHxW.npy"),
+                        fmap.transpose(2, 0, 1))
+            rgb, pca_proj = apply_pca_colormap(fmap, pca_proj)
+            _save_png(os.path.join(base, "feature_pca", name + ".png"), rgb)
+            if scale_decoder is not None:
+                smap = np.asarray(scale_decoder.apply(scale_params, jnp.asarray(fmap)))
+                _save_png(os.path.join(base, "scale_map", name + ".png"), smap)
+        else:
+            out = render(
+                cam,
+                means=scene.means,
+                quats=scene.quats,
+                scales=scene.scales,
+                opacities=scene.opacities,
+                sh=scene.sh,
+                sh_degree=scene.max_sh_degree,
+                feature_mode=False,
+                render_mode=render_mode,
+                bg_color=bg,
+            )
+            img = np.asarray(out.render)
+            if render_mode == "RGB+ED":
+                depth = img[..., 3]
+                img = img[..., :3]
+                np.save(_ensure(os.path.join(base, "depth", name + "_depth.npy")), depth)
+                _save_png(os.path.join(base, "depth", name + "_depth.png"),
+                          apply_depth_colormap(depth))
+            _save_png(os.path.join(renders_dir, name + ".png"), img)
+
+
+def _ensure(path: str) -> str:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-m", "--model_path", required=True)
+    p.add_argument("-s", "--source_path", required=True)
+    p.add_argument("--iteration", type=int, default=30000)
+    p.add_argument("--feature_mode", action="store_true")
+    p.add_argument("--feature_npy", action="store_true")
+    p.add_argument("--render_mode", default="RGB", choices=["RGB", "RGB+ED"])
+    p.add_argument("-r", "--resolution", type=int, default=-1)
+    p.add_argument("--skip_train", action="store_true")
+    p.add_argument("--skip_test", action="store_true")
+    p.add_argument("--eval", dest="eval_split", action="store_true")
+    args = p.parse_args()
+
+    assert not (args.feature_mode and args.render_mode == "RGB+ED"), (
+        "feature mode and expected-depth are mutually exclusive (reference "
+        "render.py:208)"
+    )
+
+    info = detect_and_load(args.source_path, eval_split=args.eval_split,
+                           foundation_model="none")
+    ply = os.path.join(
+        args.model_path, "point_cloud", f"iteration_{args.iteration}", "point_cloud.ply"
+    )
+    scene = GaussianScene.from_ply(ply)
+
+    if not args.skip_train:
+        render_set(args.model_path, "train", args.iteration, info.train_cameras,
+                   scene, args.feature_mode, args.feature_npy, args.render_mode,
+                   args.resolution)
+    if not args.skip_test and info.test_cameras:
+        render_set(args.model_path, "test", args.iteration, info.test_cameras,
+                   scene, args.feature_mode, args.feature_npy, args.render_mode,
+                   args.resolution)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,7 @@ from gags_tpu.gad.train import (
     GadConfig,
     TrainState,
     create_train_state,
+    frozen_geometry,
     loss_weights,
     make_train_step,
 )
@@ -73,7 +74,8 @@ def run(rc: RunConfig, gad_cfg: GadConfig = GadConfig()) -> TrainState:
             first_iter = step0
             print(f"resumed from iteration {step0}")
 
-    step_fn = make_train_step(statics, geometry, dataset.width, dataset.height, gad_cfg)
+    step_fn = make_train_step(statics, dataset.width, dataset.height, gad_cfg)
+    geom = jax.device_put(frozen_geometry(geometry))
 
     rng = np.random.default_rng(rc.seed)
     save_at = {int(s) for s in rc.save_iterations.split(",") if s}
@@ -92,7 +94,7 @@ def run(rc: RunConfig, gad_cfg: GadConfig = GadConfig()) -> TrainState:
     for it in range(first_iter + 1, rc.iterations + 1):
         ew, rw = loss_weights(it, gad_cfg)
         batch = next(stream)
-        state, m = step_fn(state, batch, jnp.float32(ew), jnp.float32(rw))
+        state, m = step_fn(state, geom, batch, jnp.float32(ew), jnp.float32(rw))
         if it % 10 == 0:
             loss = float(m["loss"])  # sync point every 10 iters only
             progress.update(it, loss)

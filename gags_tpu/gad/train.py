@@ -106,27 +106,37 @@ def loss_weights(step: int, cfg: GadConfig) -> Tuple[float, float]:
     return cfg.entropy_w_late, cfg.regionvar_w_late
 
 
-def make_train_step(statics: Dict[str, Any], geometry: GaussianScene, width: int, height: int, cfg: GadConfig):
-    """Returns jitted step(state, batch, entropy_w, regionvar_w) → (state, metrics).
+def frozen_geometry(scene: GaussianScene) -> Dict[str, jnp.ndarray]:
+    """Pre-activated frozen geometry arrays, passed to the step as runtime
+    arguments. NEVER close over these in a jitted function: XLA would embed
+    the N-sized arrays as constants and try to constant-fold the whole
+    projection/binning chain at compile time — compile blows up with N."""
+    return dict(
+        means=scene.means,
+        quats=scene.quats,
+        scales=scene.scales,
+        opacities=scene.opacities,
+    )
 
-    `geometry` supplies the frozen Gaussian arrays (closed over as constants
-    of the compiled step). `batch`: dict with viewmat (4,4), K (3,3),
-    img_embed (M, clip_dim), seg_map (H, W, 4) int32.
+
+def make_train_step(statics: Dict[str, Any], width: int, height: int, cfg: GadConfig):
+    """Returns jitted step(state, geom, batch, entropy_w, regionvar_w) →
+    (state, metrics).
+
+    `geom`: `frozen_geometry(scene)` arrays (runtime args — see that
+    docstring). `batch`: dict with viewmat (4,4), K (3,3), img_embed
+    (M, clip_dim), seg_map (H, W, 4) int32.
     """
     dec: FeatureDecoder = statics["decoder"]
     scl: ScaleDecoder = statics["scale_decoder"]
     tx_feat, tx_dec, tx_scale = statics["tx_feat"], statics["tx_dec"], statics["tx_scale"]
 
-    means = geometry.means
-    quats = geometry.quats
-    scales = geometry.scales
-    opac = geometry.opacities
     bg = jnp.zeros((cfg.feature_dim,), jnp.float32)
 
-    def loss_fn(params, batch, entropy_w, regionvar_w):
+    def loss_fn(params, geom, batch, entropy_w, regionvar_w):
         features, dec_params, scl_params = params
         res = rasterize(
-            means, quats, scales, opac, features,
+            geom["means"], geom["quats"], geom["scales"], geom["opacities"], features,
             batch["viewmat"], batch["K"], width, height,
             background=bg, config=cfg.raster,
         )
@@ -161,10 +171,10 @@ def make_train_step(statics: Dict[str, Any], geometry: GaussianScene, width: int
         return total, metrics
 
     @jax.jit
-    def step(state: TrainState, batch, entropy_w, regionvar_w):
+    def step(state: TrainState, geom, batch, entropy_w, regionvar_w):
         params = (state.features, state.decoder_params, state.scale_params)
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            params, batch, entropy_w, regionvar_w
+            params, geom, batch, entropy_w, regionvar_w
         )
         g_feat, g_dec, g_scale = grads
         up_f, opt_feat = tx_feat.update(g_feat, state.opt_feat, state.features)

@@ -39,13 +39,14 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
 def make_dp_train_step(
     mesh: Mesh,
     statics: Dict[str, Any],
-    geometry: GaussianScene,
     width: int,
     height: int,
     cfg: GadConfig,
 ):
     """Jitted data-parallel step over a camera batch of size mesh.size.
 
+    step(state, geom, batch, ew, rw): geom = frozen_geometry(scene)
+    (replicated runtime args — never closed over, see gad/train.py);
     batch arrays: viewmat (B,4,4), K (B,3,3), img_embed (B,M,D),
     seg_map (B,H,W,4) — leading axis sharded over `dp`.
     """
@@ -53,15 +54,13 @@ def make_dp_train_step(
     scl = statics["scale_decoder"]
     tx_feat, tx_dec, tx_scale = statics["tx_feat"], statics["tx_dec"], statics["tx_scale"]
 
-    means, quats = geometry.means, geometry.quats
-    scales, opac = geometry.scales, geometry.opacities
     bg = jnp.zeros((cfg.feature_dim,), jnp.float32)
     axis = mesh.axis_names[0]
 
-    def local_loss(params, batch, entropy_w, regionvar_w):
+    def local_loss(params, geom, batch, entropy_w, regionvar_w):
         features, dec_params, scl_params = params
         res = rasterize(
-            means, quats, scales, opac, features,
+            geom["means"], geom["quats"], geom["scales"], geom["opacities"], features,
             batch["viewmat"], batch["K"], width, height,
             background=bg, config=cfg.raster,
         )
@@ -77,12 +76,12 @@ def make_dp_train_step(
         regvar = losses.region_variance_loss(feat_map, seg_mixed, cfg.max_segments)
         return l1_feature + entropy_w * ent + regionvar_w * regvar
 
-    def per_device(state: TrainState, batch, entropy_w, regionvar_w):
+    def per_device(state: TrainState, geom, batch, entropy_w, regionvar_w):
         # one camera per device: strip the size-1 shard axis
         local = {k: v[0] for k, v in batch.items()}
         params = (state.features, state.decoder_params, state.scale_params)
         loss, grads = jax.value_and_grad(local_loss)(
-            params, local, entropy_w, regionvar_w
+            params, geom, local, entropy_w, regionvar_w
         )
         # mean over the camera batch rides ICI
         grads = jax.lax.pmean(grads, axis)
@@ -113,7 +112,7 @@ def make_dp_train_step(
     shard_fn = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(), batch_spec, P(), P()),
+        in_specs=(P(), P(), batch_spec, P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )

@@ -12,18 +12,22 @@ def probe(n, w, h, iters=10):
     args = [jnp.asarray(raw[k]) for k in ("means", "quats", "scales", "opacities")]
     feats = jnp.asarray(raw["features"])
     cfg = RasterizeConfig()
-    f = jax.jit(lambda ff: rasterize(*args, ff, cam.viewmat, cam.K, w, h, config=cfg).image)
+    f = jax.jit(
+        lambda a0, a1, a2, a3, ff: rasterize(
+            a0, a1, a2, a3, ff, cam.viewmat, cam.K, w, h, config=cfg
+        ).image
+    )
     t0 = time.time()
-    lowered = f.lower(feats)
+    lowered = f.lower(*args, feats)
     print(f"lower {n} {w}x{h}: {time.time()-t0:.1f}s", flush=True)
     t0 = time.time()
     comp = lowered.compile()
     print(f"compile: {time.time()-t0:.1f}s", flush=True)
-    img = comp(feats)
+    img = comp(*args, feats)
     img.block_until_ready()
     t0 = time.time()
     for _ in range(iters):
-        img = comp(feats)
+        img = comp(*args, feats)
     img.block_until_ready()
     print(f"run: {(time.time()-t0)/iters*1000:.2f} ms", flush=True)
 

@@ -22,11 +22,11 @@ def run(n, seed=0, tag=""):
     col = jnp.asarray(scene["features"][:, :16])
 
     res = jax.jit(
-        lambda c: rasterize(
-            means, quats, scales, op, c, cam.viewmat, cam.K, W, H,
+        lambda m_, q_, s_, o_, c: rasterize(
+            m_, q_, s_, o_, c, cam.viewmat, cam.K, W, H,
             config=RasterizeConfig(),
         ).image
-    )(col)
+    )(means, quats, scales, op, col)
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):

@@ -34,9 +34,12 @@ def main():
     cfg = RasterizeConfig()
 
     @jax.jit
-    def run(c):
-        res = rasterize(means, quats, scales, op, c, cam.viewmat, cam.K, w, h, config=cfg)
+    def run_(m_, q_, s_, o_, c):
+        res = rasterize(m_, q_, s_, o_, c, cam.viewmat, cam.K, w, h, config=cfg)
         return res.image, res.alpha, res.overflow
+
+    def run(c):
+        return run_(means, quats, scales, op, c)
 
     t0 = time.time()
     img, alpha, ovf = run(col)
@@ -68,14 +71,17 @@ def main():
     tgt = jnp.zeros((h, w, 16))
 
     @jax.jit
-    def grad_step(c):
+    def grad_step_(m_, q_, s_, o_, c):
         def loss(cc):
             res = rasterize(
-                means, quats, scales, op, cc, cam.viewmat, cam.K, w, h, config=cfg
+                m_, q_, s_, o_, cc, cam.viewmat, cam.K, w, h, config=cfg
             )
             return jnp.mean(jnp.abs(res.image - tgt))
 
         return jax.grad(loss)(c)
+
+    def grad_step(c):
+        return grad_step_(means, quats, scales, op, c)
 
     t0 = time.time()
     g = grad_step(col)

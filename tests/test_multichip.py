@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from gags_tpu.gad.train import GadConfig, create_train_state
+from gags_tpu.gad.train import GadConfig, create_train_state, frozen_geometry
 from gags_tpu.parallel import make_mesh, make_dp_train_step
 from gags_tpu.scene.gaussian_data import GaussianScene
 from gags_tpu.splat.rasterizer import RasterizeConfig
@@ -32,7 +32,11 @@ def _setup(n_dev):
     )
     state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)
     mesh = make_mesh(n_dev)
-    step = make_dp_train_step(mesh, statics, scene, W, H, cfg)
+    raw_step = make_dp_train_step(mesh, statics, W, H, cfg)
+    geom = frozen_geometry(scene)
+
+    def step(st, batch, ew, rw):
+        return raw_step(st, geom, batch, ew, rw)
 
     rng = np.random.default_rng(1)
     cam = make_camera(W, H)

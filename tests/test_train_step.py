@@ -12,6 +12,7 @@ import pytest
 from gags_tpu.gad.train import (
     GadConfig,
     create_train_state,
+    frozen_geometry,
     loss_weights,
     make_train_step,
 )
@@ -61,7 +62,12 @@ def setup():
         raster=RasterizeConfig(tile_h=8, tile_w=16, chunk=8, interpret=True),
     )
     state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)
-    step = make_train_step(statics, scene, W, H, cfg)
+    raw_step = make_train_step(statics, W, H, cfg)
+    geom = frozen_geometry(scene)
+
+    def step(st, batch, ew, rw):
+        return raw_step(st, geom, batch, ew, rw)
+
     batch = dict(
         viewmat=cam.viewmat,
         K=cam.K,
