@@ -111,8 +111,7 @@ def _forward_kernel(
     geom_hbm,  # (8, M)
     colors_hbm,  # (C, M)
     # outputs (VMEM blocks)
-    out_colors_ref,  # (1, P, C)
-    out_alpha_ref,  # (1, P, 1)
+    out_ref,  # (1, P, C+1): C colour channels then alpha
     # scratch
     geom_vmem,  # (8, G)
     colors_vmem,  # (C, G)
@@ -179,8 +178,9 @@ def _forward_kernel(
     )
     _, _, log_t_rep = jax.lax.while_loop(cond, body, init)
 
-    out_colors_ref[0, :, :] = acc_ref[:, :]
-    out_alpha_ref[0, :, :] = 1.0 - jnp.exp(log_t_rep)
+    c = acc_ref.shape[1]
+    out_ref[0, :, :c] = acc_ref[:, :]
+    out_ref[0, :, c : c + 1] = 1.0 - jnp.exp(log_t_rep)
 
 
 def _backward_kernel(
@@ -288,7 +288,7 @@ def tile_blend_forward(
     chunk: int = 128,
     interpret: bool = False,
 ):
-    """Returns (tile_colors (T, P, C), tile_alpha (T, P, 1))."""
+    """Returns (T, P, C+1): C composited channels, then alpha."""
     num_tiles = tiles_x * tiles_y
     p = tile_h * tile_w
     c = colors.shape[0]
@@ -302,8 +302,9 @@ def tile_blend_forward(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, p, c), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, p, c + 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         scratch_shapes=[
             pltpu.VMEM((GEOM_ROWS, chunk), jnp.float32),
@@ -315,16 +316,14 @@ def tile_blend_forward(
     kernel = functools.partial(
         _forward_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w, g=chunk
     )
-    return pl.pallas_call(
+    (out,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, p, c), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, p, 1), jnp.float32),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((num_tiles, p, c + 1), jnp.float32)],
         cost_estimate=_fwd_cost(num_tiles, p, chunk, c, m),
         interpret=interpret,
     )(tile_starts, tile_counts, geom, colors)
+    return out
 
 
 @functools.partial(

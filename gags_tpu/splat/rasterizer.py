@@ -31,7 +31,7 @@ from gags_tpu.splat.projection import project_gaussians
 
 @dataclasses.dataclass(frozen=True)
 class RasterizeConfig:
-    tile_h: int = 16
+    tile_h: int = 8
     tile_w: int = 128
     chunk: int = 128
     budget_factor: int = 6  # instance budget = factor * N
@@ -115,7 +115,7 @@ def _blend_fwd_impl(colors, geom_inst, inst_gid, tile_starts, tile_counts, grid_
         [colors, jnp.zeros((1, colors.shape[1]), colors.dtype)], axis=0
     )
     colors_inst = colors_pad.T[:, inst_gid]  # (C, M) lane-major for the kernel
-    return pk.tile_blend_forward(
+    out = pk.tile_blend_forward(
         geom_inst,
         colors_inst,
         tile_starts,
@@ -127,6 +127,7 @@ def _blend_fwd_impl(colors, geom_inst, inst_gid, tile_starts, tile_counts, grid_
         chunk=cfg.chunk,
         interpret=cfg.interpret,
     )
+    return out[..., :-1], out[..., -1:]
 
 
 def _blend_fwd(colors, geom_inst, inst_gid, tile_starts, tile_counts, grid_dims, cfg):
