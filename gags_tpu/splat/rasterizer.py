@@ -89,15 +89,22 @@ def _prepare(means, quats, scales, opacities, viewmat, K, width, height, cfg):
         budget=cfg.instance_budget(n),
         chunk=cfg.chunk,
     )
-    # (8, N+1) geometry with a zero (opacity-0) sentinel column
-    geom = jnp.zeros((pk.GEOM_ROWS, n + 1), jnp.float32)
-    geom = geom.at[pk.ROW_MX, :n].set(proj.means2d[:, 0])
-    geom = geom.at[pk.ROW_MY, :n].set(proj.means2d[:, 1])
-    geom = geom.at[pk.ROW_CA, :n].set(proj.conics[:, 0])
-    geom = geom.at[pk.ROW_CB, :n].set(proj.conics[:, 1])
-    geom = geom.at[pk.ROW_CC, :n].set(proj.conics[:, 2])
-    geom = geom.at[pk.ROW_OPAC, :n].set(opacities * proj.compensations)
-    geom_inst = geom[:, binned.inst_gid]  # (8, M)
+    # (N+1, 8) row-major geometry table with a zero (opacity-0) sentinel
+    # row; the per-instance gather then reads 32 contiguous bytes per index
+    # (TPU gathers hate the strided column layout), and one cheap transpose
+    # gives the kernel its (8, M) lane-major block.
+    pad1 = jnp.zeros((n + 1, 1), jnp.float32)
+    geom = jnp.concatenate(
+        [
+            jnp.pad(proj.means2d, ((0, 1), (0, 0))),
+            jnp.pad(proj.conics, ((0, 1), (0, 0))),
+            jnp.pad((opacities * proj.compensations)[:, None], ((0, 1), (0, 0))),
+            pad1,
+            pad1,
+        ],
+        axis=1,
+    )  # (N+1, 8): [mx, my, ca, cb, cc, opac, 0, 0]
+    geom_inst = geom[binned.inst_gid].T  # (8, M)
     return proj, binned, geom_inst, tiles_x, tiles_y
 
 
@@ -114,7 +121,9 @@ def _blend_fwd_impl(colors, geom_inst, inst_gid, tile_starts, tile_counts, grid_
     colors_pad = jnp.concatenate(
         [colors, jnp.zeros((1, colors.shape[1]), colors.dtype)], axis=0
     )
-    colors_inst = colors_pad.T[:, inst_gid]  # (C, M) lane-major for the kernel
+    # row-major gather (contiguous bytes per index), then transpose to the
+    # kernel's (C, M) lane-major layout
+    colors_inst = colors_pad[inst_gid].T
     out = pk.tile_blend_forward(
         geom_inst,
         colors_inst,
