@@ -1,0 +1,183 @@
+"""Automatic mask generation with granularity bucketing (GAS stage C core).
+
+Counterpart of the reference's forked `SamAutomaticMaskGenerator.generate`
+returning a 4-tuple of mask lists (`preprocess.py:468`): for every point
+prompt SAM's three multimask outputs are kept and bucketed by token —
+subpart (s) / part (m) / whole (l) — plus a score-selected "default" set;
+each bucket is filtered by predicted IoU, stability score and box NMS
+before the GAGS mask NMS (`gags_tpu.gas.masks`).
+
+TPU-first: prompts run in static batches under one jitted decode; the
+filtering runs on host over the (already small) surviving masks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class GeneratorConfig:
+    points_per_batch: int = 256
+    pred_iou_thresh: float = 0.7      # preprocess.py:231
+    stability_score_thresh: float = 0.85
+    stability_offset: float = 1.0
+    box_nms_thresh: float = 0.7
+    min_mask_region_area: int = 100
+    mask_threshold: float = 0.0
+
+
+def stability_score(mask_logits: jnp.ndarray, thresh: float, offset: float) -> jnp.ndarray:
+    """IoU between the mask at (thresh+offset) and (thresh-offset)."""
+    hi = jnp.sum(mask_logits > thresh + offset, axis=(-2, -1)).astype(jnp.float32)
+    lo = jnp.sum(mask_logits > thresh - offset, axis=(-2, -1)).astype(jnp.float32)
+    return hi / jnp.maximum(lo, 1.0)
+
+
+def mask_to_box(mask: np.ndarray) -> Tuple[int, int, int, int]:
+    """XYWH bbox of a binary mask (0,0,0,0 when empty)."""
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return (0, 0, 0, 0)
+    return (int(xs.min()), int(ys.min()), int(xs.max() - xs.min() + 1), int(ys.max() - ys.min() + 1))
+
+
+def box_nms(boxes: np.ndarray, scores: np.ndarray, thresh: float) -> List[int]:
+    """Greedy IoU NMS over XYXY boxes (torchvision.batched_nms semantics)."""
+    order = np.argsort(-scores, kind="stable")
+    keep: List[int] = []
+    sup = np.zeros(len(boxes), bool)
+    areas = (boxes[:, 2] - boxes[:, 0]).clip(0) * (boxes[:, 3] - boxes[:, 1]).clip(0)
+    for i in order:
+        if sup[i]:
+            continue
+        keep.append(int(i))
+        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = (x2 - x1).clip(0) * (y2 - y1).clip(0)
+        iou = inter / np.maximum(areas[i] + areas - inter, 1e-9)
+        sup |= iou > thresh
+    return keep
+
+
+class AutomaticMaskGenerator:
+    """4-granularity automatic mask generator over a jitted SAM."""
+
+    def __init__(self, sam_model, sam_params, sam_cfg, gen_cfg: GeneratorConfig = GeneratorConfig()):
+        self.model = sam_model
+        self.params = sam_params
+        self.sam_cfg = sam_cfg
+        self.cfg = gen_cfg
+        self._encode = jax.jit(
+            lambda img: sam_model.apply(sam_params, img, method="encode_image")
+        )
+        self._decode = jax.jit(
+            lambda emb, pts, lbl: sam_model.apply(
+                sam_params, emb, pts, lbl, method="decode"
+            )
+        )
+
+    def generate(
+        self, image: np.ndarray, point_grid: np.ndarray
+    ) -> Tuple[List[dict], List[dict], List[dict], List[dict]]:
+        """image: uint8 (H, W, 3); point_grid: (P, 2) normalised [0,1].
+
+        Returns (masks_default, masks_s, masks_m, masks_l) — SAM-style dicts
+        with segmentation/area/bbox/predicted_iou/stability_score.
+        """
+        from gags_tpu.models.sam import preprocess_sam_image
+
+        h, w = image.shape[:2]
+        batch, (nh, nw) = preprocess_sam_image(image, self.sam_cfg.image_size)
+        embed = self._encode(jnp.asarray(batch))
+
+        cfg = self.cfg
+        n_pts = len(point_grid)
+        pb = cfg.points_per_batch
+        # prompt coords live in the resized-padded frame, normalised by size
+        coords = point_grid * np.array([[nw, nh]]) / self.sam_cfg.image_size
+
+        buckets: Dict[str, List[dict]] = {"default": [], "s": [], "m": [], "l": []}
+        level_names = ["s", "m", "l"]
+        for start in range(0, n_pts, pb):
+            pts = coords[start : start + pb]
+            pad = pb - len(pts)
+            pts_p = np.pad(pts, ((0, pad), (0, 0)))
+            lbl = np.concatenate([np.ones(len(pts)), -np.ones(pad)])
+            masks, iou = self._decode(
+                embed,
+                jnp.asarray(pts_p[:, None, :], jnp.float32),
+                jnp.asarray(lbl[:, None], jnp.int32),
+            )
+            # upscale low-res logits to the original frame
+            masks = jax.image.resize(
+                masks,
+                (masks.shape[0], masks.shape[1], self.sam_cfg.image_size, self.sam_cfg.image_size),
+                "bilinear",
+            )[:, :, :nh, :nw]
+            masks = jax.image.resize(
+                masks, (masks.shape[0], masks.shape[1], h, w), "bilinear"
+            )
+            stab = stability_score(masks, cfg.mask_threshold, cfg.stability_offset)
+            masks_np = np.asarray(masks > cfg.mask_threshold)
+            iou_np = np.asarray(iou)
+            stab_np = np.asarray(stab)
+
+            for i in range(len(pts)):
+                # multimask channels 1..3 = subpart/part/whole; channel of
+                # best score = the "default" pick
+                cand = []
+                for ch in range(1, 4):
+                    rec = self._make_record(
+                        masks_np[i, ch], float(iou_np[i, ch]), float(stab_np[i, ch])
+                    )
+                    if rec is not None:
+                        cand.append((ch, rec))
+                        if self._passes(rec):
+                            buckets[level_names[ch - 1]].append(rec)
+                if cand:
+                    best = max(cand, key=lambda cr: cr[1]["predicted_iou"])[1]
+                    if self._passes(best):
+                        buckets["default"].append(best)
+
+        out = []
+        for k in ["default", "s", "m", "l"]:
+            recs = buckets[k]
+            if recs:
+                boxes = np.array(
+                    [
+                        [r["bbox"][0], r["bbox"][1], r["bbox"][0] + r["bbox"][2], r["bbox"][1] + r["bbox"][3]]
+                        for r in recs
+                    ],
+                    np.float32,
+                )
+                scores = np.array([r["predicted_iou"] for r in recs], np.float32)
+                keep = box_nms(boxes, scores, cfg.box_nms_thresh)
+                recs = [recs[i] for i in keep]
+            out.append(recs)
+        return tuple(out)
+
+    def _make_record(self, seg: np.ndarray, iou: float, stab: float):
+        area = int(seg.sum())
+        if area < max(self.cfg.min_mask_region_area, 1):
+            return None
+        return dict(
+            segmentation=seg,
+            area=area,
+            bbox=mask_to_box(seg),
+            predicted_iou=iou,
+            stability_score=stab,
+        )
+
+    def _passes(self, rec) -> bool:
+        return (
+            rec["predicted_iou"] >= self.cfg.pred_iou_thresh
+            and rec["stability_score"] >= self.cfg.stability_score_thresh
+        )
