@@ -35,6 +35,7 @@ from gags_tpu.gad.train import (
     frozen_geometry,
     loss_weights,
     make_train_step,
+    make_train_step_binned,
 )
 from gags_tpu.scene.dataset import detect_and_load
 from gags_tpu.scene.gaussian_data import GaussianScene
@@ -74,8 +75,37 @@ def run(rc: RunConfig, gad_cfg: GadConfig = GadConfig()) -> TrainState:
             first_iter = step0
             print(f"resumed from iteration {step0}")
 
-    step_fn = make_train_step(statics, dataset.width, dataset.height, gad_cfg)
     geom = jax.device_put(frozen_geometry(geometry))
+
+    # Frozen geometry → per-camera binning is training-invariant: compute the
+    # sorted instance lists once and stream them with each batch (the
+    # reference re-sorts on the GPU every iteration).
+    from gags_tpu.splat.rasterizer import prepare_binning
+
+    prep = jax.jit(
+        lambda m, q, s2, vm, K: prepare_binning(
+            m, q, s2, vm, K, dataset.width, dataset.height, gad_cfg.raster
+        )
+    )
+    bin_cache = []
+    for ex in dataset.examples:
+        b = prep(geom["means"], geom["quats"], geom["scales"],
+                 jnp.asarray(ex.viewmat), jnp.asarray(ex.K))
+        if int(b.overflow) > 0:
+            raise RuntimeError(
+                f"instance budget overflow ({int(b.overflow)}) for {ex.name}; "
+                "raise RasterizeConfig.budget_factor"
+            )
+        bin_cache.append(
+            dict(
+                inst_gid=np.asarray(b.inst_gid),
+                tile_starts=np.asarray(b.tile_starts),
+                tile_counts=np.asarray(b.tile_counts),
+            )
+        )
+    print(f"cached binning for {len(bin_cache)} cameras")
+
+    step_fn = make_train_step_binned(statics, dataset.width, dataset.height, gad_cfg)
 
     rng = np.random.default_rng(rc.seed)
     save_at = {int(s) for s in rc.save_iterations.split(",") if s}
@@ -87,7 +117,9 @@ def run(rc: RunConfig, gad_cfg: GadConfig = GadConfig()) -> TrainState:
     def batch_stream():
         while True:
             for i in dataset.epoch_order(rng):
-                yield dataset.batch(int(i))
+                b = dataset.batch(int(i))
+                b.update(bin_cache[int(i)])
+                yield b
 
     stream = prefetch_to_device(batch_stream())
     t_iter = time.time()

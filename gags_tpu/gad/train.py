@@ -36,7 +36,11 @@ from gags_tpu.gad import losses
 from gags_tpu.gad.supervision import blend_gt_feature_map, mixed_seg_map
 from gags_tpu.models.decoders import FeatureDecoder, ScaleDecoder
 from gags_tpu.scene.gaussian_data import GaussianScene
-from gags_tpu.splat.rasterizer import RasterizeConfig, rasterize
+from gags_tpu.splat.rasterizer import (
+    RasterizeConfig,
+    rasterize,
+    rasterize_binned,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -167,6 +171,77 @@ def make_train_step(statics: Dict[str, Any], width: int, height: int, cfg: GadCo
             scale_mean_m=jnp.mean(scale_map[..., 1]),
             scale_mean_l=jnp.mean(scale_map[..., 2]),
             overflow=res.overflow,
+        )
+        return total, metrics
+
+    @jax.jit
+    def step(state: TrainState, geom, batch, entropy_w, regionvar_w):
+        params = (state.features, state.decoder_params, state.scale_params)
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            params, geom, batch, entropy_w, regionvar_w
+        )
+        g_feat, g_dec, g_scale = grads
+        up_f, opt_feat = tx_feat.update(g_feat, state.opt_feat, state.features)
+        up_d, opt_dec = tx_dec.update(g_dec, state.opt_dec, state.decoder_params)
+        up_s, opt_scale = tx_scale.update(g_scale, state.opt_scale, state.scale_params)
+        new_state = TrainState(
+            step=state.step + 1,
+            features=optax.apply_updates(state.features, up_f),
+            decoder_params=optax.apply_updates(state.decoder_params, up_d),
+            scale_params=optax.apply_updates(state.scale_params, up_s),
+            opt_feat=opt_feat,
+            opt_dec=opt_dec,
+            opt_scale=opt_scale,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_train_step_binned(statics: Dict[str, Any], width: int, height: int, cfg: GadConfig):
+    """Train step over a precomputed per-camera binning (sorted instance
+    list in the batch).
+
+    Geometry is frozen in GAD, so the sort-dominated binning for a given
+    camera never changes across the 30k iterations — the loader caches it
+    once per camera; this step only re-projects (cheap), gathers and
+    blends. The reference pays the full CUDA projection/sort every
+    iteration. Extra batch keys: inst_gid (M,), tile_starts, tile_counts.
+    """
+    dec: FeatureDecoder = statics["decoder"]
+    scl: ScaleDecoder = statics["scale_decoder"]
+    tx_feat, tx_dec, tx_scale = statics["tx_feat"], statics["tx_dec"], statics["tx_scale"]
+    bg = jnp.zeros((cfg.feature_dim,), jnp.float32)
+
+    def loss_fn(params, geom, batch, entropy_w, regionvar_w):
+        features, dec_params, scl_params = params
+        feat_map, _alpha = rasterize_binned(
+            geom["means"], geom["quats"], geom["scales"], geom["opacities"],
+            features, batch["viewmat"], batch["K"],
+            batch["inst_gid"], batch["tile_starts"], batch["tile_counts"],
+            width, height, background=bg, config=cfg.raster,
+        )
+        scale_map = scl.apply(scl_params, jax.lax.stop_gradient(feat_map))
+        seg_mixed = mixed_seg_map(batch["seg_map"], scale_map)
+        gt_map, mask = blend_gt_feature_map(
+            batch["img_embed"], batch["seg_map"], scale_map
+        )
+        maskf = mask.astype(jnp.float32)
+        decoded = dec.apply(dec_params, feat_map)
+        l1_pix = losses.l1_map(decoded * maskf, gt_map * maskf)
+        l1_feature = losses.region_balanced_l1(l1_pix, seg_mixed, cfg.max_segments)
+        ent = losses.scale_entropy_loss(scale_map)
+        regvar = losses.region_variance_loss(feat_map, seg_mixed, cfg.max_segments)
+        total = l1_feature + entropy_w * ent + regionvar_w * regvar
+        metrics = dict(
+            loss=total,
+            l1_feature=l1_feature,
+            entropy=ent,
+            region_var=regvar,
+            scale_mean_s=jnp.mean(scale_map[..., 0]),
+            scale_mean_m=jnp.mean(scale_map[..., 1]),
+            scale_mean_l=jnp.mean(scale_map[..., 2]),
+            overflow=jnp.zeros((), jnp.int32),  # checked at cache build
         )
         return total, metrics
 

@@ -34,7 +34,7 @@ class RasterizeConfig:
     tile_h: int = 8
     tile_w: int = 128
     chunk: int = 128
-    budget_factor: int = 6  # instance budget = factor * N
+    budget_factor: int = 4  # instance budget = factor * N
     budget: Optional[int] = None  # explicit override
     interpret: bool = False  # Pallas interpreter mode (CPU tests)
 
@@ -180,6 +180,86 @@ def _blend_bwd(grid_dims, cfg, res, g):
 
 
 _blend.defvjp(_blend_fwd, _blend_bwd)
+
+
+def _project_geom_table(means, quats, scales, opacities, viewmat, K, width, height):
+    """(N+1, 8) row-major geometry table [mx,my,ca,cb,cc,opac,0,0] with a
+    zero (opacity-0) sentinel row."""
+    n = means.shape[0]
+    proj = project_gaussians(means, quats, scales, viewmat, K, width, height)
+    pad1 = jnp.zeros((n + 1, 1), jnp.float32)
+    geom = jnp.concatenate(
+        [
+            jnp.pad(proj.means2d, ((0, 1), (0, 0))),
+            jnp.pad(proj.conics, ((0, 1), (0, 0))),
+            jnp.pad((opacities * proj.compensations)[:, None], ((0, 1), (0, 0))),
+            pad1,
+            pad1,
+        ],
+        axis=1,
+    )
+    return geom, proj
+
+
+def prepare_binning(
+    means, quats, scales, viewmat, K,
+    width: int, height: int, config: RasterizeConfig = RasterizeConfig(),
+) -> tiles.BinnedInstances:
+    """Camera-invariant-geometry fast path, stage 1: the sorted instance
+    list for one (frozen geometry, camera) pair.
+
+    GAD's geometry never changes (only per-Gaussian features train), so
+    this — the sort-dominated part of rasterization — is computed once per
+    camera by the data pipeline and reused for all 30k iterations. The
+    reference re-runs the CUDA projection + radix sort every iteration.
+    """
+    proj = project_gaussians(means, quats, scales, viewmat, K, width, height)
+    n = means.shape[0]
+    return tiles.bin_gaussians(
+        proj.means2d, proj.radii, proj.depths, width, height,
+        config.tile_w, config.tile_h,
+        budget=config.instance_budget(n), chunk=config.chunk,
+    )
+
+
+def rasterize_binned(
+    means, quats, scales, opacities, colors,
+    viewmat, K,
+    inst_gid: jnp.ndarray,
+    tile_starts: jnp.ndarray,
+    tile_counts: jnp.ndarray,
+    width: int,
+    height: int,
+    background: Optional[jnp.ndarray] = None,
+    config: RasterizeConfig = RasterizeConfig(),
+):
+    """Stage 2: re-project (cheap) + gather + blend using a cached binning.
+
+    Differentiable wrt colors. Returns (image (H, W, C), alpha (H, W)).
+    """
+    means = jax.lax.stop_gradient(means)
+    quats = jax.lax.stop_gradient(quats)
+    scales = jax.lax.stop_gradient(scales)
+    opacities = jax.lax.stop_gradient(opacities)
+    geom, _proj = _project_geom_table(
+        means, quats, scales, opacities, viewmat, K, width, height
+    )
+    geom_inst = geom[inst_gid].T  # (8, M)
+    tiles_x = -(-width // config.tile_w)
+    tiles_y = -(-height // config.tile_h)
+    tile_img, tile_alpha = _blend(
+        colors, geom_inst, inst_gid, tile_starts, tile_counts,
+        (tiles_x, tiles_y), config,
+    )
+    img = _tiles_to_image(
+        tile_img, tiles_x, tiles_y, config.tile_h, config.tile_w, height, width
+    )
+    alpha = _tiles_to_image(
+        tile_alpha, tiles_x, tiles_y, config.tile_h, config.tile_w, height, width
+    )[..., 0]
+    if background is not None:
+        img = img + (1.0 - alpha[..., None]) * background[None, None, :]
+    return img, alpha
 
 
 def rasterize(
