@@ -11,7 +11,7 @@ from gags_tpu.splat.rasterizer import RasterizeConfig, rasterize
 from gags_tpu.splat import tiles
 
 W, H, F = 64, 32, 40.0
-CFG = RasterizeConfig(tile_h=8, tile_w=16, chunk=8, interpret=True)
+CFG = RasterizeConfig(tile_h=8, tile_w=16, chunk=8, budget_factor=6, interpret=True)
 
 
 def _scene(n, seed=0, cdim=3):
