@@ -72,8 +72,27 @@ def _image_to_tiles(img, tiles_x, tiles_y, tile_h, tile_w):
     return img.transpose(0, 2, 1, 3, 4).reshape(tiles_x * tiles_y, tile_h * tile_w, c)
 
 
+def _geom_table(proj, opacities):
+    """(N+1, 8) row-major geometry table [mx,my,ca,cb,cc,opac,0,0] with a
+    zero (opacity-0) sentinel row. Row-major so the per-instance gather
+    reads contiguous bytes per index (TPU gathers hate strided columns)."""
+    n = proj.means2d.shape[0]
+    pad1 = jnp.zeros((n + 1, 1), jnp.float32)
+    geom = jnp.concatenate(
+        [
+            jnp.pad(proj.means2d, ((0, 1), (0, 0))),
+            jnp.pad(proj.conics, ((0, 1), (0, 0))),
+            jnp.pad((opacities * proj.compensations)[:, None], ((0, 1), (0, 0))),
+            pad1,
+            pad1,
+        ],
+        axis=1,
+    )
+    return geom, proj
+
+
 def _prepare(means, quats, scales, opacities, viewmat, K, width, height, cfg):
-    """Project + bin + build per-instance geometry. No colour dependence."""
+    """Project + bin + build the geometry table. No colour dependence."""
     n = means.shape[0]
     proj = project_gaussians(means, quats, scales, viewmat, K, width, height)
     tiles_x = -(-width // cfg.tile_w)
@@ -89,41 +108,29 @@ def _prepare(means, quats, scales, opacities, viewmat, K, width, height, cfg):
         budget=cfg.instance_budget(n),
         chunk=cfg.chunk,
     )
-    # (N+1, 8) row-major geometry table with a zero (opacity-0) sentinel
-    # row; the per-instance gather then reads 32 contiguous bytes per index
-    # (TPU gathers hate the strided column layout), and one cheap transpose
-    # gives the kernel its (8, M) lane-major block.
-    pad1 = jnp.zeros((n + 1, 1), jnp.float32)
-    geom = jnp.concatenate(
-        [
-            jnp.pad(proj.means2d, ((0, 1), (0, 0))),
-            jnp.pad(proj.conics, ((0, 1), (0, 0))),
-            jnp.pad((opacities * proj.compensations)[:, None], ((0, 1), (0, 0))),
-            pad1,
-            pad1,
-        ],
-        axis=1,
-    )  # (N+1, 8): [mx, my, ca, cb, cc, opac, 0, 0]
-    geom_inst = geom[binned.inst_gid].T  # (8, M)
-    return proj, binned, geom_inst, tiles_x, tiles_y
+    geom, _ = _geom_table(proj, opacities)
+    return proj, binned, geom, tiles_x, tiles_y
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _blend(colors, geom_inst, inst_gid, tile_starts, tile_counts, grid_dims, cfg):
+def _blend(colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg):
     """Differentiable (wrt colors) tile blend. grid_dims = (tiles_x, tiles_y)."""
     return _blend_fwd_impl(
-        colors, geom_inst, inst_gid, tile_starts, tile_counts, grid_dims, cfg
+        colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg
     )
 
 
-def _blend_fwd_impl(colors, geom_inst, inst_gid, tile_starts, tile_counts, grid_dims, cfg):
+def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg):
     tiles_x, tiles_y = grid_dims
     colors_pad = jnp.concatenate(
         [colors, jnp.zeros((1, colors.shape[1]), colors.dtype)], axis=0
     )
-    # row-major gather (contiguous bytes per index), then transpose to the
-    # kernel's (C, M) lane-major layout
-    colors_inst = colors_pad[inst_gid].T
+    # ONE row-major gather of geometry + colours together (contiguous
+    # 8+C floats per index), then cheap transposed slices for the kernel
+    table = jnp.concatenate([geom_table, colors_pad], axis=1)  # (N+1, 8+C)
+    rows = table[inst_gid]  # (M, 8+C)
+    geom_inst = rows[:, :8].T  # (8, M)
+    colors_inst = rows[:, 8:].T  # (C, M)
     out = pk.tile_blend_forward(
         geom_inst,
         colors_inst,
@@ -139,11 +146,11 @@ def _blend_fwd_impl(colors, geom_inst, inst_gid, tile_starts, tile_counts, grid_
     return out[..., :-1], out[..., -1:]
 
 
-def _blend_fwd(colors, geom_inst, inst_gid, tile_starts, tile_counts, grid_dims, cfg):
+def _blend_fwd(colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg):
     out = _blend_fwd_impl(
-        colors, geom_inst, inst_gid, tile_starts, tile_counts, grid_dims, cfg
+        colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg
     )
-    residuals = (colors.shape[0], geom_inst, inst_gid, tile_starts, tile_counts)
+    residuals = (colors.shape[0], geom_table, inst_gid, tile_starts, tile_counts)
     return out, residuals
 
 
@@ -152,9 +159,10 @@ def _float0_like(x):
 
 
 def _blend_bwd(grid_dims, cfg, res, g):
-    n, geom_inst, inst_gid, tile_starts, tile_counts = res
+    n, geom_table, inst_gid, tile_starts, tile_counts = res
     tiles_x, tiles_y = grid_dims
     g_img, _g_alpha = g  # alpha has no colour dependence
+    geom_inst = geom_table[inst_gid].T  # (8, M) — recomputed, not stored
     grad_inst = pk.tile_blend_backward(
         geom_inst,
         tile_starts,
@@ -172,7 +180,7 @@ def _blend_bwd(grid_dims, cfg, res, g):
     )[:n]
     return (
         grad_colors,
-        jnp.zeros_like(geom_inst),
+        jnp.zeros_like(geom_table),
         _float0_like(inst_gid),
         _float0_like(tile_starts),
         _float0_like(tile_counts),
@@ -183,22 +191,8 @@ _blend.defvjp(_blend_fwd, _blend_bwd)
 
 
 def _project_geom_table(means, quats, scales, opacities, viewmat, K, width, height):
-    """(N+1, 8) row-major geometry table [mx,my,ca,cb,cc,opac,0,0] with a
-    zero (opacity-0) sentinel row."""
-    n = means.shape[0]
     proj = project_gaussians(means, quats, scales, viewmat, K, width, height)
-    pad1 = jnp.zeros((n + 1, 1), jnp.float32)
-    geom = jnp.concatenate(
-        [
-            jnp.pad(proj.means2d, ((0, 1), (0, 0))),
-            jnp.pad(proj.conics, ((0, 1), (0, 0))),
-            jnp.pad((opacities * proj.compensations)[:, None], ((0, 1), (0, 0))),
-            pad1,
-            pad1,
-        ],
-        axis=1,
-    )
-    return geom, proj
+    return _geom_table(proj, opacities)
 
 
 def prepare_binning(
@@ -244,11 +238,10 @@ def rasterize_binned(
     geom, _proj = _project_geom_table(
         means, quats, scales, opacities, viewmat, K, width, height
     )
-    geom_inst = geom[inst_gid].T  # (8, M)
     tiles_x = -(-width // config.tile_w)
     tiles_y = -(-height // config.tile_h)
     tile_img, tile_alpha = _blend(
-        colors, geom_inst, inst_gid, tile_starts, tile_counts,
+        colors, geom, inst_gid, tile_starts, tile_counts,
         (tiles_x, tiles_y), config,
     )
     img = _tiles_to_image(
@@ -285,12 +278,12 @@ def rasterize(
     scales = jax.lax.stop_gradient(scales)
     opacities = jax.lax.stop_gradient(opacities)
 
-    proj, binned, geom_inst, tiles_x, tiles_y = _prepare(
+    proj, binned, geom_table, tiles_x, tiles_y = _prepare(
         means, quats, scales, opacities, viewmat, K, width, height, config
     )
     tile_img, tile_alpha = _blend(
         colors,
-        geom_inst,
+        geom_table,
         binned.inst_gid,
         binned.tile_starts,
         binned.tile_counts,
