@@ -4,25 +4,25 @@ Replaces the CUDA forward/backward blend kernels the reference uses through
 gsplat (`gaussian_renderer/__init__.py:56-70`). TPU-first layout decisions:
 
   * A tile is TH x TW pixels, flattened to P = TH*TW sublanes. Gaussians are
-    processed in depth-ordered chunks of G = 128 lanes, so every per-chunk
-    attribute row ((1, G)) slices straight out of the DMA'd (8, G) geometry
-    block with no transpose.
+    processed in depth-ordered chunks of G = 128 lanes; instance data is ONE
+    (8+C, M) lane-major array, so each chunk is a single double-buffered DMA
+    whose attribute rows ((1, G)) slice out with no transpose.
   * The front-to-back transmittance product is computed in log space as one
-    (P, G) @ (G, G) upper-triangular matmul on the MXU — a parallel prefix
-    instead of the CUDA kernel's sequential per-Gaussian loop.
+    (P, G) @ (G, G) triangular matmul on the MXU — a parallel prefix instead
+    of the CUDA kernel's sequential per-Gaussian loop.
   * Colour accumulation is a (P, G) @ (G, C) MXU matmul of blend weights
-    against the chunk's colour block.
+    against the chunk's colour rows.
   * Per-pixel early termination (T < 1e-4, gsplat semantics) falls out of the
     same log-transmittance: a splat is included iff its *inclusive* naive
-    transmittance stays above the threshold, which is exactly the reference's
-    "skip the splat that would end the ray" rule; whole chunks stop via the
+    transmittance stays above the threshold — exactly the reference's "skip
+    the splat that would end the ray" rule; whole chunks stop via the
     while-loop condition once every pixel is saturated.
   * Instance ranges are G-aligned by the binner (dummy instances reference a
     zero-opacity padded Gaussian), so chunk DMAs never straddle tiles and the
     backward kernel's per-chunk gradient writes are race-free.
 
 Numerics match `reference.rasterize_reference` (alpha floor 1/255, clamp
-0.999, T epsilon 1e-4) to float tolerance.
+0.999, T epsilon 1e-4) to float tolerance (f32 HIGHEST-precision MXU).
 """
 
 from __future__ import annotations
@@ -39,7 +39,7 @@ ALPHA_FLOOR = 1.0 / 255.0
 ALPHA_CLAMP = 0.999
 LOG_T_EPS = math.log(1e-4)
 
-# geometry row layout in the (8, M) instance array
+# attribute row layout in the (8+C, M) instance array
 ROW_MX, ROW_MY, ROW_CA, ROW_CB, ROW_CC, ROW_OPAC, _ROW_PAD0, _ROW_PAD1 = range(8)
 GEOM_ROWS = 8
 
@@ -56,14 +56,14 @@ def _pixel_coords(tile_idx, tiles_x: int, tile_h: int, tile_w: int, p: int):
     return px, py
 
 
-def _chunk_alpha(geom, px, py):
-    """Blend alpha for one chunk: (P, G) from (8, G) geometry block."""
-    mx = geom[ROW_MX : ROW_MX + 1, :]  # (1, G)
-    my = geom[ROW_MY : ROW_MY + 1, :]
-    ca = geom[ROW_CA : ROW_CA + 1, :]
-    cb = geom[ROW_CB : ROW_CB + 1, :]
-    cc = geom[ROW_CC : ROW_CC + 1, :]
-    op = geom[ROW_OPAC : ROW_OPAC + 1, :]
+def _chunk_alpha(data, px, py):
+    """Blend alpha for one chunk: (P, G) from the (8+C, G) data block."""
+    mx = data[ROW_MX : ROW_MX + 1, :]  # (1, G)
+    my = data[ROW_MY : ROW_MY + 1, :]
+    ca = data[ROW_CA : ROW_CA + 1, :]
+    cb = data[ROW_CB : ROW_CB + 1, :]
+    cc = data[ROW_CC : ROW_CC + 1, :]
+    op = data[ROW_OPAC : ROW_OPAC + 1, :]
     dx = px - mx  # (P, G)
     dy = py - my
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
@@ -107,14 +107,12 @@ def _forward_kernel(
     # scalar prefetch
     tile_starts_ref,
     tile_counts_ref,
-    # inputs (HBM)
-    geom_hbm,  # (8, M)
-    colors_hbm,  # (C, M)
-    # outputs (VMEM blocks)
+    # input (HBM/ANY)
+    data_hbm,  # (8+C, M): geometry rows then colour rows
+    # output (VMEM block)
     out_ref,  # (1, P, C+1): C colour channels then alpha
     # scratch
-    geom_vmem,  # (8, G)
-    colors_vmem,  # (C, G)
+    buf,  # (2, 8+C, G) double buffer
     acc_ref,  # (P, C)
     sems,  # DMA semaphores (2,)
     *,
@@ -127,11 +125,22 @@ def _forward_kernel(
     start = tile_starts_ref[t]
     count = tile_counts_ref[t]
     p = tile_h * tile_w
+    c = acc_ref.shape[1]
 
     px, py = _pixel_coords(t, tiles_x, tile_h, tile_w, p)
     acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
     nchunks = pl.cdiv(count, g)
+
+    def dma(k, slot):
+        off = pl.multiple_of(start + k * g, g)
+        return pltpu.make_async_copy(
+            data_hbm.at[:, pl.ds(off, g)], buf.at[slot], sems.at[slot]
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
 
     def cond(carry):
         k, log_t, _ = carry
@@ -139,30 +148,27 @@ def _forward_kernel(
 
     def body(carry):
         k, log_t, log_t_rep = carry
-        off = pl.multiple_of(start + k * g, g)
-        cp_g = pltpu.make_async_copy(
-            geom_hbm.at[:, pl.ds(off, g)], geom_vmem, sems.at[0]
-        )
-        cp_c = pltpu.make_async_copy(
-            colors_hbm.at[:, pl.ds(off, g)], colors_vmem, sems.at[1]
-        )
-        cp_g.start()
-        cp_c.start()
-        cp_g.wait()
-        cp_c.wait()
+        slot = jax.lax.rem(k, 2)
 
-        alpha = _chunk_alpha(geom_vmem[:, :], px, py)  # (P, G)
+        # overlap: issue the next chunk's load before computing this one
+        @pl.when(k + 1 < nchunks)
+        def _():
+            dma(k + 1, 1 - slot).start()
+
+        dma(k, slot).wait()
+        data = buf[slot]  # (8+C, G)
+
+        alpha = _chunk_alpha(data, px, py)  # (P, G)
         w, log_t_incl_masked, new_log_t = _blend_weights(alpha, log_t, g)
 
         # colour accumulation: (P, G) x (C, G) -> (P, C) on the MXU
         acc_ref[:, :] += jax.lax.dot_general(
             w,
-            colors_vmem[:, :],
+            data[GEOM_ROWS:, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        # last surviving transmittance (0 in log space = "no update")
         chunk_min = jnp.min(
             jnp.where(log_t_incl_masked < 0.0, log_t_incl_masked, 0.0),
             axis=1,
@@ -176,9 +182,13 @@ def _forward_kernel(
         jnp.zeros((p, 1), jnp.float32),
         jnp.zeros((p, 1), jnp.float32),
     )
-    _, _, log_t_rep = jax.lax.while_loop(cond, body, init)
+    k_done, _, log_t_rep = jax.lax.while_loop(cond, body, init)
 
-    c = acc_ref.shape[1]
+    # early exit leaves the prefetched chunk k_done in flight — drain it
+    @pl.when(jnp.logical_and(k_done < nchunks, k_done > 0))
+    def _():
+        dma(k_done, jax.lax.rem(k_done, 2)).wait()
+
     out_ref[0, :, :c] = acc_ref[:, :]
     out_ref[0, :, c : c + 1] = 1.0 - jnp.exp(log_t_rep)
 
@@ -186,12 +196,12 @@ def _forward_kernel(
 def _backward_kernel(
     tile_starts_ref,
     tile_counts_ref,
-    geom_hbm,  # (8, M)
+    data_hbm,  # (8+C, M) — only the 8 geometry rows are read
     gout_ref,  # (1, P, C) upstream gradient block
     grad_colors_hbm,  # output, (C, M) in HBM
-    geom_vmem,  # (8, G)
+    buf,  # (2, 8, G) double buffer (geometry rows only)
     gcol_vmem,  # (C, G) chunk gradient staging
-    sems,
+    sems,  # (3,): 2 input slots + 1 output
     *,
     tiles_x: int,
     tile_h: int,
@@ -213,13 +223,23 @@ def _backward_kernel(
     px, py = _pixel_coords(t, tiles_x, tile_h, tile_w, p)
     nchunks = pl.cdiv(count, g)
 
+    def dma_in(k, slot):
+        off = pl.multiple_of(start + k * g, g)
+        return pltpu.make_async_copy(
+            data_hbm.at[:GEOM_ROWS, pl.ds(off, g)], buf.at[slot], sems.at[slot]
+        )
+
     def write_chunk(k):
         off = pl.multiple_of(start + k * g, g)
         cp_o = pltpu.make_async_copy(
-            gcol_vmem, grad_colors_hbm.at[:, pl.ds(off, g)], sems.at[1]
+            gcol_vmem, grad_colors_hbm.at[:, pl.ds(off, g)], sems.at[2]
         )
         cp_o.start()
         cp_o.wait()
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma_in(0, 0).start()
 
     def cond(carry):
         k, log_t = carry
@@ -227,14 +247,14 @@ def _backward_kernel(
 
     def body(carry):
         k, log_t = carry
-        off = pl.multiple_of(start + k * g, g)
-        cp_g = pltpu.make_async_copy(
-            geom_hbm.at[:, pl.ds(off, g)], geom_vmem, sems.at[0]
-        )
-        cp_g.start()
-        cp_g.wait()
+        slot = jax.lax.rem(k, 2)
 
-        alpha = _chunk_alpha(geom_vmem[:, :], px, py)
+        @pl.when(k + 1 < nchunks)
+        def _():
+            dma_in(k + 1, 1 - slot).start()
+
+        dma_in(k, slot).wait()
+        alpha = _chunk_alpha(buf[slot], px, py)
         w, _, new_log_t = _blend_weights(alpha, log_t, g)
 
         gcol_vmem[:, :] = jax.lax.dot_general(
@@ -249,6 +269,10 @@ def _backward_kernel(
 
     init = (jnp.zeros((), jnp.int32), jnp.zeros((p, 1), jnp.float32))
     k_done, _ = jax.lax.while_loop(cond, body, init)
+
+    @pl.when(jnp.logical_and(k_done < nchunks, k_done > 0))
+    def _():
+        dma_in(k_done, jax.lax.rem(k_done, 2)).wait()
 
     # zero-fill chunks skipped by early termination
     gcol_vmem[:, :] = jnp.zeros_like(gcol_vmem)
@@ -276,8 +300,7 @@ def _fwd_cost(num_tiles: int, p: int, g: int, c: int, m: int) -> pl.CostEstimate
     static_argnames=("tiles_x", "tiles_y", "tile_h", "tile_w", "chunk", "interpret"),
 )
 def tile_blend_forward(
-    geom: jnp.ndarray,  # (8, M)
-    colors: jnp.ndarray,  # (C, M)
+    inst_data: jnp.ndarray,  # (8+C, M): [mx,my,ca,cb,cc,op,0,0, colours...]
     tile_starts: jnp.ndarray,  # (num_tiles,)
     tile_counts: jnp.ndarray,  # (num_tiles,)
     *,
@@ -291,24 +314,20 @@ def tile_blend_forward(
     """Returns (T, P, C+1): C composited channels, then alpha."""
     num_tiles = tiles_x * tiles_y
     p = tile_h * tile_w
-    c = colors.shape[0]
-    m = colors.shape[1]
+    c = inst_data.shape[0] - GEOM_ROWS
+    m = inst_data.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec(
                 (1, p, c + 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((GEOM_ROWS, chunk), jnp.float32),
-            pltpu.VMEM((c, chunk), jnp.float32),
+            pltpu.VMEM((2, GEOM_ROWS + c, chunk), jnp.float32),
             pltpu.VMEM((p, c), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -322,7 +341,7 @@ def tile_blend_forward(
         out_shape=[jax.ShapeDtypeStruct((num_tiles, p, c + 1), jnp.float32)],
         cost_estimate=_fwd_cost(num_tiles, p, chunk, c, m),
         interpret=interpret,
-    )(tile_starts, tile_counts, geom, colors)
+    )(tile_starts, tile_counts, inst_data)
     return out
 
 
@@ -331,7 +350,7 @@ def tile_blend_forward(
     static_argnames=("tiles_x", "tiles_y", "tile_h", "tile_w", "chunk", "interpret"),
 )
 def tile_blend_backward(
-    geom: jnp.ndarray,  # (8, M)
+    inst_data: jnp.ndarray,  # (8+C, M) (colour rows unused)
     tile_starts: jnp.ndarray,
     tile_counts: jnp.ndarray,
     grad_tile_colors: jnp.ndarray,  # (T, P, C)
@@ -351,7 +370,7 @@ def tile_blend_backward(
     num_tiles = tiles_x * tiles_y
     p = tile_h * tile_w
     c = grad_tile_colors.shape[-1]
-    m = geom.shape[1]
+    m = inst_data.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -364,9 +383,9 @@ def tile_blend_backward(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((GEOM_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((2, GEOM_ROWS, chunk), jnp.float32),
             pltpu.VMEM((c, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     kernel = functools.partial(
@@ -378,5 +397,5 @@ def tile_blend_backward(
         out_shape=[jax.ShapeDtypeStruct((c, m), jnp.float32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(tile_starts, tile_counts, geom, grad_tile_colors)
+    )(tile_starts, tile_counts, inst_data, grad_tile_colors)
     return grad_colors

@@ -126,14 +126,11 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, grid
         [colors, jnp.zeros((1, colors.shape[1]), colors.dtype)], axis=0
     )
     # ONE row-major gather of geometry + colours together (contiguous
-    # 8+C floats per index), then cheap transposed slices for the kernel
+    # 8+C floats per index), one transpose to the kernel's lane-major layout
     table = jnp.concatenate([geom_table, colors_pad], axis=1)  # (N+1, 8+C)
-    rows = table[inst_gid]  # (M, 8+C)
-    geom_inst = rows[:, :8].T  # (8, M)
-    colors_inst = rows[:, 8:].T  # (C, M)
+    inst_data = table[inst_gid].T  # (8+C, M)
     out = pk.tile_blend_forward(
-        geom_inst,
-        colors_inst,
+        inst_data,
         tile_starts,
         tile_counts,
         tiles_x=tiles_x,
@@ -164,7 +161,7 @@ def _blend_bwd(grid_dims, cfg, res, g):
     g_img, _g_alpha = g  # alpha has no colour dependence
     geom_inst = geom_table[inst_gid].T  # (8, M) — recomputed, not stored
     grad_inst = pk.tile_blend_backward(
-        geom_inst,
+        geom_inst,  # backward reads only the first 8 rows
         tile_starts,
         tile_counts,
         g_img,
