@@ -55,6 +55,7 @@ class GadConfig:
     entropy_w_late: float = 2e-3
     regionvar_w_late: float = 0.1
     schedule_switch: int = 15001   # scale_regulation_iteration default
+    single_scale: str = ""         # "", "s", "m", "l", "mix" (train.py:38-47)
     raster: RasterizeConfig = RasterizeConfig()
 
 
@@ -123,6 +124,19 @@ def frozen_geometry(scene: GaussianScene) -> Dict[str, jnp.ndarray]:
     )
 
 
+
+_SINGLE_SCALE = {"s": (1.0, 0.0, 0.0), "m": (0.0, 1.0, 0.0),
+                 "l": (0.0, 0.0, 1.0), "mix": (1 / 3, 1 / 3, 1 / 3)}
+
+
+def _scale_map_fn(cfg: GadConfig, scl, scl_params, feat_map):
+    """Learned 3-way granularity map, or a fixed one under --single_scale
+    (reference create_scale_map, train.py:38-47,146-149)."""
+    if cfg.single_scale:
+        w = jnp.asarray(_SINGLE_SCALE[cfg.single_scale], jnp.float32)
+        return jnp.broadcast_to(w, (*feat_map.shape[:2], 3))
+    return scl.apply(scl_params, jax.lax.stop_gradient(feat_map))
+
 def make_train_step(statics: Dict[str, Any], width: int, height: int, cfg: GadConfig):
     """Returns jitted step(state, geom, batch, entropy_w, regionvar_w) →
     (state, metrics).
@@ -146,7 +160,7 @@ def make_train_step(statics: Dict[str, Any], width: int, height: int, cfg: GadCo
         )
         feat_map = res.image  # (H, W, F)
 
-        scale_map = scl.apply(scl_params, jax.lax.stop_gradient(feat_map))  # (H, W, 3)
+        scale_map = _scale_map_fn(cfg, scl, scl_params, feat_map)  # (H, W, 3)
         seg_mixed = mixed_seg_map(batch["seg_map"], scale_map)  # (H, W) ids
 
         gt_map, mask = blend_gt_feature_map(
@@ -221,7 +235,7 @@ def make_train_step_binned(statics: Dict[str, Any], width: int, height: int, cfg
             batch["inst_gid"], batch["tile_starts"], batch["tile_counts"],
             width, height, background=bg, config=cfg.raster,
         )
-        scale_map = scl.apply(scl_params, jax.lax.stop_gradient(feat_map))
+        scale_map = _scale_map_fn(cfg, scl, scl_params, feat_map)
         seg_mixed = mixed_seg_map(batch["seg_map"], scale_map)
         gt_map, mask = blend_gt_feature_map(
             batch["img_embed"], batch["seg_map"], scale_map
