@@ -40,18 +40,16 @@ def spiral_path(
     up = _normalize(c2ws[:, :3, 1].sum(0))
     rads = np.percentile(np.abs(c2ws[:, :3, 3] - avg[:, 3]), 90, axis=0) + 1e-6
     focus = focus_depth or float(np.mean(np.linalg.norm(c2ws[:, :3, 3], axis=1)))
+    from gags_tpu.core.camera import look_at
+
     out = []
     for theta in np.linspace(0, 2 * np.pi * n_rots, n_frames, endpoint=False):
         offs = np.array(
             [np.cos(theta), -np.sin(theta), -np.sin(theta * zrate)]
         ) * rads
         pos = avg[:, 3] + avg[:, :3] @ offs
-        lookat = avg[:, 3] + avg[:, :3] @ np.array([0, 0, -focus])
-        z = _normalize(pos - lookat)
-        c2w34 = view_matrix(z, up, pos)
-        c2w = np.eye(4)
-        c2w[:3] = c2w34
-        out.append(np.linalg.inv(c2w))
+        lookat = avg[:, 3] + avg[:, :3] @ np.array([0, 0, focus])
+        out.append(look_at(pos, lookat, -up))
     return np.stack(out).astype(np.float32)
 
 
@@ -67,14 +65,13 @@ def spherify_path(c2ws: np.ndarray, n_frames: int = 120) -> np.ndarray:
 
     rad = float(np.mean(np.linalg.norm(rays_o - center, axis=1)))
     up = _normalize((rays_o - center).mean(0))
+    from gags_tpu.core.camera import look_at
+
     # orthonormal basis with `up` as pole
     v0 = _normalize(np.cross(up, np.array([0.1, 0.2, 0.3])))
     v1 = np.cross(up, v0)
     out = []
     for th in np.linspace(0, 2 * np.pi, n_frames, endpoint=False):
         pos = center + rad * (np.cos(th) * v0 + np.sin(th) * v1) + 0.2 * rad * up
-        z = _normalize(pos - center)
-        c2w = np.eye(4)
-        c2w[:3] = view_matrix(z, up, pos)
-        out.append(np.linalg.inv(c2w))
+        out.append(look_at(pos, center, -up))
     return np.stack(out).astype(np.float32)
