@@ -140,6 +140,57 @@ class VisionTower(nn.Module):
         return x @ proj
 
 
+class VisionTowerAlpha(nn.Module):
+    """AlphaCLIP-style vision tower: an extra single-channel patch conv whose
+    output is added to the RGB patch embedding, letting an alpha mask focus
+    the embedding on a region (reference `eval/alphaclip_encoder.py:8-78`
+    wraps the torch alpha_clip package; this is the same mechanism natively).
+    """
+
+    cfg: CLIPConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+        """images (B, S, S, 3) CLIP-normalised; alpha (B, S, S, 1) in [0,1]."""
+        c = self.cfg
+        n_patch = c.image_size // c.patch_size
+        x = nn.Conv(
+            c.vision_width,
+            (c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            use_bias=False,
+            name="patch_embed",
+        )(images)
+        a = nn.Conv(
+            c.vision_width,
+            (c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            use_bias=False,
+            name="alpha_embed",
+        )(alpha)
+        x = (x + a).reshape(x.shape[0], n_patch * n_patch, c.vision_width)
+        cls = self.param(
+            "class_embedding", nn.initializers.normal(0.02), (c.vision_width,)
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (x.shape[0], 1, c.vision_width)), x], axis=1
+        )
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.02),
+            (n_patch * n_patch + 1, c.vision_width),
+        )
+        x = x + pos
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
+        for i in range(c.vision_layers):
+            x = ResidualBlock(c.vision_width, c.vision_heads, name=f"block{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x[:, 0])
+        proj = self.param(
+            "proj", nn.initializers.normal(0.02), (c.vision_width, c.embed_dim)
+        )
+        return x @ proj
+
+
 class TextTower(nn.Module):
     cfg: CLIPConfig
 

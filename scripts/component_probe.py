@@ -48,28 +48,23 @@ def main(n, w, h):
     print("num_valid:", int(binned.num_valid), "M:", binned.inst_gid.shape[0],
           "max tile count:", int(binned.tile_counts.max()), flush=True)
 
-    def gather(p, b, o, f):
-        geom = jnp.zeros((pk.GEOM_ROWS, n + 1), jnp.float32)
-        geom = geom.at[pk.ROW_MX, :n].set(p.means2d[:, 0])
-        geom = geom.at[pk.ROW_MY, :n].set(p.means2d[:, 1])
-        geom = geom.at[pk.ROW_CA, :n].set(p.conics[:, 0])
-        geom = geom.at[pk.ROW_CB, :n].set(p.conics[:, 1])
-        geom = geom.at[pk.ROW_CC, :n].set(p.conics[:, 2])
-        geom = geom.at[pk.ROW_OPAC, :n].set(o)
-        gi = geom[:, b.inst_gid]
-        cp = jnp.concatenate([f, jnp.zeros((1, f.shape[1]))], 0)
-        ci = cp.T[:, b.inst_gid]
-        return gi, ci
+    from gags_tpu.splat.rasterizer import _geom_table
 
-    gi, ci = timeit("gather", jax.jit(gather), proj, binned, opac, feats)
+    def gather(p, b, o, f):
+        geom, _ = _geom_table(p, o)
+        cp = jnp.concatenate([f, jnp.zeros((1, f.shape[1]))], 0)
+        table = jnp.concatenate([geom, cp], axis=1)
+        return table[b.inst_gid].T  # (8+C, M)
+
+    inst = timeit("gather", jax.jit(gather), proj, binned, opac, feats)
 
     blend = jax.jit(
-        lambda g, c, s, t: pk.tile_blend_forward(
-            g, c, s, t, tiles_x=tiles_x, tiles_y=tiles_y,
+        lambda d, s, t: pk.tile_blend_forward(
+            d, s, t, tiles_x=tiles_x, tiles_y=tiles_y,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w, chunk=cfg.chunk,
         )
     )
-    timeit("blend", blend, gi, ci, binned.tile_starts, binned.tile_counts)
+    timeit("blend", blend, inst, binned.tile_starts, binned.tile_counts)
 
     full = jax.jit(
         lambda m, q, s, o, f: rasterize(
