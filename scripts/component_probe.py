@@ -21,14 +21,14 @@ def timeit(name, fn, *args, iters=10):
     return out
 
 
-def main(n, w, h):
+def main(n, w, h, tile_h=8):
     raw = make_scene(n, seed=0, extent=3.0)
     cam = make_camera(w, h)
     means, quats, scales, opac = (
         jnp.asarray(raw[k]) for k in ("means", "quats", "scales", "opacities")
     )
     feats = jnp.asarray(raw["features"])
-    cfg = RasterizeConfig()
+    cfg = RasterizeConfig(tile_h=tile_h)
 
     proj_fn = jax.jit(
         lambda m, q, s: project_gaussians(m, q, s, cam.viewmat, cam.K, w, h)
@@ -75,5 +75,5 @@ def main(n, w, h):
 
 
 if __name__ == "__main__":
-    n, w, h = (int(x) for x in sys.argv[1].split(","))
-    main(n, w, h)
+    parts = [int(x) for x in sys.argv[1].split(",")]
+    main(*parts)
