@@ -53,6 +53,7 @@ class RunConfig:
     save_iterations: str = "15000,30000"
     seed: int = 0
     resume: bool = False
+    profile: bool = False        # capture a jax.profiler trace of steps 50-60
 
 
 def run(rc: RunConfig, gad_cfg: GadConfig = GadConfig()) -> TrainState:
@@ -124,6 +125,10 @@ def run(rc: RunConfig, gad_cfg: GadConfig = GadConfig()) -> TrainState:
     stream = prefetch_to_device(batch_stream())
     t_iter = time.time()
     for it in range(first_iter + 1, rc.iterations + 1):
+        if rc.profile and it == 50:
+            jax.profiler.start_trace(os.path.join(rc.model_path, "profile"))
+        if rc.profile and it == 60:
+            jax.profiler.stop_trace()
         ew, rw = loss_weights(it, gad_cfg)
         batch = next(stream)
         state, m = step_fn(state, geom, batch, jnp.float32(ew), jnp.float32(rw))
@@ -165,6 +170,7 @@ def main():
     p.add_argument("--save_iterations", default="15000,30000")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile", action="store_true")
     args = p.parse_args()
     run(RunConfig(**vars(args)))
 
