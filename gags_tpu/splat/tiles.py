@@ -132,10 +132,8 @@ def bin_gaussians(
     tile_starts = (jnp.cumsum(padded_counts) - padded_counts).astype(jnp.int32)
 
     # --- keys: real instances + per-tile alignment dummies ------------------
-    # key = tile*(N+1) + depth_rank encodes everything; we sort KEYS ONLY
-    # (half the sort traffic of a (key, payload) pair sort) and decode the
-    # Gaussian id afterwards via rank → depth-order lookup.
     key_real = jnp.where(valid, tile * (n + 1) + g[:, 3], INT32_MAX)
+    gid_real = jnp.where(valid, gid, n).astype(jnp.int32)
 
     dummy_idx = jnp.arange(num_tiles * chunk, dtype=jnp.int32)
     d_tile = dummy_idx // chunk
@@ -143,6 +141,7 @@ def bin_gaussians(
     pad_needed = padded_counts - counts_t  # in [0, chunk)
     d_ok = d_within < pad_needed[d_tile]
     key_dummy = jnp.where(d_ok, d_tile * (n + 1) + n, INT32_MAX)
+    gid_dummy = jnp.full((num_tiles * chunk,), n, jnp.int32)
 
     if num_tiles * (n + 1) >= 2**31:
         raise ValueError(
@@ -151,12 +150,8 @@ def bin_gaussians(
         )
 
     keys = jnp.concatenate([key_real, key_dummy])
-    sorted_keys = jax.lax.sort(keys)
-    rank_sorted = jnp.where(
-        sorted_keys == INT32_MAX, n, sorted_keys % (n + 1)
-    )
-    order_pad = jnp.concatenate([order.astype(jnp.int32), jnp.array([n], jnp.int32)])
-    sorted_gid = order_pad[rank_sorted]
+    gids = jnp.concatenate([gid_real, gid_dummy])
+    _, sorted_gid = jax.lax.sort((keys, gids), num_keys=1)
 
     return BinnedInstances(
         inst_gid=sorted_gid,
