@@ -1,0 +1,51 @@
+"""Measure GAD training throughput on TPU: binned step, LERF-like scale."""
+import sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
+from gags_tpu.gad.train import GadConfig, create_train_state, frozen_geometry, make_train_step_binned
+from gags_tpu.scene.gaussian_data import GaussianScene
+from gags_tpu.splat.rasterizer import RasterizeConfig, prepare_binning
+from gags_tpu.utils.synthetic import make_scene, make_camera
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+W, H = (int(x) for x in (sys.argv[2].split("x") if len(sys.argv) > 2 else ("640x360",))[0].split("x")) if False else (640, 360)
+M_MASKS = 300
+
+raw = make_scene(N, seed=0, extent=3.0)
+scene = GaussianScene(
+    means=jnp.asarray(raw["means"]), sh=jnp.asarray(raw["sh"]),
+    opacities_raw=jnp.asarray(np.log(raw["opacities"]/(1-raw["opacities"]))),
+    scales_raw=jnp.asarray(np.log(raw["scales"])), quats=jnp.asarray(raw["quats"]),
+    semantic_features=jnp.zeros((N, 16)),
+)
+cfg = GadConfig(max_segments=1024)
+state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)
+geom = jax.device_put(frozen_geometry(scene))
+cam = make_camera(W, H)
+
+t0 = time.time()
+b = prepare_binning(geom["means"], geom["quats"], geom["scales"], cam.viewmat, cam.K, W, H, cfg.raster)
+jax.block_until_ready(b)
+print(f"prepare_binning: {time.time()-t0:.1f}s (incl compile), overflow={int(b.overflow)}", flush=True)
+
+rng = np.random.default_rng(1)
+emb = rng.normal(size=(M_MASKS, 512)).astype(np.float32)
+emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+seg = rng.integers(-1, M_MASKS, size=(H, W, 4)).astype(np.int32)
+batch = dict(
+    viewmat=cam.viewmat, K=cam.K, img_embed=jnp.asarray(emb), seg_map=jnp.asarray(seg),
+    inst_gid=b.inst_gid, tile_starts=b.tile_starts, tile_counts=b.tile_counts,
+)
+step = make_train_step_binned(statics, W, H, cfg)
+t0 = time.time()
+state, m = step(state, geom, batch, jnp.float32(1e-3), jnp.float32(0.0))
+jax.block_until_ready(m["loss"])
+print(f"first step (compile): {time.time()-t0:.1f}s loss={float(m['loss']):.4f}", flush=True)
+t0 = time.time()
+iters = 20
+for _ in range(iters):
+    state, m = step(state, geom, batch, jnp.float32(1e-3), jnp.float32(0.0))
+jax.block_until_ready(m["loss"])
+dt = (time.time()-t0)/iters
+print(f"train step: {dt*1000:.1f} ms = {1/dt:.2f} it/s  ({N} gaussians, {W}x{H}, 512-dim GT)", flush=True)
+print(f"30k iterations would take {30000*dt/60:.1f} min", flush=True)
