@@ -37,7 +37,13 @@ def main():
         args.model_path, "point_cloud", f"iteration_{args.iteration}", "point_cloud.ply"
     )
     scene = GaussianScene.from_ply(ply)
-    gcfg = GadConfig(feature_dim=scene.semantic_features.shape[1])
+    import dataclasses as _dc
+    from gags_tpu.splat.rasterizer import auto_config
+
+    gcfg = GadConfig.load(args.model_path, feature_dim=scene.semantic_features.shape[1])
+    gcfg = _dc.replace(gcfg, raster=auto_config(
+        **{k: v for k, v in _dc.asdict(gcfg.raster).items() if k != "interpret"}
+    ))
     state, statics = create_train_state(scene, jax.random.PRNGKey(0), gcfg)
     step = latest_checkpoint_step(args.model_path) or args.iteration
     state = load_checkpoint(args.model_path, step, state)

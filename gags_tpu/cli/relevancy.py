@@ -119,7 +119,13 @@ def main():
         args.model_path, "point_cloud", f"iteration_{args.iteration}", "point_cloud.ply"
     )
     scene = GaussianScene.from_ply(ply)
-    cfg = GadConfig(feature_dim=scene.semantic_features.shape[1])
+    import dataclasses as _dc
+    from gags_tpu.splat.rasterizer import auto_config
+
+    cfg = GadConfig.load(args.model_path, feature_dim=scene.semantic_features.shape[1])
+    cfg = _dc.replace(cfg, raster=auto_config(
+        **{k: v for k, v in _dc.asdict(cfg.raster).items() if k != "interpret"}
+    ))
     state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)
     step = latest_checkpoint_step(args.model_path) or args.iteration
     state = load_checkpoint(args.model_path, step, state)

@@ -56,9 +56,14 @@ class RunConfig:
     profile: bool = False        # capture a jax.profiler trace of steps 50-60
 
 
-def run(rc: RunConfig, gad_cfg: GadConfig = GadConfig()) -> TrainState:
+def run(rc: RunConfig, gad_cfg: GadConfig = None) -> TrainState:
+    if gad_cfg is None:
+        from gags_tpu.splat.rasterizer import auto_config
+
+        gad_cfg = GadConfig(raster=auto_config())
     os.makedirs(rc.model_path, exist_ok=True)
     save_config(rc, rc.model_path)
+    gad_cfg.save(rc.model_path)
 
     scene_info = detect_and_load(rc.source_path)
     geometry = GaussianScene.from_ply(rc.ply_path)

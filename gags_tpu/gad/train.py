@@ -58,6 +58,34 @@ class GadConfig:
     single_scale: str = ""         # "", "s", "m", "l", "mix" (train.py:38-47)
     raster: RasterizeConfig = RasterizeConfig()
 
+    def save(self, model_dir: str) -> None:
+        import json, os
+
+        with open(os.path.join(model_dir, "gad_cfg.json"), "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+
+    @staticmethod
+    def load(model_dir: str, **overrides) -> "GadConfig":
+        """Rehydrate the training config from a model dir (the "model dir
+        carries its config" convention); missing file → defaults."""
+        import json, os
+
+        path = os.path.join(model_dir, "gad_cfg.json")
+        data = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                data = json.load(f)
+        raster = data.pop("raster", None)
+        data.update(overrides)
+        fields = {f.name for f in dataclasses.fields(GadConfig) if f.name != "raster"}
+        cfg = {k: v for k, v in data.items() if k in fields}
+        if raster is not None:
+            rfields = {f.name for f in dataclasses.fields(RasterizeConfig)}
+            cfg["raster"] = RasterizeConfig(
+                **{k: v for k, v in raster.items() if k in rfields}
+            )
+        return GadConfig(**cfg)
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass

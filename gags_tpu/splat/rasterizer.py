@@ -44,6 +44,15 @@ class RasterizeConfig:
         return max(self.budget_factor * n, 4 * self.chunk)
 
 
+def auto_config(**overrides) -> "RasterizeConfig":
+    """RasterizeConfig with interpret mode auto-enabled on the CPU backend
+    (the Pallas TPU kernels only compile for TPU; CPU runs interpret)."""
+    import jax
+
+    overrides.setdefault("interpret", jax.default_backend() == "cpu")
+    return RasterizeConfig(**overrides)
+
+
 class RasterizeResult(NamedTuple):
     image: jnp.ndarray  # (H, W, C)
     alpha: jnp.ndarray  # (H, W)

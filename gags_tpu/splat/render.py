@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from gags_tpu.core.camera import Camera
 from gags_tpu.core.sh import sh_colors
 from gags_tpu.splat.projection import project_gaussians
-from gags_tpu.splat.rasterizer import RasterizeConfig, rasterize
+from gags_tpu.splat.rasterizer import RasterizeConfig, auto_config, rasterize
 from gags_tpu.splat.reference import rasterize_reference
 
 
@@ -46,7 +46,7 @@ def render(
     bg_color: Optional[jnp.ndarray] = None,  # (3,) like the reference API
     scaling_modifier: float = 1.0,
     backend: str = "pallas",
-    config: RasterizeConfig = RasterizeConfig(),
+    config: Optional[RasterizeConfig] = None,
 ) -> RenderOutput:
     """Render one camera view.
 
@@ -54,6 +54,8 @@ def render(
     the background's first component broadcast across all channels, exactly
     like the reference (`gaussian_renderer/__init__.py:44-47`).
     """
+    if config is None:
+        config = auto_config()
     if feature_mode:
         assert semantic_features is not None
         colors = semantic_features

@@ -11,7 +11,12 @@ raw = make_scene(N, seed=0, extent=3.0)
 means, quats, scales, opac = (jnp.asarray(raw[k]) for k in ("means","quats","scales","opacities"))
 feats = jnp.zeros((N,16))
 cam = make_camera(W, H)
-cfg = RasterizeConfig()
+import os
+cfg = RasterizeConfig(
+    tile_w=int(os.environ.get("TW", 128)),
+    tile_h=int(os.environ.get("TH", 8)),
+    budget_factor=int(os.environ.get("BF", 4)),
+)
 b = prepare_binning(means, quats, scales, cam.viewmat, cam.K, W, H, cfg)
 proj = project_gaussians(means, quats, scales, cam.viewmat, cam.K, W, H)
 geom, _ = _geom_table(proj, opac)
