@@ -66,6 +66,14 @@ def run(rc: RunConfig, gad_cfg: GadConfig = None) -> TrainState:
     gad_cfg.save(rc.model_path)
 
     scene_info = detect_and_load(rc.source_path)
+    # model dir carries the camera set (reference scene/__init__.py:51-63)
+    import json
+    from gags_tpu.scene.dataset import camera_to_json
+
+    with open(os.path.join(rc.model_path, "cameras.json"), "w") as f:
+        json.dump(
+            [camera_to_json(i, ci) for i, ci in enumerate(scene_info.train_cameras)], f
+        )
     geometry = GaussianScene.from_ply(rc.ply_path)
     print(f"{geometry.num_gaussians} gaussians; {len(scene_info.train_cameras)} train cams")
 
