@@ -198,10 +198,10 @@ def _backward_kernel(
     tile_counts_ref,
     data_hbm,  # (8+C, M) — only the 8 geometry rows are read
     gout_ref,  # (1, P, C) upstream gradient block
-    grad_colors_hbm,  # output, (C, M) in HBM
-    buf,  # (2, 8, G) double buffer (geometry rows only)
-    gcol_vmem,  # (C, G) chunk gradient staging
-    sems,  # (3,): 2 input slots + 1 output
+    grad_colors_hbm,  # output, (C, M) in HBM; pre-zeroed via aliasing
+    buf,  # (2, 8, G) input double buffer (geometry rows only)
+    gcol,  # (2, C, G) output double buffer
+    sems,  # (4,): 2 input slots + 2 output slots
     *,
     tiles_x: int,
     tile_h: int,
@@ -212,8 +212,9 @@ def _backward_kernel(
 
     Recomputes blend weights (no residuals are stored by the forward):
     grad_colors[c, j] = sum_p gout[p, c] * w[p, j] — one MXU matmul/chunk.
-    After per-pixel saturation ends the main loop early, remaining chunks in
-    this tile's range are zero-filled so the output buffer is fully defined.
+    Input loads AND gradient writes are double-buffered; the output buffer
+    arrives pre-zeroed (aliased), so chunks skipped by per-pixel early
+    termination need no zero-fill pass.
     """
     t = pl.program_id(0)
     start = tile_starts_ref[t]
@@ -229,13 +230,11 @@ def _backward_kernel(
             data_hbm.at[:GEOM_ROWS, pl.ds(off, g)], buf.at[slot], sems.at[slot]
         )
 
-    def write_chunk(k):
+    def dma_out(k, slot):
         off = pl.multiple_of(start + k * g, g)
-        cp_o = pltpu.make_async_copy(
-            gcol_vmem, grad_colors_hbm.at[:, pl.ds(off, g)], sems.at[2]
+        return pltpu.make_async_copy(
+            gcol.at[slot], grad_colors_hbm.at[:, pl.ds(off, g)], sems.at[2 + slot]
         )
-        cp_o.start()
-        cp_o.wait()
 
     @pl.when(nchunks > 0)
     def _():
@@ -257,31 +256,36 @@ def _backward_kernel(
         alpha = _chunk_alpha(buf[slot], px, py)
         w, _, new_log_t = _blend_weights(alpha, log_t, g)
 
-        gcol_vmem[:, :] = jax.lax.dot_general(
+        # reclaim this gcol slot before overwriting (write from 2 chunks ago)
+        @pl.when(k >= 2)
+        def _():
+            dma_out(k - 2, slot).wait()
+
+        gcol[slot] = jax.lax.dot_general(
             gout_ref[0, :, :],  # (P, C)
             w,  # (P, G)
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        write_chunk(k)
+        dma_out(k, slot).start()
         return k + 1, new_log_t
 
     init = (jnp.zeros((), jnp.int32), jnp.zeros((p, 1), jnp.float32))
     k_done, _ = jax.lax.while_loop(cond, body, init)
 
+    # drain: in-flight prefetched input + the last (up to) two output writes
     @pl.when(jnp.logical_and(k_done < nchunks, k_done > 0))
     def _():
         dma_in(k_done, jax.lax.rem(k_done, 2)).wait()
 
-    # zero-fill chunks skipped by early termination
-    gcol_vmem[:, :] = jnp.zeros_like(gcol_vmem)
+    @pl.when(k_done >= 2)
+    def _():
+        dma_out(k_done - 2, jax.lax.rem(k_done, 2)).wait()
 
-    def zero_body(k, _):
-        write_chunk(k)
-        return 0
-
-    jax.lax.fori_loop(k_done, nchunks, zero_body, 0)
+    @pl.when(k_done >= 1)
+    def _():
+        dma_out(k_done - 1, jax.lax.rem(k_done - 1, 2)).wait()
 
 
 def _fwd_cost(num_tiles: int, p: int, g: int, c: int, m: int) -> pl.CostEstimate:
@@ -378,24 +382,33 @@ def tile_blend_backward(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, p, c), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # pre-zeroed output alias donor
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, GEOM_ROWS, chunk), jnp.float32),
-            pltpu.VMEM((c, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, c, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
-    kernel = functools.partial(
-        _backward_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w, g=chunk
-    )
+
+    def kernel(ts, tc, data, gout, _zeros, out, buf, gcol, sems):
+        _backward_kernel(
+            ts, tc, data, gout, out, buf, gcol, sems,
+            tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w, g=chunk,
+        )
+
+    zeros = jnp.zeros((c, m), jnp.float32)
     (grad_colors,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((c, m), jnp.float32)],
+        # +2 scalar-prefetch operands precede the tensor inputs in the
+        # aliasing index space: zeros is tensor input #2 → operand index 4
+        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(tile_starts, tile_counts, inst_data, grad_tile_colors)
+    )(tile_starts, tile_counts, inst_data, grad_tile_colors, zeros)
     return grad_colors
