@@ -288,6 +288,294 @@ def _backward_kernel(
         dma_out(k_done - 1, jax.lax.rem(k_done - 1, 2)).wait()
 
 
+def _backward_full_kernel(
+    tile_starts_ref,
+    tile_counts_ref,
+    data_hbm,  # (8+C, M)
+    gout_ref,  # (1, P, C) colour-channel cotangent block
+    galpha_ref,  # (1, P, 1) alpha-output cotangent block
+    grad_colors_hbm,  # (C, M), pre-zeroed via aliasing
+    grad_geom_hbm,  # (8, M), pre-zeroed via aliasing
+    buf,  # (2, 8+C, G)
+    gcol,  # (2, C, G)
+    ggeo,  # (2, 8, G)
+    sems,  # (6,): 2 in + 2 colour-out + 2 geom-out
+    *,
+    tiles_x: int,
+    tile_h: int,
+    tile_w: int,
+    g: int,
+):
+    """Full VJP: colour grads AND screen-space geometry grads.
+
+    Two forward passes over the tile's chunks (no residuals stored):
+      A) recompute weights; accumulate Total_p = sum_i u_i w_i (u = colour
+         cotangent contracted with the splat colour) and the final
+         transmittance; emit colour grads (one MXU matmul per chunk).
+      B) recompute again; the suffix sum the alpha-gradient needs is
+         S_i = Total - prefix_incl_i, so
+
+           dL/dalpha_i = u_i T_i - S_i/(1-a_i) + g_alpha T_fin/(1-a_i)
+
+         (the CUDA kernels' reverse-order accumulation, reformulated as a
+         forward prefix against a precomputed total); chain through the
+         Gaussian quadratic form to [mx, my, ca, cb, cc, opac] and emit per-
+         instance geometry grads.
+    Clamped (alpha=0.999) and floored (alpha<1/255) splats get zero
+    geometry gradients, matching min/where autodiff semantics.
+    """
+    t = pl.program_id(0)
+    start = tile_starts_ref[t]
+    count = tile_counts_ref[t]
+    p = tile_h * tile_w
+
+    px, py = _pixel_coords(t, tiles_x, tile_h, tile_w, p)
+    nchunks = pl.cdiv(count, g)
+
+    def dma_in(k, slot):
+        off = pl.multiple_of(start + k * g, g)
+        return pltpu.make_async_copy(
+            data_hbm.at[:, pl.ds(off, g)], buf.at[slot], sems.at[slot]
+        )
+
+    def dma_col(k, slot):
+        off = pl.multiple_of(start + k * g, g)
+        return pltpu.make_async_copy(
+            gcol.at[slot], grad_colors_hbm.at[:, pl.ds(off, g)], sems.at[2 + slot]
+        )
+
+    def dma_geo(k, slot):
+        off = pl.multiple_of(start + k * g, g)
+        return pltpu.make_async_copy(
+            ggeo.at[slot], grad_geom_hbm.at[:, pl.ds(off, g)], sems.at[4 + slot]
+        )
+
+    def cond3(carry):
+        k, log_t = carry[0], carry[1]
+        return jnp.logical_and(k < nchunks, jnp.max(log_t) >= LOG_T_EPS)
+
+    gout = gout_ref[0, :, :]  # (P, C)
+    galpha = galpha_ref[0, :, 0:1]  # (P, 1)
+
+    # ---------------- pass A: totals + colour grads --------------------------
+    @pl.when(nchunks > 0)
+    def _():
+        dma_in(0, 0).start()
+
+    def body_a(carry):
+        k, log_t, total = carry
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            dma_in(k + 1, 1 - slot).start()
+
+        dma_in(k, slot).wait()
+        data = buf[slot]
+        alpha = _chunk_alpha(data, px, py)
+        w, _, new_log_t = _blend_weights(alpha, log_t, g)
+        u = jax.lax.dot_general(
+            gout, data[GEOM_ROWS:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (P, G)
+        total = total + jnp.sum(u * w, axis=1, keepdims=True)
+
+        @pl.when(k >= 2)
+        def _():
+            dma_col(k - 2, slot).wait()
+
+        gcol[slot] = jax.lax.dot_general(
+            gout, w,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        dma_col(k, slot).start()
+        return k + 1, new_log_t, total
+
+    init_a = (
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((p, 1), jnp.float32),
+        jnp.zeros((p, 1), jnp.float32),
+    )
+    ka, log_t_a, total = jax.lax.while_loop(cond3, body_a, init_a)
+    t_final = jnp.exp(log_t_a)  # naive final transmittance
+
+    @pl.when(jnp.logical_and(ka < nchunks, ka > 0))
+    def _():
+        dma_in(ka, jax.lax.rem(ka, 2)).wait()
+
+    @pl.when(ka >= 2)
+    def _():
+        dma_col(ka - 2, jax.lax.rem(ka, 2)).wait()
+
+    @pl.when(ka >= 1)
+    def _():
+        dma_col(ka - 1, jax.lax.rem(ka - 1, 2)).wait()
+
+    # ---------------- pass B: geometry grads ---------------------------------
+    @pl.when(nchunks > 0)
+    def _():
+        dma_in(0, 0).start()
+
+    def body_b(carry):
+        k, log_t, prefix = carry
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            dma_in(k + 1, 1 - slot).start()
+
+        dma_in(k, slot).wait()
+        data = buf[slot]
+        mx = data[ROW_MX : ROW_MX + 1, :]
+        my = data[ROW_MY : ROW_MY + 1, :]
+        ca = data[ROW_CA : ROW_CA + 1, :]
+        cb = data[ROW_CB : ROW_CB + 1, :]
+        cc = data[ROW_CC : ROW_CC + 1, :]
+        dx = px - mx
+        dy = py - my
+        sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+        vis = jnp.exp(-sigma)
+        alpha_raw = data[ROW_OPAC : ROW_OPAC + 1, :] * vis
+        alpha = jnp.minimum(ALPHA_CLAMP, alpha_raw)
+        live = (sigma >= 0.0) & (alpha >= ALPHA_FLOOR)
+        alpha = jnp.where(live, alpha, 0.0)
+
+        w, _, new_log_t = _blend_weights(alpha, log_t, g)
+        u = jax.lax.dot_general(
+            gout, data[GEOM_ROWS:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        uw = u * w
+        cum = prefix + jax.lax.dot_general(
+            uw, _tri_incl(g),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # inclusive prefix of u*w along the ray
+        t_excl = jnp.where(alpha > 0.0, w / jnp.maximum(alpha, 1e-12), 0.0)
+        inv_1ma = 1.0 / (1.0 - alpha)
+        included = w > 0.0
+        dl_da = jnp.where(
+            included,
+            u * t_excl - (total - cum) * inv_1ma + galpha * t_final * inv_1ma,
+            0.0,
+        )
+        active = included & (alpha_raw < ALPHA_CLAMP)
+        dl_ds = jnp.where(active, dl_da * (-alpha), 0.0)  # d alpha/d sigma = -alpha
+
+        gmx = jnp.sum(dl_ds * (-(ca * dx + cb * dy)), axis=0, keepdims=True)
+        gmy = jnp.sum(dl_ds * (-(cc * dy + cb * dx)), axis=0, keepdims=True)
+        gca = jnp.sum(dl_ds * (0.5 * dx * dx), axis=0, keepdims=True)
+        gcb = jnp.sum(dl_ds * (dx * dy), axis=0, keepdims=True)
+        gcc = jnp.sum(dl_ds * (0.5 * dy * dy), axis=0, keepdims=True)
+        gop = jnp.sum(jnp.where(active, dl_da * vis, 0.0), axis=0, keepdims=True)
+        zero2 = jnp.zeros((2, g), jnp.float32)
+
+        @pl.when(k >= 2)
+        def _():
+            dma_geo(k - 2, slot).wait()
+
+        ggeo[slot] = jnp.concatenate([gmx, gmy, gca, gcb, gcc, gop, zero2], axis=0)
+        dma_geo(k, slot).start()
+        new_prefix = prefix + jnp.sum(uw, axis=1, keepdims=True)
+        return k + 1, new_log_t, new_prefix
+
+    init_b = (
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((p, 1), jnp.float32),
+        jnp.zeros((p, 1), jnp.float32),
+    )
+    kb, _, _ = jax.lax.while_loop(cond3, body_b, init_b)
+
+    @pl.when(jnp.logical_and(kb < nchunks, kb > 0))
+    def _():
+        dma_in(kb, jax.lax.rem(kb, 2)).wait()
+
+    @pl.when(kb >= 2)
+    def _():
+        dma_geo(kb - 2, jax.lax.rem(kb, 2)).wait()
+
+    @pl.when(kb >= 1)
+    def _():
+        dma_geo(kb - 1, jax.lax.rem(kb - 1, 2)).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "tiles_y", "tile_h", "tile_w", "chunk", "interpret"),
+)
+def tile_blend_backward_full(
+    inst_data: jnp.ndarray,  # (8+C, M)
+    tile_starts: jnp.ndarray,
+    tile_counts: jnp.ndarray,
+    grad_tile_colors: jnp.ndarray,  # (T, P, C)
+    grad_tile_alpha: jnp.ndarray,  # (T, P, 1)
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    tile_h: int,
+    tile_w: int,
+    chunk: int = 128,
+    interpret: bool = False,
+):
+    """Returns (grad_colors (C, M), grad_geom (8, M)) per instance."""
+    num_tiles = tiles_x * tiles_y
+    p = tile_h * tile_w
+    c = grad_tile_colors.shape[-1]
+    m = inst_data.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, p, c), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # zeros → grad_colors alias
+            pl.BlockSpec(memory_space=pl.ANY),  # zeros → grad_geom alias
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, GEOM_ROWS + c, chunk), jnp.float32),
+            pltpu.VMEM((2, c, chunk), jnp.float32),
+            pltpu.VMEM((2, GEOM_ROWS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+    )
+
+    def kernel(ts, tc, data, gout, galpha, _z1, _z2, out_c, out_g, buf, gc, gg, sems):
+        _backward_full_kernel(
+            ts, tc, data, gout, galpha, out_c, out_g, buf, gc, gg, sems,
+            tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w, g=chunk,
+        )
+
+    zc = jnp.zeros((c, m), jnp.float32)
+    zg = jnp.zeros((GEOM_ROWS, m), jnp.float32)
+    grad_colors, grad_geom = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((c, m), jnp.float32),
+            jax.ShapeDtypeStruct((GEOM_ROWS, m), jnp.float32),
+        ],
+        # scalar-prefetch operands occupy indices 0-1; tensor inputs follow:
+        # data=2, gout=3, galpha=4, zc=5, zg=6
+        input_output_aliases={5: 0, 6: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(tile_starts, tile_counts, inst_data, grad_tile_colors, grad_tile_alpha, zc, zg)
+    return grad_colors, grad_geom
+
+
 def _fwd_cost(num_tiles: int, p: int, g: int, c: int, m: int) -> pl.CostEstimate:
     # rough per-tile estimate assuming ~2 chunks average; guides scheduling only
     chunks = max(2 * num_tiles, m // g)

@@ -37,6 +37,7 @@ class RasterizeConfig:
     budget_factor: int = 4  # instance budget = factor * N
     budget: Optional[int] = None  # explicit override
     interpret: bool = False  # Pallas interpreter mode (CPU tests)
+    geometry_grads: bool = False  # full VJP (means/quats/scales/opacities)
 
     def instance_budget(self, n: int) -> int:
         if self.budget is not None:
@@ -196,6 +197,72 @@ def _blend_bwd(grid_dims, cfg, res, g):
 _blend.defvjp(_blend_fwd, _blend_bwd)
 
 
+# ---------------------------------------------------------------------------
+# full-gradient blend: colours AND screen-space geometry
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _blend_full(colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg):
+    """Tile blend differentiable wrt colors AND the (N+1, 8) geometry table
+    ([mx, my, ca, cb, cc, opac, 0, 0] rows). Chaining the table gradient
+    through the (pure-JAX, autodiffable) projection yields means / quats /
+    scales / opacities gradients — the rasterizer VJP the reference gets
+    from gsplat's CUDA backward, needed for RGB pretraining/densification."""
+    return _blend_fwd_impl(
+        colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg
+    )
+
+
+def _blend_full_fwd(colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg):
+    out = _blend_fwd_impl(
+        colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg
+    )
+    residuals = (colors, geom_table, inst_gid, tile_starts, tile_counts)
+    return out, residuals
+
+
+def _blend_full_bwd(grid_dims, cfg, res, g):
+    colors, geom_table, inst_gid, tile_starts, tile_counts = res
+    n = colors.shape[0]
+    tiles_x, tiles_y = grid_dims
+    g_img, g_alpha = g
+    colors_pad = jnp.concatenate(
+        [colors, jnp.zeros((1, colors.shape[1]), colors.dtype)], axis=0
+    )
+    table = jnp.concatenate([geom_table, colors_pad], axis=1)
+    inst_data = table[inst_gid].T
+    grad_inst_col, grad_inst_geom = pk.tile_blend_backward_full(
+        inst_data,
+        tile_starts,
+        tile_counts,
+        g_img,
+        g_alpha,
+        tiles_x=tiles_x,
+        tiles_y=tiles_y,
+        tile_h=cfg.tile_h,
+        tile_w=cfg.tile_w,
+        chunk=cfg.chunk,
+        interpret=cfg.interpret,
+    )
+    grad_colors = jax.ops.segment_sum(
+        grad_inst_col.T, inst_gid, num_segments=n + 1
+    )[:n]
+    grad_table = jax.ops.segment_sum(
+        grad_inst_geom.T, inst_gid, num_segments=n + 1
+    )
+    return (
+        grad_colors,
+        grad_table,  # (N+1, 8) — matches geom_table
+        _float0_like(inst_gid),
+        _float0_like(tile_starts),
+        _float0_like(tile_counts),
+    )
+
+
+_blend_full.defvjp(_blend_full_fwd, _blend_full_bwd)
+
+
 def _project_geom_table(means, quats, scales, opacities, viewmat, K, width, height):
     proj = project_gaussians(means, quats, scales, viewmat, K, width, height)
     return _geom_table(proj, opacities)
@@ -276,18 +343,38 @@ def rasterize(
 ) -> RasterizeResult:
     """Rasterize N Gaussians with C colour channels into an (H, W, C) image.
 
-    Gradients: d image / d colors is exact; geometry inputs are
-    stop-gradiented (GAD trains features only — see module docstring).
+    Gradients: d image / d colors is always exact. With
+    config.geometry_grads, gradients also flow to means / quats / scales /
+    opacities (Pallas full backward + autodiff through the projection);
+    otherwise geometry is stop-gradiented — the GAD training setup, where
+    only per-Gaussian features are optimised (gaussian_model.py:192-206).
+    Tile binning is discrete and always treated as non-differentiable.
     """
-    means = jax.lax.stop_gradient(means)
-    quats = jax.lax.stop_gradient(quats)
-    scales = jax.lax.stop_gradient(scales)
-    opacities = jax.lax.stop_gradient(opacities)
+    if not config.geometry_grads:
+        means = jax.lax.stop_gradient(means)
+        quats = jax.lax.stop_gradient(quats)
+        scales = jax.lax.stop_gradient(scales)
+        opacities = jax.lax.stop_gradient(opacities)
 
-    proj, binned, geom_table, tiles_x, tiles_y = _prepare(
-        means, quats, scales, opacities, viewmat, K, width, height, config
+    # binning decisions come from a gradient-stopped projection
+    proj_sg, binned, _, tiles_x, tiles_y = _prepare(
+        jax.lax.stop_gradient(means),
+        jax.lax.stop_gradient(quats),
+        jax.lax.stop_gradient(scales),
+        jax.lax.stop_gradient(opacities),
+        viewmat, K, width, height, config,
     )
-    tile_img, tile_alpha = _blend(
+    proj = proj_sg
+    if config.geometry_grads:
+        # differentiable geometry table (autodiff chains table grads back)
+        geom_table, proj = _project_geom_table(
+            means, quats, scales, opacities, viewmat, K, width, height
+        )
+        blend_fn = _blend_full
+    else:
+        geom_table, _ = _geom_table(proj_sg, opacities)
+        blend_fn = _blend
+    tile_img, tile_alpha = blend_fn(
         colors,
         geom_table,
         binned.inst_gid,
