@@ -79,6 +79,35 @@ def _tri_incl(g: int) -> jnp.ndarray:
     return (r <= c).astype(jnp.float32)
 
 
+SCAN_BLOCK = 128  # tri-matmul width; cumsum cost stays LINEAR in chunk size
+
+
+def _cumsum_lanes(x, g: int):
+    """Inclusive prefix sum along lanes via blocked triangular matmuls.
+
+    One (P, B) @ (B, B) per 128-lane block with a scalar-column carry — so a
+    G=256/512 chunk costs the same MACs per splat as G=128, but the kernel's
+    per-iteration overhead (DMA issue, loop bookkeeping) is amortised over
+    more splats.
+    """
+    b = min(SCAN_BLOCK, g)
+    tri = _tri_incl(b)
+    blocks = []
+    carry = jnp.zeros((x.shape[0], 1), jnp.float32)
+    for s in range(g // b):
+        xs = x[:, s * b : (s + 1) * b]
+        cum_s = carry + jax.lax.dot_general(
+            xs,
+            tri,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        carry = cum_s[:, b - 1 : b]
+        blocks.append(cum_s)
+    return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=1)
+
+
 def _blend_weights(alpha, log_t, g: int):
     """Per-splat blend weights + updated log transmittance for one chunk.
 
@@ -88,13 +117,7 @@ def _blend_weights(alpha, log_t, g: int):
       new_log_t         = naive log T after the whole chunk
     """
     l1m = jnp.log1p(-alpha)  # (P, G); 0 for skipped splats
-    cum_incl = jax.lax.dot_general(
-        l1m,
-        _tri_incl(g),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    cum_incl = _cumsum_lanes(l1m, g)
     log_t_incl = log_t + cum_incl  # (P, G) naive inclusive
     log_t_excl = log_t_incl - l1m  # exclusive (T before this splat)
     include = log_t_incl >= LOG_T_EPS
@@ -452,12 +475,7 @@ def _backward_full_kernel(
             precision=jax.lax.Precision.HIGHEST,
         )
         uw = u * w
-        cum = prefix + jax.lax.dot_general(
-            uw, _tri_incl(g),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # inclusive prefix of u*w along the ray
+        cum = prefix + _cumsum_lanes(uw, g)  # inclusive prefix along the ray
         t_excl = jnp.where(alpha > 0.0, w / jnp.maximum(alpha, 1e-12), 0.0)
         inv_1ma = 1.0 / (1.0 - alpha)
         included = w > 0.0
