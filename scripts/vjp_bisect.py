@@ -16,6 +16,7 @@ cfg = RasterizeConfig(
     tile_w=int(os.environ.get("TW", 128)),
     tile_h=int(os.environ.get("TH", 8)),
     budget_factor=int(os.environ.get("BF", 4)),
+    chunk=int(os.environ.get("CHUNK", 128)),
 )
 b = prepare_binning(means, quats, scales, cam.viewmat, cam.K, W, H, cfg)
 proj = project_gaussians(means, quats, scales, cam.viewmat, cam.K, W, H)
