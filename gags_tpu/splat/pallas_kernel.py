@@ -101,7 +101,7 @@ def _cumsum_lanes(x, g: int):
             tri,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,
+            precision=jax.lax.Precision.HIGHEST,
         )
         carry = cum_s[:, b - 1 : b]
         blocks.append(cum_s)
@@ -190,7 +190,7 @@ def _forward_kernel(
             data[GEOM_ROWS:, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,
+            precision=jax.lax.Precision.HIGHEST,
         )
         chunk_min = jnp.min(
             jnp.where(log_t_incl_masked < 0.0, log_t_incl_masked, 0.0),
@@ -289,7 +289,7 @@ def _backward_kernel(
             w,  # (P, G)
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,
+            precision=jax.lax.Precision.HIGHEST,
         )
         dma_out(k, slot).start()
         return k + 1, new_log_t
@@ -401,7 +401,7 @@ def _backward_full_kernel(
             gout, data[GEOM_ROWS:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (P, G)
         total = total + jnp.sum(u * w, axis=1, keepdims=True)
 
@@ -413,7 +413,7 @@ def _backward_full_kernel(
             gout, w,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,
+            precision=jax.lax.Precision.HIGHEST,
         )
         dma_col(k, slot).start()
         return k + 1, new_log_t, total
@@ -472,7 +472,7 @@ def _backward_full_kernel(
             gout, data[GEOM_ROWS:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,
+            precision=jax.lax.Precision.HIGHEST,
         )
         uw = u * w
         cum = prefix + _cumsum_lanes(uw, g)  # inclusive prefix along the ray
