@@ -1,0 +1,68 @@
+"""Round-end TPU hardware validation: forward parity, full-VJP parity, FPS."""
+import sys, time
+
+sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
+from gags_tpu.splat.rasterizer import RasterizeConfig, rasterize
+from gags_tpu.splat.projection import project_gaussians
+from gags_tpu.splat.reference import rasterize_reference
+from gags_tpu.utils.synthetic import make_scene, make_camera
+
+print(jax.devices(), flush=True)
+
+# ---- 1. forward parity at 128², 2000 gaussians --------------------------
+raw = make_scene(2000, seed=1)
+m, q, s, o = (jnp.asarray(raw[k]) for k in ("means", "quats", "scales", "opacities"))
+c = jnp.asarray(raw["features"])
+cam = make_camera(128, 128)
+cfg = RasterizeConfig()
+img = jax.jit(lambda *a: rasterize(*a, cam.viewmat, cam.K, 128, 128, config=cfg).image)(m, q, s, o, c)
+cpu = jax.devices("cpu")[0]
+with jax.default_device(cpu):
+    p = project_gaussians(m, q, s, cam.viewmat, cam.K, 128, 128)
+    ref, _ = rasterize_reference(p.means2d, p.conics, p.depths, p.radii, o, c, 128, 128)
+err = float(jnp.max(jnp.abs(img - jnp.asarray(np.asarray(ref)))))
+print(f"forward parity max err: {err:.2e} {'OK' if err < 1e-3 else 'FAIL'}", flush=True)
+
+# ---- 2. full-VJP parity (geometry grads) --------------------------------
+cfg_g = RasterizeConfig(geometry_grads=True, budget_factor=8)
+raw2 = make_scene(400, seed=2)
+m2, q2, s2 = (jnp.asarray(raw2[k]) for k in ("means", "quats", "scales"))
+o2 = jnp.asarray(raw2["opacities"]) * 0.6  # avoid saturation
+c2 = jnp.asarray(raw2["features"][:, :3])
+tgt = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (128, 128, 3)).astype(np.float32))
+
+def loss_tpu(mm, qq, ss, oo, cc):
+    r = rasterize(mm, qq, ss, oo, cc, cam.viewmat, cam.K, 128, 128, config=cfg_g)
+    return jnp.mean(jnp.abs(r.image - tgt)) + 0.1 * jnp.mean(r.alpha)
+
+g_tpu = jax.jit(jax.grad(loss_tpu, argnums=(0, 1, 2, 3, 4)))(m2, q2, s2, o2, c2)
+
+with jax.default_device(cpu):
+    def loss_ref(mm, qq, ss, oo, cc):
+        p = project_gaussians(mm, qq, ss, cam.viewmat, cam.K, 128, 128)
+        img, alpha = rasterize_reference(
+            p.means2d, p.conics, p.depths, p.radii, oo * p.compensations, cc, 128, 128
+        )
+        return jnp.mean(jnp.abs(img - tgt)) + 0.1 * jnp.mean(alpha)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(m2, q2, s2, o2, c2)
+
+for name, a, b in zip(["means", "quats", "scales", "opac", "colors"], g_ref, g_tpu):
+    a, b = np.asarray(a), np.asarray(b)
+    scale = np.abs(a).max() + 1e-8
+    rel = np.abs(a - b).max() / scale
+    print(f"grad {name}: rel max err {rel:.2e} {'OK' if rel < 5e-3 else 'FAIL'}", flush=True)
+
+# ---- 3. headline FPS ------------------------------------------------------
+raw3 = make_scene(250_000, seed=0, extent=3.0)
+m3, q3, s3, o3 = (jnp.asarray(raw3[k]) for k in ("means", "quats", "scales", "opacities"))
+c3 = jnp.asarray(raw3["features"])
+cam3 = make_camera(1280, 720)
+f = jax.jit(lambda *a: rasterize(*a, cam3.viewmat, cam3.K, 1280, 720, config=cfg).image)
+img = f(m3, q3, s3, o3, c3); img.block_until_ready()
+t0 = time.perf_counter()
+for _ in range(30):
+    img = f(m3, q3, s3, o3, c3)
+img.block_until_ready()
+dt = (time.perf_counter() - t0) / 30
+print(f"720p 250k C16: {dt*1000:.1f} ms = {1/dt:.2f} FPS", flush=True)
