@@ -52,9 +52,15 @@ def build_scaling_rotation(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarr
 
 
 def build_covariance_3d(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
-    """Full 3x3 covariance Sigma = R S S^T R^T (reference gaussian_model.py:28-32)."""
+    """Full 3x3 covariance Sigma = R S S^T R^T (reference gaussian_model.py:28-32).
+
+    True-f32 matmul: TPU's default bf16 lowering visibly distorts conics."""
+    import jax
+
     L = build_scaling_rotation(scales, quats)
-    return L @ jnp.swapaxes(L, -1, -2)
+    return jnp.einsum(
+        "nij,nkj->nik", L, L, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def strip_symmetric(cov: jnp.ndarray) -> jnp.ndarray:

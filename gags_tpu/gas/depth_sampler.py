@@ -36,7 +36,13 @@ def project_points(
     cut_bound: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (u (N,), v (N,), visible (N,) bool) with occlusion testing."""
-    p = points @ viewmat[:3, :3].T + viewmat[:3, 3]
+    p = (
+        jnp.einsum(
+            "nj,ij->ni", points, viewmat[:3, :3],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + viewmat[:3, 3]
+    )
     z = p[:, 2]
     zs = jnp.where(z == 0, 1e-9, z)
     u = jnp.round(p[:, 0] * K[0, 0] / zs + K[0, 2]).astype(jnp.int32)
@@ -69,7 +75,13 @@ def min_depth_over_cameras(
 
     def one_cam(carry, cam):
         vm, K, dm = cam
-        p = points @ vm[:3, :3].T + vm[:3, 3]
+        p = (
+            jnp.einsum(
+                "nj,ij->ni", points, vm[:3, :3],
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            + vm[:3, 3]
+        )
         z = p[:, 2]
         u, v, vis = project_points(points, vm, K, dm, w, h, vis_thres=vis_thres)
         carry = jnp.minimum(carry, jnp.where(vis, z, BIG))

@@ -35,6 +35,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
+SERIAL_DMA = os.environ.get("GAGS_SERIAL_DMA", "0") == "1"
+
 ALPHA_FLOOR = 1.0 / 255.0
 ALPHA_CLAMP = 0.999
 LOG_T_EPS = math.log(1e-4)
@@ -173,10 +177,15 @@ def _forward_kernel(
         k, log_t, log_t_rep = carry
         slot = jax.lax.rem(k, 2)
 
-        # overlap: issue the next chunk's load before computing this one
-        @pl.when(k + 1 < nchunks)
-        def _():
-            dma(k + 1, 1 - slot).start()
+        if not SERIAL_DMA:
+            # overlap: issue the next chunk's load before computing this one
+            @pl.when(k + 1 < nchunks)
+            def _():
+                dma(k + 1, 1 - slot).start()
+        else:
+            @pl.when(k > 0)
+            def _():
+                dma(k, slot).start()
 
         dma(k, slot).wait()
         data = buf[slot]  # (8+C, G)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from gags_tpu.core.transforms import build_covariance_3d
@@ -64,14 +65,20 @@ def project_gaussians(
     cx, cy = K[0, 2], K[1, 2]
 
     # --- world → camera ------------------------------------------------------
-    p_cam = means @ R.T + t  # (N, 3)
+    # K=3 matmuls MUST run in true f32: the TPU default lowers matmuls to
+    # bf16, which jitters means2d by ~0.3 px and flips tile assignments
+    p_cam = (
+        jnp.einsum("nj,ij->ni", means, R, precision=jax.lax.Precision.HIGHEST) + t
+    )  # (N, 3)
     z = p_cam[:, 2]
     in_depth = (z > near_plane) & (z < far_plane)
     zs = jnp.where(in_depth, z, 1.0)  # avoid div-by-zero on culled points
 
     # --- 3D covariance in camera frame ---------------------------------------
     cov3d = build_covariance_3d(scales, quats)  # (N, 3, 3)
-    cov_cam = jnp.einsum("ij,njk,lk->nil", R, cov3d, R)  # R Σ R^T
+    cov_cam = jnp.einsum(
+        "ij,njk,lk->nil", R, cov3d, R, precision=jax.lax.Precision.HIGHEST
+    )  # R Σ R^T
 
     # --- perspective Jacobian with gsplat's FoV clamping ----------------------
     tan_fovx = 0.5 * width / fx

@@ -130,15 +130,26 @@ def _blend(colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cf
     )
 
 
+def _pad_channels(colors):
+    """Pad C to a multiple of 8 so the (8+C, M) instance array's sublane
+    dimension meets the TPU tiling constraint (RGB's 8+3=11 won't compile)."""
+    c = colors.shape[1]
+    c_pad = (-c) % 8
+    if c_pad:
+        colors = jnp.pad(colors, ((0, 0), (0, c_pad)))
+    return colors, c
+
+
 def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg):
     tiles_x, tiles_y = grid_dims
+    colors, c_true = _pad_channels(colors)
     colors_pad = jnp.concatenate(
         [colors, jnp.zeros((1, colors.shape[1]), colors.dtype)], axis=0
     )
     # ONE row-major gather of geometry + colours together (contiguous
     # 8+C floats per index), one transpose to the kernel's lane-major layout
-    table = jnp.concatenate([geom_table, colors_pad], axis=1)  # (N+1, 8+C)
-    inst_data = table[inst_gid].T  # (8+C, M)
+    table = jnp.concatenate([geom_table, colors_pad], axis=1)  # (N+1, 8+Cp)
+    inst_data = table[inst_gid].T  # (8+Cp, M)
     out = pk.tile_blend_forward(
         inst_data,
         tile_starts,
@@ -150,7 +161,7 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, grid
         chunk=cfg.chunk,
         interpret=cfg.interpret,
     )
-    return out[..., :-1], out[..., -1:]
+    return out[..., :c_true], out[..., -1:]
 
 
 def _blend_fwd(colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg):
@@ -169,6 +180,8 @@ def _blend_bwd(grid_dims, cfg, res, g):
     n, geom_table, inst_gid, tile_starts, tile_counts = res
     tiles_x, tiles_y = grid_dims
     g_img, _g_alpha = g  # alpha has no colour dependence
+    c_true = g_img.shape[-1]
+    g_img = jnp.pad(g_img, ((0, 0), (0, 0), (0, (-c_true) % 8)))
     geom_inst = geom_table[inst_gid].T  # (8, M) — recomputed, not stored
     grad_inst = pk.tile_blend_backward(
         geom_inst,  # backward reads only the first 8 rows
@@ -184,7 +197,7 @@ def _blend_bwd(grid_dims, cfg, res, g):
     )  # (C, M)
     grad_colors = jax.ops.segment_sum(
         grad_inst.T, inst_gid, num_segments=n + 1, indices_are_sorted=False
-    )[:n]
+    )[:n, :c_true]
     return (
         grad_colors,
         jnp.zeros_like(geom_table),
@@ -227,6 +240,9 @@ def _blend_full_bwd(grid_dims, cfg, res, g):
     n = colors.shape[0]
     tiles_x, tiles_y = grid_dims
     g_img, g_alpha = g
+    c_true = g_img.shape[-1]
+    g_img = jnp.pad(g_img, ((0, 0), (0, 0), (0, (-c_true) % 8)))
+    colors, _ = _pad_channels(colors)
     colors_pad = jnp.concatenate(
         [colors, jnp.zeros((1, colors.shape[1]), colors.dtype)], axis=0
     )
@@ -247,7 +263,7 @@ def _blend_full_bwd(grid_dims, cfg, res, g):
     )
     grad_colors = jax.ops.segment_sum(
         grad_inst_col.T, inst_gid, num_segments=n + 1
-    )[:n]
+    )[:n, :c_true]
     grad_table = jax.ops.segment_sum(
         grad_inst_geom.T, inst_gid, num_segments=n + 1
     )

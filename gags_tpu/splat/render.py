@@ -77,7 +77,13 @@ def render(
     if ed:
         # expected depth rides along as an extra colour channel and is
         # normalised by alpha afterwards (gsplat "RGB+ED" semantics)
-        depth_cam = (means @ camera.viewmat[:3, :3].T + camera.viewmat[:3, 3])[:, 2]
+        depth_cam = (
+            jnp.einsum(
+                "nj,ij->ni", means, camera.viewmat[:3, :3],
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            + camera.viewmat[:3, 3]
+        )[:, 2]
         colors = jnp.concatenate([colors, depth_cam[:, None]], axis=-1)
         if bg is not None:
             bg = jnp.concatenate([bg, jnp.zeros((1,), bg.dtype)])
