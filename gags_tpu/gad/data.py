@@ -57,7 +57,9 @@ class GadDataset:
         for info in cam_infos:
             if not info.f_path:
                 raise ValueError(f"camera {info.name} has no language features")
-            emb = np.load(info.f_path).astype(np.float32)  # (M, D)
+            emb = np.load(info.f_path)  # (M, D), typically float16 on disk
+            if emb.dtype not in (np.float16, np.float32):
+                emb = emb.astype(np.float32)
             seg = np.load(info.s_path)  # (4, h, w) float with -1
             cam = camera_from_info(info, resolution)
             seg = _nearest_resize_np(seg, (cam.height, cam.width))
@@ -71,7 +73,7 @@ class GadDataset:
                 raise ValueError(
                     f"{name}: {emb.shape[0]} masks > max_masks={self.max_masks}"
                 )
-            pad = np.zeros((self.max_masks, emb.shape[1]), np.float32)
+            pad = np.zeros((self.max_masks, emb.shape[1]), emb.dtype)
             pad[: emb.shape[0]] = emb
             self.examples.append(
                 GadExample(

@@ -56,7 +56,10 @@ def blend_gt_feature_map(
     seg_sml = seg_map[..., 1:4]  # (H, W, 3)
     valid = seg_sml != -1
     idx = jnp.maximum(seg_sml, 0)
-    feats = img_embed[idx]  # (H, W, 3, D)
+    # gather in the embeddings' storage dtype (f16 on disk — reference
+    # preprocess.py:352 saves half precision), halving the dominant HBM
+    # traffic of supervision; arithmetic upcasts to f32 right after
+    feats = img_embed[idx].astype(jnp.float32)  # (H, W, 3, D)
 
     mask_all = jnp.all(valid, axis=-1).astype(jnp.float32)[..., None]  # (H, W, 1)
     mask = resize_nearest(mask_all, (h_out, w_out)).astype(bool)
