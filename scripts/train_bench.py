@@ -29,8 +29,8 @@ jax.block_until_ready(b)
 print(f"prepare_binning: {time.time()-t0:.1f}s (incl compile), overflow={int(b.overflow)}", flush=True)
 
 rng = np.random.default_rng(1)
-emb = rng.normal(size=(M_MASKS, 512)).astype(np.float32)
-emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+emb = rng.normal(size=(M_MASKS, 512)).astype(np.float16)
+emb /= np.linalg.norm(emb.astype(np.float32), axis=1, keepdims=True).astype(np.float16)
 seg = rng.integers(-1, M_MASKS, size=(H, W, 4)).astype(np.int32)
 batch = dict(
     viewmat=cam.viewmat, K=cam.K, img_embed=jnp.asarray(emb), seg_map=jnp.asarray(seg),
