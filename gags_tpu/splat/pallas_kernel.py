@@ -233,6 +233,7 @@ def _backward_kernel(
     grad_colors_hbm,  # output, (C, M) in HBM; pre-zeroed via aliasing
     buf,  # (2, 8, G) input double buffer (geometry rows only)
     gcol,  # (2, C, G) output double buffer
+    gout_t,  # (C, P) scratch: transposed cotangent (hoisted out of the loop)
     sems,  # (4,): 2 input slots + 2 output slots
     *,
     tiles_x: int,
@@ -255,6 +256,9 @@ def _backward_kernel(
 
     px, py = _pixel_coords(t, tiles_x, tile_h, tile_w, p)
     nchunks = pl.cdiv(count, g)
+    # one transpose per tile so the per-chunk gradient matmul is the
+    # canonical (C, P) @ (P, G) MXU form (no per-chunk relayout of w)
+    gout_t[:, :] = gout_ref[0, :, :].T
 
     def dma_in(k, slot):
         off = pl.multiple_of(start + k * g, g)
@@ -294,9 +298,9 @@ def _backward_kernel(
             dma_out(k - 2, slot).wait()
 
         gcol[slot] = jax.lax.dot_general(
-            gout_ref[0, :, :],  # (P, C)
+            gout_t[:, :],  # (C, P)
             w,  # (P, G)
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -331,6 +335,7 @@ def _backward_full_kernel(
     buf,  # (2, 8+C, G)
     gcol,  # (2, C, G)
     ggeo,  # (2, 8, G)
+    gout_t,  # (C, P) transposed cotangent scratch
     sems,  # (6,): 2 in + 2 colour-out + 2 geom-out
     *,
     tiles_x: int,
@@ -388,6 +393,7 @@ def _backward_full_kernel(
 
     gout = gout_ref[0, :, :]  # (P, C)
     galpha = galpha_ref[0, :, 0:1]  # (P, 1)
+    gout_t[:, :] = gout.T  # once per tile
 
     # ---------------- pass A: totals + colour grads --------------------------
     @pl.when(nchunks > 0)
@@ -419,8 +425,8 @@ def _backward_full_kernel(
             dma_col(k - 2, slot).wait()
 
         gcol[slot] = jax.lax.dot_general(
-            gout, w,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            gout_t[:, :], w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -575,13 +581,14 @@ def tile_blend_backward_full(
             pltpu.VMEM((2, GEOM_ROWS + c, chunk), jnp.float32),
             pltpu.VMEM((2, c, chunk), jnp.float32),
             pltpu.VMEM((2, GEOM_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((c, p), jnp.float32),
             pltpu.SemaphoreType.DMA((6,)),
         ],
     )
 
-    def kernel(ts, tc, data, gout, galpha, _z1, _z2, out_c, out_g, buf, gc, gg, sems):
+    def kernel(ts, tc, data, gout, galpha, _z1, _z2, out_c, out_g, buf, gc, gg, gt_, sems):
         _backward_full_kernel(
-            ts, tc, data, gout, galpha, out_c, out_g, buf, gc, gg, sems,
+            ts, tc, data, gout, galpha, out_c, out_g, buf, gc, gg, gt_, sems,
             tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w, g=chunk,
         )
 
@@ -705,13 +712,14 @@ def tile_blend_backward(
         scratch_shapes=[
             pltpu.VMEM((2, GEOM_ROWS, chunk), jnp.float32),
             pltpu.VMEM((2, c, chunk), jnp.float32),
+            pltpu.VMEM((c, p), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
 
-    def kernel(ts, tc, data, gout, _zeros, out, buf, gcol, sems):
+    def kernel(ts, tc, data, gout, _zeros, out, buf, gcol, gout_t, sems):
         _backward_kernel(
-            ts, tc, data, gout, out, buf, gcol, sems,
+            ts, tc, data, gout, out, buf, gcol, gout_t, sems,
             tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w, g=chunk,
         )
 
