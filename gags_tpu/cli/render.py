@@ -132,14 +132,31 @@ def main():
     )
     scene = GaussianScene.from_ply(ply)
 
+    # feature mode: load the trained scale decoder (if a checkpoint exists)
+    # so scale maps get saved alongside the PCA visualisation
+    scale_decoder = scale_params = None
+    if args.feature_mode and scene.semantic_features is not None:
+        from gags_tpu.gad.checkpoints import latest_checkpoint_step, load_checkpoint
+        from gags_tpu.gad.train import GadConfig, create_train_state
+
+        step = latest_checkpoint_step(args.model_path)
+        if step is not None:
+            cfg = GadConfig.load(
+                args.model_path, feature_dim=scene.semantic_features.shape[1]
+            )
+            state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)
+            state = load_checkpoint(args.model_path, step, state)
+            scale_decoder = statics["scale_decoder"]
+            scale_params = state.scale_params
+
     if not args.skip_train:
         render_set(args.model_path, "train", args.iteration, info.train_cameras,
                    scene, args.feature_mode, args.feature_npy, args.render_mode,
-                   args.resolution)
+                   args.resolution, scale_params, scale_decoder)
     if not args.skip_test and info.test_cameras:
         render_set(args.model_path, "test", args.iteration, info.test_cameras,
                    scene, args.feature_mode, args.feature_npy, args.render_mode,
-                   args.resolution)
+                   args.resolution, scale_params, scale_decoder)
 
 
 if __name__ == "__main__":
