@@ -51,17 +51,25 @@ def region_balanced_l1(
     loss_map: jnp.ndarray,  # (H, W) per-pixel loss
     seg: jnp.ndarray,  # (H, W) int32 mixed segment ids, -1 = invalid
     max_segments: int,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """Mean over regions of the per-region mean loss.
 
     Matches `Scale_balance_loss(mix_seg=True)` (loss_utils.py:36-57): regions
     weigh equally regardless of pixel count, so small objects aren't drowned
     out by walls/floors.
+
+    With `axis_name` (inside shard_map over image strips), the per-region
+    sums/counts are psum-reduced over the mesh axis first, so the result is
+    the exact full-image loss on every device.
     """
     ids = (seg + 1).reshape(-1)  # 0 = invalid bucket
     flat = loss_map.reshape(-1)
     sums = jax.ops.segment_sum(flat, ids, num_segments=max_segments + 1)[1:]
     cnts = jax.ops.segment_sum(jnp.ones_like(flat), ids, num_segments=max_segments + 1)[1:]
+    if axis_name is not None:
+        sums = jax.lax.psum(sums, axis_name)
+        cnts = jax.lax.psum(cnts, axis_name)
     present = cnts > 0
     means = jnp.where(present, sums / jnp.maximum(cnts, 1.0), 0.0)
     return jnp.sum(means) / jnp.maximum(jnp.sum(present), 1)
@@ -71,6 +79,7 @@ def region_variance_loss(
     feat: jnp.ndarray,  # (H, W, C)
     seg: jnp.ndarray,  # (H, W) int32, -1 = invalid
     max_segments: int,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """Pixel-count-weighted per-region feature variance.
 
@@ -78,6 +87,10 @@ def region_variance_loss(
     103-136): for each region with >=2 pixels, the unbiased variance per
     channel, averaged over channels, times the pixel count; summed and
     normalised by H*W.
+
+    With `axis_name`, moments are psum-reduced over image strips (exact
+    full-image variance on every device); h is then the strip height, so
+    the h*w normaliser is rescaled by the axis size.
     """
     h, w, c = feat.shape
     ids = (seg + 1).reshape(-1)
@@ -86,13 +99,19 @@ def region_variance_loss(
     cnt = jax.ops.segment_sum(jnp.ones((h * w,), feat.dtype), ids, num_segments=ns)
     s1 = jax.ops.segment_sum(flat, ids, num_segments=ns)  # (S, C)
     s2 = jax.ops.segment_sum(flat * flat, ids, num_segments=ns)
+    npix = h * w
+    if axis_name is not None:
+        cnt = jax.lax.psum(cnt, axis_name)
+        s1 = jax.lax.psum(s1, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
+        npix = npix * jax.lax.axis_size(axis_name)
     n = cnt[:, None]
     # unbiased: (sum(x^2) - n*mean^2) / (n - 1)
     var = (s2 - s1 * s1 / jnp.maximum(n, 1.0)) / jnp.maximum(n - 1.0, 1.0)
     var = jnp.maximum(var, 0.0)  # guard fp cancellation
     valid = (cnt >= 2).at[0].set(False)  # drop the invalid bucket
     contrib = jnp.where(valid, cnt * jnp.mean(var, axis=-1), 0.0)
-    return jnp.sum(contrib) / (h * w)
+    return jnp.sum(contrib) / npix
 
 
 def tv_loss(feat: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,371 @@
+"""Gaussian-axis sharding + tile-space (image-strip) rasterization.
+
+For scenes too large to replicate per chip (SURVEY.md §2.3(b): Mip-NeRF360
+scale, ~1M+ Gaussians at 1080p — BASELINE config 4), the scene parameters
+are sharded over the mesh's Gaussian axis while rasterization is sharded
+over *tile rows* of the image:
+
+  1. each device projects its own Gaussian shard (N/D work);
+  2. the per-Gaussian screen-space table (geometry rows, bin info, colour
+     rows) is all-gathered over ICI — O(N·(12+C)) floats, one collective;
+  3. each device bins + blends ONLY its strip of tile rows (T/D tiles),
+     reusing the exact single-chip kernels on y-shifted coordinates;
+  4. the output image comes back sharded by rows; feature gradients flow
+     through the all-gather, whose transpose is a psum_scatter — each
+     device ends up with the exact gradient of its own feature shard.
+
+This replaces the reference's single-GPU assumption (`train.py:51-52` CPU
+staging); there is no reference counterpart. The per-strip region losses
+are made exact with psum'd segment moments (losses.py `axis_name`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gags_tpu.gad import losses
+from gags_tpu.gad.supervision import blend_gt_feature_map
+from gags_tpu.gad.train import GadConfig, TrainState
+from gags_tpu.splat import tiles
+from gags_tpu.splat.projection import project_gaussians
+from gags_tpu.splat.rasterizer import (
+    RasterizeConfig,
+    _blend,
+    _tiles_to_image,
+)
+from gags_tpu.utils.image import mean_smooth
+
+
+def pad_to_multiple(x: jnp.ndarray, mult: int, axis: int = 0) -> jnp.ndarray:
+    pad = (-x.shape[axis]) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def shard_gaussians(
+    geom: Dict[str, jnp.ndarray], features: jnp.ndarray, mesh: Mesh
+) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+    """Pad N to a mesh multiple and device_put everything sharded on axis 0.
+
+    Adds a `valid` (N_pad,) float mask: padding Gaussians are force-culled
+    (radii zeroed) so they never produce instances.
+    """
+    d = mesh.size
+    axis = mesh.axis_names[0]
+    n = geom["means"].shape[0]
+    out = {k: pad_to_multiple(v, d) for k, v in geom.items()}
+    out["valid"] = (jnp.arange(out["means"].shape[0]) < n).astype(jnp.float32)
+    feats = pad_to_multiple(features, d)
+    sh = NamedSharding(mesh, P(axis))
+    out = {k: jax.device_put(v, sh) for k, v in out.items()}
+    return out, jax.device_put(feats, sh)
+
+
+def _strip_geometry(cfg: RasterizeConfig, height: int, n_dev: int) -> Tuple[int, int]:
+    """(tiles_y per device, padded strip height)."""
+    tiles_y = -(-height // cfg.tile_h)
+    tiles_y_local = -(-tiles_y // n_dev)
+    return tiles_y_local, tiles_y_local * cfg.tile_h
+
+
+def _render_strip(
+    axis: str,
+    geom_l: Dict[str, jnp.ndarray],
+    feats_l: jnp.ndarray,
+    viewmat: jnp.ndarray,
+    K: jnp.ndarray,
+    width: int,
+    height: int,
+    cfg: RasterizeConfig,
+    background: jnp.ndarray | None,
+    budget_slack: float = 2.0,
+):
+    """Per-device body: project local shard, all-gather, bin+blend own strip.
+
+    Returns (strip image (strip_h, W, C), strip alpha (strip_h, W), overflow).
+    Differentiable wrt feats_l (through the gather collective).
+    """
+    n_dev = jax.lax.axis_size(axis)
+    d = jax.lax.axis_index(axis)
+    tiles_y_local, strip_h = _strip_geometry(cfg, height, n_dev)
+    tiles_x = -(-width // cfg.tile_w)
+    h_pad = strip_h * n_dev
+
+    proj = project_gaussians(
+        geom_l["means"], geom_l["quats"], geom_l["scales"], viewmat, K, width, h_pad
+    )
+    radii = (proj.radii.astype(jnp.float32) * geom_l["valid"]).astype(jnp.int32)
+    opac = geom_l["opacities"] * proj.compensations
+    n_l = geom_l["means"].shape[0]
+    # [mx, my, ca, cb, cc, opac, radius, depth] — geometry rows + bin info
+    local_rows = jnp.concatenate(
+        [
+            proj.means2d,
+            proj.conics,
+            opac[:, None],
+            radii.astype(jnp.float32)[:, None],
+            proj.depths[:, None],
+        ],
+        axis=1,
+    )  # (n_l, 8)
+    rows = jax.lax.all_gather(local_rows, axis, tiled=True)  # (N, 8)
+    colors = jax.lax.all_gather(feats_l, axis, tiled=True)  # (N, C) — differentiable
+
+    y_off = (d * strip_h).astype(jnp.float32)
+    m2 = rows[:, :2] - jnp.stack([jnp.float32(0.0), y_off])
+    n = rows.shape[0]
+    binned = tiles.bin_gaussians(
+        m2,
+        rows[:, 6].astype(jnp.int32),
+        rows[:, 7],
+        width,
+        strip_h,
+        cfg.tile_w,
+        cfg.tile_h,
+        # instances skew across strips; slack covers imbalance without
+        # paying the full replicated budget per device
+        budget=max(int(cfg.instance_budget(n) * budget_slack) // n_dev, 4 * cfg.chunk),
+        chunk=cfg.chunk,
+    )
+    # geometry table in strip coordinates, with the zero sentinel row
+    geom_rows = jnp.concatenate(
+        [m2, rows[:, 2:6], jnp.zeros((n, 2), jnp.float32)], axis=1
+    )
+    geom_table = jnp.pad(geom_rows, ((0, 1), (0, 0)))
+    tile_img, tile_alpha = _blend(
+        colors,
+        geom_table,
+        binned.inst_gid,
+        binned.tile_starts,
+        binned.tile_counts,
+        (tiles_x, tiles_y_local),
+        cfg,
+    )
+    img = _tiles_to_image(
+        tile_img, tiles_x, tiles_y_local, cfg.tile_h, cfg.tile_w, strip_h, width
+    )
+    alpha = _tiles_to_image(
+        tile_alpha, tiles_x, tiles_y_local, cfg.tile_h, cfg.tile_w, strip_h, width
+    )[..., 0]
+    if background is not None:
+        img = img + (1.0 - alpha[..., None]) * background[None, None, :]
+    return img, alpha, binned.overflow
+
+
+def make_gshard_render(
+    mesh: Mesh,
+    width: int,
+    height: int,
+    channels: int,
+    cfg: RasterizeConfig,
+    budget_slack: float = 2.0,
+):
+    """Jitted render over Gaussian-sharded inputs.
+
+    fn(geom_sharded, features_sharded, viewmat, K) → (image (H, W, C),
+    alpha (H, W), overflow ()). geom/features from `shard_gaussians`.
+    """
+    axis = mesh.axis_names[0]
+    bg = jnp.zeros((channels,), jnp.float32)
+
+    def per_device(geom_l, feats_l, viewmat, K):
+        img, alpha, ovf = _render_strip(
+            axis, geom_l, feats_l, viewmat, K, width, height, cfg, bg,
+            budget_slack=budget_slack,
+        )
+        return img, alpha, jax.lax.pmax(ovf, axis)
+
+    fn = jax.jit(
+        jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(), P()),
+            out_specs=(P(axis), P(axis), P()),
+            check_vma=False,
+        )
+    )
+
+    def render(geom_s, feats_s, viewmat, K):
+        img, alpha, ovf = fn(geom_s, feats_s, viewmat, K)
+        return img[:height], alpha[:height], ovf
+
+    return render
+
+
+class GShardState(NamedTuple):
+    """Train state with the feature axis sharded over the mesh."""
+
+    step: jnp.ndarray
+    features: jnp.ndarray  # (N_pad, F) sharded on axis 0
+    decoder_params: Any  # replicated
+    scale_params: Any
+    opt_feat: Any  # adam moments sharded like features
+    opt_dec: Any
+    opt_scale: Any
+
+
+def gshard_state(state: TrainState, mesh: Mesh) -> GShardState:
+    """Re-lay a single-chip TrainState onto the mesh (features sharded)."""
+    axis = mesh.axis_names[0]
+    d = mesh.size
+    sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    feats = jax.device_put(pad_to_multiple(state.features, d), sh)
+    opt_feat = jax.tree.map(
+        lambda x: jax.device_put(pad_to_multiple(x, d), sh)
+        if getattr(x, "ndim", 0) == state.features.ndim and x.shape == state.features.shape
+        else jax.device_put(x, rep),
+        state.opt_feat,
+    )
+    putrep = lambda t: jax.tree.map(lambda x: jax.device_put(x, rep), t)
+    return GShardState(
+        step=state.step,
+        features=feats,
+        decoder_params=putrep(state.decoder_params),
+        scale_params=putrep(state.scale_params),
+        opt_feat=opt_feat,
+        opt_dec=putrep(state.opt_dec),
+        opt_scale=putrep(state.opt_scale),
+    )
+
+
+def _halo_smooth(x: jnp.ndarray, k: int, axis: str) -> jnp.ndarray:
+    """mean_smooth over row strips with a ppermute halo exchange, exactly
+    matching the full-image zero-padded box filter at strip interiors AND
+    true image borders."""
+    halo = k // 2
+    n_dev = jax.lax.axis_size(axis)
+    down = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    up = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    top_halo = jax.lax.ppermute(x[-halo:], axis, down)  # comes from device above
+    bot_halo = jax.lax.ppermute(x[:halo], axis, up)  # from device below
+    idx = jax.lax.axis_index(axis)
+    top_halo = jnp.where(idx == 0, jnp.zeros_like(top_halo), top_halo)
+    bot_halo = jnp.where(idx == n_dev - 1, jnp.zeros_like(bot_halo), bot_halo)
+    padded = jnp.concatenate([top_halo, x, bot_halo], axis=0)
+    return mean_smooth(padded, k)[halo:-halo]
+
+
+def _mixed_seg_map_strip(seg_map, scale_map, axis):
+    """mixed_seg_map over a row strip (halo-exchanged k=5 smoothing)."""
+    sm = _halo_smooth(scale_map, 5, axis)
+    sel = jnp.argmax(sm, axis=-1)
+    sml = seg_map[..., 1:4]
+    return jnp.take_along_axis(sml, sel[..., None], axis=-1)[..., 0]
+
+
+def make_gshard_train_step(
+    mesh: Mesh,
+    statics: Dict[str, Any],
+    width: int,
+    height: int,
+    cfg: GadConfig,
+    state_template: GShardState,
+    budget_slack: float = 2.0,
+):
+    """Jitted GAD step with Gaussian-sharded features + strip rasterization.
+
+    batch: viewmat (4,4), K (3,3), img_embed (M, D) — replicated;
+    seg_map (H_pad, W, 4) int32 — sharded by rows (H_pad = n_dev * strip_h,
+    see `pad_seg_map`). Supervision must be at render resolution (the
+    strip-local GT gather cannot resize across strips).
+
+    The loss is the exact full-image loss (psum'd region moments, halo'd
+    scale-map smoothing); decoder grads are psum'd; feature grads arrive
+    pre-sharded through the all-gather transpose.
+    """
+    axis = mesh.axis_names[0]
+    dec = statics["decoder"]
+    scl = statics["scale_decoder"]
+    tx_feat, tx_dec, tx_scale = statics["tx_feat"], statics["tx_dec"], statics["tx_scale"]
+    bg = jnp.zeros((cfg.feature_dim,), jnp.float32)
+
+    def local_loss(params, geom_l, batch, entropy_w, regionvar_w):
+        feats_l, dec_params, scl_params = params
+        feat_map, _alpha, _ovf = _render_strip(
+            axis, geom_l, feats_l, batch["viewmat"], batch["K"],
+            width, height, cfg.raster, bg, budget_slack=budget_slack,
+        )
+        scale_map = scl.apply(scl_params, jax.lax.stop_gradient(feat_map))
+        seg_mixed = _mixed_seg_map_strip(batch["seg_map"], scale_map, axis)
+        gt_map, mask = blend_gt_feature_map(
+            batch["img_embed"], batch["seg_map"], scale_map
+        )
+        maskf = mask.astype(jnp.float32)
+        decoded = dec.apply(dec_params, feat_map)
+        l1_pix = losses.l1_map(decoded * maskf, gt_map * maskf)
+        l1_feature = losses.region_balanced_l1(
+            l1_pix, seg_mixed, cfg.max_segments, axis_name=axis
+        )
+        ent = jax.lax.pmean(losses.scale_entropy_loss(scale_map), axis)
+        regvar = losses.region_variance_loss(
+            feat_map, seg_mixed, cfg.max_segments, axis_name=axis
+        )
+        return l1_feature + entropy_w * ent + regionvar_w * regvar
+
+    def per_device(state: GShardState, geom_l, batch, entropy_w, regionvar_w):
+        params = (state.features, state.decoder_params, state.scale_params)
+        loss, grads = jax.value_and_grad(local_loss)(
+            params, geom_l, batch, entropy_w, regionvar_w
+        )
+        g_feat, g_dec, g_scale = grads
+        # feature grads are already exact per-shard (all_gather transpose);
+        # replicated decoder grads need the cross-strip sum
+        g_dec = jax.lax.psum(g_dec, axis)
+        g_scale = jax.lax.psum(g_scale, axis)
+        up_f, opt_feat = tx_feat.update(g_feat, state.opt_feat, state.features)
+        up_d, opt_dec = tx_dec.update(g_dec, state.opt_dec, state.decoder_params)
+        up_s, opt_scale = tx_scale.update(g_scale, state.opt_scale, state.scale_params)
+        new_state = GShardState(
+            step=state.step + 1,
+            features=optax.apply_updates(state.features, up_f),
+            decoder_params=optax.apply_updates(state.decoder_params, up_d),
+            scale_params=optax.apply_updates(state.scale_params, up_s),
+            opt_feat=opt_feat,
+            opt_dec=opt_dec,
+            opt_scale=opt_scale,
+        )
+        return new_state, loss
+
+    shard = lambda x: P(axis) if (
+        getattr(x, "ndim", 0) == state_template.features.ndim
+        and x.shape == state_template.features.shape
+    ) else P()
+    state_spec = GShardState(
+        step=P(),
+        features=P(axis),
+        decoder_params=jax.tree.map(lambda _: P(), state_template.decoder_params),
+        scale_params=jax.tree.map(lambda _: P(), state_template.scale_params),
+        opt_feat=jax.tree.map(shard, state_template.opt_feat),
+        opt_dec=jax.tree.map(lambda _: P(), state_template.opt_dec),
+        opt_scale=jax.tree.map(lambda _: P(), state_template.opt_scale),
+    )
+    geom_spec = P(axis)
+    batch_spec = dict(viewmat=P(), K=P(), img_embed=P(), seg_map=P(axis))
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(state_spec, geom_spec, batch_spec, P(), P()),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def pad_seg_map(seg_map: np.ndarray, mesh: Mesh, cfg: RasterizeConfig) -> np.ndarray:
+    """Pad (H, W, 4) seg map rows to n_dev * strip_h with -1 (no mask)."""
+    _, strip_h = _strip_geometry(cfg, seg_map.shape[0], mesh.size)
+    h_pad = strip_h * mesh.size
+    pad = h_pad - seg_map.shape[0]
+    if pad <= 0:
+        return seg_map
+    return np.pad(seg_map, ((0, pad), (0, 0), (0, 0)), constant_values=-1)

@@ -1,0 +1,59 @@
+"""Device timing that survives high-latency remote backends.
+
+On the axon-tunnel TPU backend, ``block_until_ready`` returns once the
+execution is *enqueued*, not completed, and a host readback costs ~35 ms
+round-trip. Naive ``block_until_ready`` timing therefore measures enqueue
+rate (absurdly fast) or, with a readback per iteration, tunnel latency
+(absurdly slow).
+
+``device_time`` uses slope timing: enqueue K1 then K2 iterations, force
+completion with ONE tiny readback at the end of each run (device executes
+enqueued programs in order, so the last result completing implies all
+did), and report (T(K2) - T(K1)) / (K2 - K1). Dispatch overhead and the
+readback round-trip cancel in the difference.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable
+
+
+def _force(out: Any) -> None:
+    """Force completion of a pytree of device arrays via a host readback."""
+    import jax
+    import numpy as np
+
+    leaves = [x for x in jax.tree_util.tree_leaves(out) if hasattr(x, "dtype")]
+    if not leaves:
+        return
+    x = leaves[-1]
+    # one element is enough: in-order execution means this completing
+    # implies every earlier enqueued program completed
+    np.asarray(jax.numpy.ravel(x)[-1])
+
+
+def _run(fn: Callable, args, k: int) -> float:
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(k):
+        out = fn(*args)
+    _force(out)
+    return time.perf_counter() - t0
+
+
+def device_time(fn: Callable, *args, k1: int = 5, k2: int = 25, warmup: int = 2) -> float:
+    """Seconds per execution of ``fn(*args)`` on device (slope method)."""
+    out = None
+    for _ in range(max(warmup, 1)):
+        out = fn(*args)
+    _force(out)
+    t1 = _run(fn, args, k1)
+    t2 = _run(fn, args, k2)
+    return max((t2 - t1) / (k2 - k1), 1e-9)
+
+
+def report(name: str, fn: Callable, *args, **kw) -> float:
+    dt = device_time(fn, *args, **kw)
+    print(f"{name}: {dt*1000:.2f} ms", flush=True)
+    return dt

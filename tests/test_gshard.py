@@ -1,0 +1,140 @@
+"""Gaussian-axis sharding + tile-strip rasterization on the virtual mesh.
+
+Covers SURVEY.md §2.3(b): parameters sharded over the Gaussian axis,
+rasterization sharded over tile rows, exact parity with the single-chip
+path (same kernels, y-shifted coordinates).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gags_tpu.gad.train import GadConfig, create_train_state, frozen_geometry, make_train_step
+from gags_tpu.parallel import (
+    gshard_state,
+    make_gshard_render,
+    make_gshard_train_step,
+    make_mesh,
+    pad_seg_map,
+    shard_gaussians,
+)
+from gags_tpu.scene.gaussian_data import GaussianScene
+from gags_tpu.splat.rasterizer import RasterizeConfig, rasterize
+from gags_tpu.utils.synthetic import make_camera, make_scene
+
+N, W, H = 75, 32, 32  # H = 8 devices * tile_h 4 — no pad rows
+RCFG = RasterizeConfig(tile_h=4, tile_w=16, chunk=8, interpret=True)
+
+
+def _scene():
+    raw = make_scene(N, seed=0)
+    return GaussianScene(
+        means=jnp.asarray(raw["means"]),
+        sh=jnp.asarray(raw["sh"]),
+        opacities_raw=jnp.asarray(np.log(raw["opacities"] / (1 - raw["opacities"]))),
+        scales_raw=jnp.asarray(np.log(raw["scales"])),
+        quats=jnp.asarray(raw["quats"]),
+        semantic_features=jnp.asarray(
+            np.random.default_rng(3).normal(size=(N, 8)).astype(np.float32)
+        ),
+    )
+
+
+def test_gshard_render_matches_single_chip():
+    scene = _scene()
+    geom = frozen_geometry(scene)
+    cam = make_camera(W, H)
+    ref = rasterize(
+        geom["means"], geom["quats"], geom["scales"], geom["opacities"],
+        scene.semantic_features, cam.viewmat, cam.K, W, H,
+        background=jnp.zeros((8,)), config=RCFG,
+    )
+    mesh = make_mesh(8)
+    geom_s, feats_s = shard_gaussians(geom, scene.semantic_features, mesh)
+    render = make_gshard_render(mesh, W, H, 8, RCFG)
+    img, alpha, ovf = render(geom_s, feats_s, cam.viewmat, cam.K)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref.alpha), atol=1e-5)
+
+
+def test_gshard_render_uneven_n():
+    """N not divisible by the mesh: padding Gaussians must not render."""
+    scene = _scene()
+    geom = frozen_geometry(scene)
+    cam = make_camera(W, H)
+    assert N % 8 != 0
+    ref = rasterize(
+        geom["means"], geom["quats"], geom["scales"], geom["opacities"],
+        scene.semantic_features, cam.viewmat, cam.K, W, H,
+        background=None, config=RCFG,
+    )
+    mesh = make_mesh(8)
+    geom_s, feats_s = shard_gaussians(geom, scene.semantic_features, mesh)
+    render = make_gshard_render(mesh, W, H, 8, RasterizeConfig(
+        tile_h=4, tile_w=16, chunk=8, interpret=True))
+    img, _, _ = render(geom_s, feats_s, cam.viewmat, cam.K)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image), atol=1e-5)
+
+
+def test_gshard_train_step_matches_single_chip():
+    scene = _scene()
+    geom = frozen_geometry(scene)
+    cam = make_camera(W, H)
+    cfg = GadConfig(feature_dim=8, clip_dim=16, max_segments=16, raster=RCFG)
+    state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(1)
+    emb = jnp.asarray(rng.normal(size=(6, 16)).astype(np.float32))
+    seg = rng.integers(-1, 6, size=(H, W, 4)).astype(np.int32)
+
+    # single-chip reference step
+    step1 = make_train_step(statics, W, H, cfg)
+    batch1 = dict(viewmat=cam.viewmat, K=cam.K, img_embed=emb, seg_map=jnp.asarray(seg))
+    s1, metrics1 = step1(state, geom, batch1, jnp.float32(1e-3), jnp.float32(0.1))
+
+    # 8-way gaussian-sharded step
+    mesh = make_mesh(8)
+    geom_s, _ = shard_gaussians(geom, state.features, mesh)
+    gstate = gshard_state(state, mesh)
+    stepd = make_gshard_train_step(mesh, statics, W, H, cfg, gstate)
+    batchd = dict(
+        viewmat=cam.viewmat, K=cam.K, img_embed=emb,
+        seg_map=jnp.asarray(pad_seg_map(seg, mesh, cfg.raster)),
+    )
+    s2, loss2 = stepd(gstate, geom_s, batchd, jnp.float32(1e-3), jnp.float32(0.1))
+
+    np.testing.assert_allclose(float(loss2), float(metrics1["loss"]), rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(s2.features)[:N], np.asarray(s1.features), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(s2.decoder_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(s1.decoder_params)[0]),
+        atol=1e-5,
+    )
+    assert int(s2.step) == 1
+
+
+def test_gshard_second_step_runs():
+    scene = _scene()
+    geom = frozen_geometry(scene)
+    cam = make_camera(W, H)
+    cfg = GadConfig(feature_dim=8, clip_dim=16, max_segments=16, raster=RCFG)
+    state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(8)
+    geom_s, _ = shard_gaussians(geom, state.features, mesh)
+    gstate = gshard_state(state, mesh)
+    stepd = make_gshard_train_step(mesh, statics, W, H, cfg, gstate)
+    rng = np.random.default_rng(1)
+    batch = dict(
+        viewmat=cam.viewmat, K=cam.K,
+        img_embed=jnp.asarray(rng.normal(size=(6, 16)).astype(np.float32)),
+        seg_map=jnp.asarray(
+            pad_seg_map(rng.integers(-1, 6, size=(H, W, 4)).astype(np.int32), mesh, cfg.raster)
+        ),
+    )
+    s1, l1 = stepd(gstate, geom_s, batch, jnp.float32(1e-3), jnp.float32(0.0))
+    s2, l2 = stepd(s1, geom_s, batch, jnp.float32(1e-3), jnp.float32(0.0))
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    assert int(s2.step) == 2
