@@ -96,25 +96,49 @@ def run(rc: RunConfig, gad_cfg: GadConfig = None) -> TrainState:
     # reference re-sorts on the GPU every iteration).
     from gags_tpu.splat.rasterizer import prepare_binning
 
-    prep = jax.jit(
-        lambda m, q, s2, vm, K: prepare_binning(
-            m, q, s2, vm, K, dataset.width, dataset.height, gad_cfg.raster
+    import dataclasses as _dc
+    import functools as _ft
+
+    @_ft.lru_cache(maxsize=8)
+    def _prep_fn(budget):
+        rcfg = gad_cfg.raster if budget is None else _dc.replace(
+            gad_cfg.raster, budget=budget
         )
-    )
+        return jax.jit(
+            lambda m, q, s2, vm, K: prepare_binning(
+                m, q, s2, vm, K, dataset.width, dataset.height, rcfg
+            )
+        )
+
+    n_g = int(geom["means"].shape[0])
+    base_budget = gad_cfg.raster.instance_budget(n_g)
     bin_cache = []
     for ex in dataset.examples:
-        b = prep(geom["means"], geom["quats"], geom["scales"],
-                 jnp.asarray(ex.viewmat), jnp.asarray(ex.K))
-        if int(b.overflow) > 0:
+        # adaptive budget recovery: a zoomed-in camera whose instances
+        # exceed budget_factor*N gets its own doubled budget instead of
+        # killing the run (the reference's dynamic allocation can't
+        # overflow by construction; we grow per-camera and recompile once
+        # per distinct budget)
+        budget = None
+        for attempt in range(4):
+            b = _prep_fn(budget)(geom["means"], geom["quats"], geom["scales"],
+                                 jnp.asarray(ex.viewmat), jnp.asarray(ex.K))
+            if int(b.overflow) == 0:
+                break
+            cur = budget if budget is not None else base_budget
+            budget = 2 * cur
+            print(f"  {ex.name}: overflow {int(b.overflow)} → budget {budget}")
+        else:
             raise RuntimeError(
-                f"instance budget overflow ({int(b.overflow)}) for {ex.name}; "
-                "raise RasterizeConfig.budget_factor"
+                f"instance budget overflow persists for {ex.name} "
+                f"(last budget {budget}); raise RasterizeConfig.budget_factor"
             )
         bin_cache.append(
             dict(
                 inst_gid=np.asarray(b.inst_gid),
                 tile_starts=np.asarray(b.tile_starts),
                 tile_counts=np.asarray(b.tile_counts),
+                order=np.asarray(b.order),
             )
         )
     print(f"cached binning for {len(bin_cache)} cameras")

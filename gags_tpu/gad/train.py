@@ -248,7 +248,8 @@ def make_train_step_binned(statics: Dict[str, Any], width: int, height: int, cfg
     camera never changes across the 30k iterations — the loader caches it
     once per camera; this step only re-projects (cheap), gathers and
     blends. The reference pays the full CUDA projection/sort every
-    iteration. Extra batch keys: inst_gid (M,), tile_starts, tile_counts.
+    iteration. Extra batch keys: inst_gid (M,) depth ranks, tile_starts,
+    tile_counts, order (N,) — all from the cached BinnedInstances.
     """
     dec: FeatureDecoder = statics["decoder"]
     scl: ScaleDecoder = statics["scale_decoder"]
@@ -262,6 +263,7 @@ def make_train_step_binned(statics: Dict[str, Any], width: int, height: int, cfg
             features, batch["viewmat"], batch["K"],
             batch["inst_gid"], batch["tile_starts"], batch["tile_counts"],
             width, height, background=bg, config=cfg.raster,
+            order=batch["order"],
         )
         scale_map = _scale_map_fn(cfg, scl, scl_params, feat_map)
         seg_mixed = mixed_seg_map(batch["seg_map"], scale_map)

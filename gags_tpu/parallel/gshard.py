@@ -38,6 +38,7 @@ from gags_tpu.splat.rasterizer import (
     RasterizeConfig,
     _blend,
     _tiles_to_image,
+    order_ext,
 )
 from gags_tpu.utils.image import mean_smooth
 
@@ -136,14 +137,15 @@ def _render_strip(
         budget=max(int(cfg.instance_budget(n) * budget_slack) // n_dev, 4 * cfg.chunk),
         chunk=cfg.chunk,
     )
-    # geometry table in strip coordinates, with the zero sentinel row
+    # geometry table in strip coordinates, with the zero sentinel row;
+    # binned.inst_gid holds depth ranks → permute tables to rank order
     geom_rows = jnp.concatenate(
         [m2, rows[:, 2:6], jnp.zeros((n, 2), jnp.float32)], axis=1
     )
     geom_table = jnp.pad(geom_rows, ((0, 1), (0, 0)))
     tile_img, tile_alpha = _blend(
-        colors,
-        geom_table,
+        colors[binned.order],
+        geom_table[order_ext(binned.order)],
         binned.inst_gid,
         binned.tile_starts,
         binned.tile_counts,

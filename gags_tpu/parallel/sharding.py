@@ -24,7 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from gags_tpu.gad.train import GadConfig, TrainState
 from gags_tpu.scene.gaussian_data import GaussianScene
-from gags_tpu.splat.rasterizer import rasterize
+from gags_tpu.splat.rasterizer import rasterize, rasterize_binned
 from gags_tpu.gad import losses
 from gags_tpu.gad.supervision import blend_gt_feature_map, mixed_seg_map
 
@@ -42,6 +42,7 @@ def make_dp_train_step(
     width: int,
     height: int,
     cfg: GadConfig,
+    binned: bool = False,
 ):
     """Jitted data-parallel step over a camera batch of size mesh.size.
 
@@ -49,6 +50,12 @@ def make_dp_train_step(
     (replicated runtime args — never closed over, see gad/train.py);
     batch arrays: viewmat (B,4,4), K (B,3,3), img_embed (B,M,D),
     seg_map (B,H,W,4) — leading axis sharded over `dp`.
+
+    With `binned=True` the batch additionally carries each camera's cached
+    binning (inst_gid (B,M'), tile_starts/tile_counts (B,T), order (B,N))
+    and the step skips the per-iteration sort — the same fast path as the
+    single-chip `make_train_step_binned` (an 8-chip step would otherwise
+    pay the sort every iteration that the 1-chip path amortises away).
     """
     dec = statics["decoder"]
     scl = statics["scale_decoder"]
@@ -59,12 +66,21 @@ def make_dp_train_step(
 
     def local_loss(params, geom, batch, entropy_w, regionvar_w):
         features, dec_params, scl_params = params
-        res = rasterize(
-            geom["means"], geom["quats"], geom["scales"], geom["opacities"], features,
-            batch["viewmat"], batch["K"], width, height,
-            background=bg, config=cfg.raster,
-        )
-        feat_map = res.image
+        if binned:
+            feat_map, _alpha = rasterize_binned(
+                geom["means"], geom["quats"], geom["scales"], geom["opacities"],
+                features, batch["viewmat"], batch["K"],
+                batch["inst_gid"], batch["tile_starts"], batch["tile_counts"],
+                width, height, background=bg, config=cfg.raster,
+                order=batch["order"],
+            )
+        else:
+            res = rasterize(
+                geom["means"], geom["quats"], geom["scales"], geom["opacities"],
+                features, batch["viewmat"], batch["K"], width, height,
+                background=bg, config=cfg.raster,
+            )
+            feat_map = res.image
         scale_map = scl.apply(scl_params, jax.lax.stop_gradient(feat_map))
         seg_mixed = mixed_seg_map(batch["seg_map"], scale_map)
         gt_map, mask = blend_gt_feature_map(batch["img_embed"], batch["seg_map"], scale_map)
@@ -109,6 +125,13 @@ def make_dp_train_step(
         img_embed=P(mesh.axis_names[0]),
         seg_map=P(mesh.axis_names[0]),
     )
+    if binned:
+        batch_spec.update(
+            inst_gid=P(mesh.axis_names[0]),
+            tile_starts=P(mesh.axis_names[0]),
+            tile_counts=P(mesh.axis_names[0]),
+            order=P(mesh.axis_names[0]),
+        )
     shard_fn = jax.shard_map(
         per_device,
         mesh=mesh,

@@ -101,6 +101,16 @@ def _geom_table(proj, opacities):
     return geom, proj
 
 
+def order_ext(order: jnp.ndarray) -> jnp.ndarray:
+    """Depth order extended with the sentinel row mapping (rank n → row n).
+
+    `BinnedInstances.inst_gid` holds depth ranks; tables indexed by it must
+    be permuted into rank order first: `table[order_ext(order)]`.
+    """
+    n = order.shape[0]
+    return jnp.concatenate([order, jnp.full((1,), n, jnp.int32)])
+
+
 def _prepare(means, quats, scales, opacities, viewmat, K, width, height, cfg):
     """Project + bin + build the geometry table. No colour dependence."""
     n = means.shape[0]
@@ -315,10 +325,15 @@ def rasterize_binned(
     height: int,
     background: Optional[jnp.ndarray] = None,
     config: RasterizeConfig = RasterizeConfig(),
+    *,
+    order: jnp.ndarray,
 ):
     """Stage 2: re-project (cheap) + gather + blend using a cached binning.
 
-    Differentiable wrt colors. Returns (image (H, W, C), alpha (H, W)).
+    `order` is the cached `BinnedInstances.order` — inst_gid holds depth
+    ranks, so the tables are permuted into rank order here (required: rank
+    indices into an unpermuted table would silently blend wrong Gaussians).
+    Differentiable wrt colors. Returns (image (H,W,C), alpha (H,W)).
     """
     means = jax.lax.stop_gradient(means)
     quats = jax.lax.stop_gradient(quats)
@@ -329,6 +344,8 @@ def rasterize_binned(
     )
     tiles_x = -(-width // config.tile_w)
     tiles_y = -(-height // config.tile_h)
+    geom = geom[order_ext(order)]
+    colors = colors[order]  # differentiable: grads scatter back
     tile_img, tile_alpha = _blend(
         colors, geom, inst_gid, tile_starts, tile_counts,
         (tiles_x, tiles_y), config,
@@ -390,9 +407,12 @@ def rasterize(
     else:
         geom_table, _ = _geom_table(proj_sg, opacities)
         blend_fn = _blend
+    # inst_gid holds depth ranks — permute tables to rank order (N-sized
+    # gathers; differentiable, so grads scatter back to the original order)
+    perm = order_ext(binned.order)
     tile_img, tile_alpha = blend_fn(
-        colors,
-        geom_table,
+        colors[binned.order],
+        geom_table[perm],
         binned.inst_gid,
         binned.tile_starts,
         binned.tile_counts,

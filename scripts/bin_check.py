@@ -27,12 +27,14 @@ for name, a, b in [("gid", b_t.inst_gid, b_c.inst_gid), ("starts", b_t.tile_star
                    ("counts", b_t.tile_counts, b_c.tile_counts)]:
     print(name, "mismatches", int((a!=b).sum()), "of", a.size, flush=True)
 
-# kernel with CPU-computed binning, on TPU
-from gags_tpu.splat.rasterizer import _geom_table, _blend_fwd_impl, RasterizeConfig
+# kernel with CPU-computed binning, on TPU (inst_gid = depth ranks)
+from gags_tpu.splat.rasterizer import _geom_table, _blend_fwd_impl, RasterizeConfig, order_ext
 cfg = RasterizeConfig()
 p = project_gaussians(m,q,s,cam.viewmat,cam.K,128,128)
 geom, _ = _geom_table(p, o)
-img_t = _blend_fwd_impl(c, geom, jnp.asarray(b_c.inst_gid), jnp.asarray(b_c.tile_starts),
+perm = order_ext(jnp.asarray(b_c.order))
+img_t = _blend_fwd_impl(c[jnp.asarray(b_c.order)], geom[perm], jnp.asarray(b_c.inst_gid),
+                        jnp.asarray(b_c.tile_starts),
                         jnp.asarray(b_c.tile_counts), (1, 16), cfg)[0]
 from gags_tpu.splat.reference import rasterize_reference
 with jax.default_device(cpu):

@@ -27,7 +27,9 @@ def t(name, f, *a):
     print(f"{name}: {(time.perf_counter()-t0)/10*1000:.1f} ms", flush=True)
     return o
 
-regather = jax.jit(lambda g, i: g[i].T)
+from gags_tpu.splat.rasterizer import order_ext
+perm = order_ext(b.order)
+regather = jax.jit(lambda g, i: g[perm][i].T)
 gi = t("geom re-gather", regather, geom, b.inst_gid)
 
 bwd = jax.jit(lambda g, s, c, go: pk.tile_blend_backward(g, s, c, go,

@@ -36,10 +36,10 @@ def t(name, f, *a):
     print(f"{name}: {(time.perf_counter()-t0)/10*1000:.1f} ms", flush=True)
     return o
 
-render = jax.jit(lambda g, f: rasterize_binned(g["means"],g["quats"],g["scales"],g["opacities"],f,cam.viewmat,cam.K,b.inst_gid,b.tile_starts,b.tile_counts,W,H,background=bg,config=cfg.raster)[0])
+render = jax.jit(lambda g, f: rasterize_binned(g["means"],g["quats"],g["scales"],g["opacities"],f,cam.viewmat,cam.K,b.inst_gid,b.tile_starts,b.tile_counts,W,H,background=bg,config=cfg.raster,order=b.order)[0])
 fm = t("render fwd", render, geom, state.features)
 
-render_bwd = jax.jit(lambda g, f: jax.grad(lambda ff: jnp.sum(rasterize_binned(g["means"],g["quats"],g["scales"],g["opacities"],ff,cam.viewmat,cam.K,b.inst_gid,b.tile_starts,b.tile_counts,W,H,background=bg,config=cfg.raster)[0]**2))(f))
+render_bwd = jax.jit(lambda g, f: jax.grad(lambda ff: jnp.sum(rasterize_binned(g["means"],g["quats"],g["scales"],g["opacities"],ff,cam.viewmat,cam.K,b.inst_gid,b.tile_starts,b.tile_counts,W,H,background=bg,config=cfg.raster,order=b.order)[0]**2))(f))
 t("render fwd+bwd", render_bwd, geom, state.features)
 
 dec_f = jax.jit(lambda p, x: dec.apply(p, x))

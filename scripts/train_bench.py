@@ -34,7 +34,7 @@ emb /= np.linalg.norm(emb.astype(np.float32), axis=1, keepdims=True).astype(np.f
 seg = rng.integers(-1, M_MASKS, size=(H, W, 4)).astype(np.int32)
 batch = dict(
     viewmat=cam.viewmat, K=cam.K, img_embed=jnp.asarray(emb), seg_map=jnp.asarray(seg),
-    inst_gid=b.inst_gid, tile_starts=b.tile_starts, tile_counts=b.tile_counts,
+    inst_gid=b.inst_gid, tile_starts=b.tile_starts, tile_counts=b.tile_counts, order=b.order,
 )
 step = make_train_step_binned(statics, W, H, cfg)
 t0 = time.time()

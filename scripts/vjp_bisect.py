@@ -31,12 +31,14 @@ def t(name, f, *a):
     jax.block_until_ready(o)
     print(f"{name}: {(time.perf_counter()-t0)/10*1000:.1f} ms", flush=True)
 
-blend_fwd = jax.jit(lambda c, g: _blend(c, g, b.inst_gid, b.tile_starts, b.tile_counts, (tiles_x,tiles_y), cfg)[0])
+from gags_tpu.splat.rasterizer import order_ext
+perm = order_ext(b.order)
+blend_fwd = jax.jit(lambda c, g: _blend(c[b.order], g[perm], b.inst_gid, b.tile_starts, b.tile_counts, (tiles_x,tiles_y), cfg)[0])
 t("blend fwd only", blend_fwd, feats, geom)
-blend_grad = jax.jit(lambda c, g: jax.grad(lambda cc: jnp.sum(_blend(cc, g, b.inst_gid, b.tile_starts, b.tile_counts, (tiles_x,tiles_y), cfg)[0]))(c))
+blend_grad = jax.jit(lambda c, g: jax.grad(lambda cc: jnp.sum(_blend(cc[b.order], g[perm], b.inst_gid, b.tile_starts, b.tile_counts, (tiles_x,tiles_y), cfg)[0]))(c))
 t("blend fwd+grad", blend_grad, feats, geom)
 full_grad = jax.jit(lambda c, g4: jax.grad(lambda cc: jnp.sum(rasterize_binned(
     g4["means"],g4["quats"],g4["scales"],g4["opacities"],cc,cam.viewmat,cam.K,
-    b.inst_gid,b.tile_starts,b.tile_counts,W,H,config=cfg)[0]))(c))
+    b.inst_gid,b.tile_starts,b.tile_counts,W,H,config=cfg,order=b.order)[0]))(c))
 geom4 = dict(means=means,quats=quats,scales=scales,opacities=opac)
 t("full fwd+grad", full_grad, feats, geom4)

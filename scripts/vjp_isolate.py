@@ -24,11 +24,13 @@ def t(name, f, *a):
     print(f"{name}: {(time.perf_counter()-t0)/10*1000:.1f} ms", flush=True)
     return out
 
-fwd = jax.jit(lambda c, g: _blend(c, g, b.inst_gid, b.tile_starts, b.tile_counts, (tx,ty), cfg))
+from gags_tpu.splat.rasterizer import order_ext
+perm = order_ext(b.order)
+fwd = jax.jit(lambda c, g: _blend(c[b.order], g[perm], b.inst_gid, b.tile_starts, b.tile_counts, (tx,ty), cfg))
 img, alpha = t("fwd", fwd, feats, geom)
 
 # isolated backward: vjp closure jitted
-_, vjp = jax.vjp(lambda c: _blend(c, geom, b.inst_gid, b.tile_starts, b.tile_counts, (tx,ty), cfg), feats)
+_, vjp = jax.vjp(lambda c: _blend(c[b.order], geom[perm], b.inst_gid, b.tile_starts, b.tile_counts, (tx,ty), cfg), feats)
 gout = (jnp.ones_like(img), jnp.zeros_like(alpha))
 bwd = jax.jit(lambda g: vjp(g))
 t("bwd alone", bwd, gout)

@@ -35,7 +35,7 @@ def test_binned_matches_full():
     img, alpha = rasterize_binned(
         means, quats, scales, opac, feats, cam.viewmat, cam.K,
         binned.inst_gid, binned.tile_starts, binned.tile_counts,
-        W, H, background=bg, config=CFG,
+        W, H, background=bg, config=CFG, order=binned.order,
     )
     np.testing.assert_allclose(np.asarray(img), np.asarray(full.image), atol=1e-6)
     np.testing.assert_allclose(np.asarray(alpha), np.asarray(full.alpha), atol=1e-6)
@@ -59,7 +59,8 @@ def test_binned_gradients_match():
     def loss_binned(f):
         img, _ = rasterize_binned(
             means, quats, scales, opac, f, cam.viewmat, cam.K,
-            binned.inst_gid, binned.tile_starts, binned.tile_counts, W, H, config=CFG,
+            binned.inst_gid, binned.tile_starts, binned.tile_counts, W, H,
+            config=CFG, order=binned.order,
         )
         return jnp.mean(jnp.abs(img - tgt))
 

@@ -62,3 +62,58 @@ def test_dp_step_runs_and_updates(n_dev):
     s2, loss2 = step(s1, batch, jnp.float32(1e-3), jnp.float32(0.0))
     assert np.isfinite(float(loss2))
     assert int(s2.step) == 2
+
+
+def test_dp_binned_step_matches_unbinned():
+    """The cached-binning DP fast path must produce the same update."""
+    from gags_tpu.splat.rasterizer import prepare_binning
+
+    n_dev = 8
+    raw = make_scene(N, seed=0)
+    scene = GaussianScene(
+        means=jnp.asarray(raw["means"]),
+        sh=jnp.asarray(raw["sh"]),
+        opacities_raw=jnp.asarray(np.log(raw["opacities"] / (1 - raw["opacities"]))),
+        scales_raw=jnp.asarray(np.log(raw["scales"])),
+        quats=jnp.asarray(raw["quats"]),
+        semantic_features=jnp.zeros((N, 8)),
+    )
+    cfg = GadConfig(
+        feature_dim=8,
+        clip_dim=16,
+        max_segments=16,
+        raster=RasterizeConfig(tile_h=8, tile_w=16, chunk=8, interpret=True),
+    )
+    state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(n_dev)
+    geom = frozen_geometry(scene)
+    cam = make_camera(W, H)
+
+    rng = np.random.default_rng(1)
+    b = n_dev
+    batch = dict(
+        viewmat=jnp.tile(cam.viewmat[None], (b, 1, 1)),
+        K=jnp.tile(cam.K[None], (b, 1, 1)),
+        img_embed=jnp.asarray(rng.normal(size=(b, 5, 16)).astype(np.float32)),
+        seg_map=jnp.asarray(rng.integers(-1, 5, size=(b, H, W, 4)).astype(np.int32)),
+    )
+    step_u = make_dp_train_step(mesh, statics, W, H, cfg)
+    s_u, loss_u = step_u(state, geom, batch, jnp.float32(1e-3), jnp.float32(0.0))
+
+    bn = prepare_binning(
+        geom["means"], geom["quats"], geom["scales"], cam.viewmat, cam.K,
+        W, H, cfg.raster,
+    )
+    batch_b = dict(
+        batch,
+        inst_gid=jnp.tile(bn.inst_gid[None], (b, 1)),
+        tile_starts=jnp.tile(bn.tile_starts[None], (b, 1)),
+        tile_counts=jnp.tile(bn.tile_counts[None], (b, 1)),
+        order=jnp.tile(bn.order[None], (b, 1)),
+    )
+    step_b = make_dp_train_step(mesh, statics, W, H, cfg, binned=True)
+    s_b, loss_b = step_b(state, geom, batch_b, jnp.float32(1e-3), jnp.float32(0.0))
+    np.testing.assert_allclose(float(loss_b), float(loss_u), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_b.features), np.asarray(s_u.features), atol=1e-6
+    )

@@ -42,7 +42,9 @@ def test_binning_invariants():
     tiles_x = -(-W // CFG.tile_w)
     tiles_y = -(-H // CFG.tile_h)
     num_tiles = tiles_x * tiles_y
-    gid = np.asarray(binned.inst_gid)
+    # inst_gid holds depth ranks; map through `order` to original indices
+    order = np.concatenate([np.asarray(binned.order), [200]])
+    gid = order[np.asarray(binned.inst_gid)]
     starts = np.asarray(binned.tile_starts)
     counts = np.asarray(binned.tile_counts)
     depths = np.asarray(p.depths)
@@ -71,7 +73,7 @@ def test_binning_invariants():
             y1 = (means2d[g, 1] + r) / CFG.tile_h
             assert x0 - 1e-4 <= tx + 1 and x1 + 1e-4 >= tx
             assert y0 - 1e-4 <= ty + 1 and y1 + 1e-4 >= ty
-        # padding rows are sentinel
+        # padding rows are sentinel (rank 200 maps to the appended 200)
         pad = gid[s + c : s + ((c + CFG.chunk - 1) // CFG.chunk) * CFG.chunk]
         assert (pad == 200).all()
         total_hits += c
