@@ -72,6 +72,9 @@ class AutomaticMaskGenerator:
 
     def __init__(self, sam_model, sam_params, sam_cfg, gen_cfg: GeneratorConfig = GeneratorConfig()):
         self.model = sam_model
+        # converted checkpoints arrive as numpy trees; indexing ops inside
+        # the jitted towers (rel-pos gathers) need device arrays
+        sam_params = jax.tree.map(jnp.asarray, sam_params)
         self.params = sam_params
         self.sam_cfg = sam_cfg
         self.cfg = gen_cfg

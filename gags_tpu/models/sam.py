@@ -217,7 +217,9 @@ class PromptEncoder(nn.Module):
     def pe_encode(self, coords: jnp.ndarray) -> jnp.ndarray:
         """coords normalised to [0,1]^2, (..., 2) → (..., prompt_dim)."""
         x = 2.0 * coords - 1.0
-        x = x @ self.pe_gaussian  # (..., d/2)
+        # coordinate-critical K=2 matmul: TPU's default bf16 pass would
+        # jitter point positions by ~0.4% of the image — pin true f32
+        x = jnp.matmul(x, self.pe_gaussian, precision=jax.lax.Precision.HIGHEST)
         x = 2.0 * jnp.pi * x
         return jnp.concatenate([jnp.sin(x), jnp.cos(x)], axis=-1)
 
@@ -271,7 +273,9 @@ class TwoWayBlock(nn.Module):
     def __call__(self, queries, keys, query_pe, key_pe):
         c = self.cfg
         if self.skip_first_pe:
-            attn_out = TwoWayAttention(c.prompt_dim, c.decoder_heads, name="self_attn")(
+            # first layer REPLACES queries (no residual) — segment-anything's
+            # TwoWayAttentionBlock skip_first_layer_pe branch
+            queries = TwoWayAttention(c.prompt_dim, c.decoder_heads, name="self_attn")(
                 queries, queries, queries
             )
         else:
@@ -279,26 +283,27 @@ class TwoWayBlock(nn.Module):
             attn_out = TwoWayAttention(c.prompt_dim, c.decoder_heads, name="self_attn")(
                 q, q, queries
             )
-        queries = nn.LayerNorm(name="ln1")(queries + attn_out)
+            queries = queries + attn_out
+        queries = nn.LayerNorm(epsilon=1e-5, name="ln1")(queries)
 
         q = queries + query_pe
         k = keys + key_pe
         attn_out = TwoWayAttention(
             c.prompt_dim, c.decoder_heads, 2, name="cross_t2i"
         )(q, k, keys)
-        queries = nn.LayerNorm(name="ln2")(queries + attn_out)
+        queries = nn.LayerNorm(epsilon=1e-5, name="ln2")(queries + attn_out)
 
         h = nn.Dense(8 * c.prompt_dim, name="mlp_fc1")(queries)
         h = nn.relu(h)
         h = nn.Dense(c.prompt_dim, name="mlp_fc2")(h)
-        queries = nn.LayerNorm(name="ln3")(queries + h)
+        queries = nn.LayerNorm(epsilon=1e-5, name="ln3")(queries + h)
 
         q = queries + query_pe
         k = keys + key_pe
         attn_out = TwoWayAttention(
             c.prompt_dim, c.decoder_heads, 2, name="cross_i2t"
         )(k, q, queries)
-        keys = nn.LayerNorm(name="ln4")(keys + attn_out)
+        keys = nn.LayerNorm(epsilon=1e-5, name="ln4")(keys + attn_out)
         return queries, keys
 
 
@@ -336,7 +341,7 @@ class MaskDecoder(nn.Module):
         attn = TwoWayAttention(c.prompt_dim, c.decoder_heads, 2, name="final_t2i")(
             q + tokens, k + pe, k
         )
-        q = nn.LayerNorm(name="ln_final")(q + attn)
+        q = nn.LayerNorm(epsilon=1e-5, name="ln_final")(q + attn)
 
         iou_out = q[:, 0]
         mask_out = q[:, 1 : 1 + c.mask_tokens]  # (B, 4, d)
@@ -385,7 +390,10 @@ class SAM(nn.Module):
         """
         sparse = self.prompt_encoder(points, labels)
         pe = self.prompt_encoder.dense_pe(image_embed.shape[1])
-        embed = jnp.broadcast_to(image_embed, (points.shape[0], *image_embed.shape[1:]))
+        # the no-mask dense prompt embedding is always added when no mask
+        # prompt is given (segment-anything's dense_embeddings path)
+        embed = image_embed + self.prompt_encoder.no_mask
+        embed = jnp.broadcast_to(embed, (points.shape[0], *image_embed.shape[1:]))
         return self.mask_decoder(embed, pe, sparse)
 
     def __call__(self, images, points, labels):

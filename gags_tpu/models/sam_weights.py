@@ -83,13 +83,19 @@ def load_sam_state_dict(sd: Dict[str, Any], cfg: SAMConfig) -> Dict:
         "mask_tokens": sd["mask_decoder.mask_tokens.weight"],
         "final_t2i": two_way_attn("mask_decoder.transformer.final_attn_token_to_image"),
         "ln_final": ln("mask_decoder.transformer.norm_final_attn"),
+        # torch ConvTranspose2d == flax ConvTranspose with the kernel
+        # spatially FLIPPED (flax does not flip; torch's adjoint does)
         "up1": {
-            "kernel": sd["mask_decoder.output_upscaling.0.weight"].transpose(2, 3, 0, 1),
+            "kernel": np.ascontiguousarray(
+                sd["mask_decoder.output_upscaling.0.weight"][:, :, ::-1, ::-1]
+            ).transpose(2, 3, 0, 1),
             "bias": sd["mask_decoder.output_upscaling.0.bias"],
         },
         "up_ln": ln2d("mask_decoder.output_upscaling.1"),
         "up2": {
-            "kernel": sd["mask_decoder.output_upscaling.3.weight"].transpose(2, 3, 0, 1),
+            "kernel": np.ascontiguousarray(
+                sd["mask_decoder.output_upscaling.3.weight"][:, :, ::-1, ::-1]
+            ).transpose(2, 3, 0, 1),
             "bias": sd["mask_decoder.output_upscaling.3.bias"],
         },
     }

@@ -38,6 +38,10 @@ from jax.experimental.pallas import tpu as pltpu
 import os
 
 SERIAL_DMA = os.environ.get("GAGS_SERIAL_DMA", "0") == "1"
+# perf-ablation knobs (benchmark experiments; defaults are the shipped config)
+TRI_MODE = os.environ.get("GAGS_TRI_MODE", "highest")  # highest|default|split2
+NO_EARLY_EXIT = os.environ.get("GAGS_NO_EARLY_EXIT", "0") == "1"
+FAKE_EXP = os.environ.get("GAGS_FAKE_EXP", "0") == "1"  # numerics-breaking probe
 
 ALPHA_FLOOR = 1.0 / 255.0
 ALPHA_CLAMP = 0.999
@@ -71,7 +75,8 @@ def _chunk_alpha(data, px, py):
     dx = px - mx  # (P, G)
     dy = py - my
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-    alpha = jnp.minimum(ALPHA_CLAMP, op * jnp.exp(-sigma))
+    vis = (1.0 - sigma) if FAKE_EXP else jnp.exp(-sigma)
+    alpha = jnp.minimum(ALPHA_CLAMP, op * vis)
     live = (sigma >= 0.0) & (alpha >= ALPHA_FLOOR)
     return jnp.where(live, alpha, 0.0)
 
@@ -96,17 +101,34 @@ def _cumsum_lanes(x, g: int):
     """
     b = min(SCAN_BLOCK, g)
     tri = _tri_incl(b)
-    blocks = []
-    carry = jnp.zeros((x.shape[0], 1), jnp.float32)
-    for s in range(g // b):
-        xs = x[:, s * b : (s + 1) * b]
-        cum_s = carry + jax.lax.dot_general(
-            xs,
-            tri,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+
+    def tri_dot(xs):
+        dn = (((1,), (0,)), ((), ()))
+        if TRI_MODE == "default":
+            return jax.lax.dot_general(
+                xs, tri, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+        if TRI_MODE == "split2":
+            # tri is 0/1 (exact in bf16); only xs needs splitting — two
+            # DEFAULT passes instead of HIGHEST's six
+            hi = xs.astype(jnp.bfloat16).astype(jnp.float32)
+            lo = xs - hi
+            return jax.lax.dot_general(
+                hi, tri, dimension_numbers=dn, preferred_element_type=jnp.float32
+            ) + jax.lax.dot_general(
+                lo, tri, dimension_numbers=dn, preferred_element_type=jnp.float32
+            )
+        return jax.lax.dot_general(
+            xs, tri, dimension_numbers=dn,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+
+    blocks = []
+    carry = jnp.zeros((x.shape[0], 1), jnp.float32)
+    for s in range(g // b):
+        cum_s = carry + tri_dot(x[:, s * b : (s + 1) * b])
         carry = cum_s[:, b - 1 : b]
         blocks.append(cum_s)
     return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=1)
@@ -120,12 +142,13 @@ def _blend_weights(alpha, log_t, g: int):
       log_t_incl_masked = inclusive naive log T where included, else 0
       new_log_t         = naive log T after the whole chunk
     """
-    l1m = jnp.log1p(-alpha)  # (P, G); 0 for skipped splats
+    l1m = (-alpha) if FAKE_EXP else jnp.log1p(-alpha)  # (P, G); 0 for skipped
     cum_incl = _cumsum_lanes(l1m, g)
     log_t_incl = log_t + cum_incl  # (P, G) naive inclusive
     log_t_excl = log_t_incl - l1m  # exclusive (T before this splat)
     include = log_t_incl >= LOG_T_EPS
-    w = jnp.where(include, alpha * jnp.exp(log_t_excl), 0.0)
+    t_excl = (1.0 + log_t_excl) if FAKE_EXP else jnp.exp(log_t_excl)
+    w = jnp.where(include, alpha * t_excl, 0.0)
     new_log_t = log_t + cum_incl[:, g - 1 : g]
     return w, jnp.where(include, log_t_incl, 0.0), new_log_t
 
@@ -171,6 +194,8 @@ def _forward_kernel(
 
     def cond(carry):
         k, log_t, _ = carry
+        if NO_EARLY_EXIT:
+            return k < nchunks
         return jnp.logical_and(k < nchunks, jnp.max(log_t) >= LOG_T_EPS)
 
     def body(carry):
