@@ -58,14 +58,12 @@ def main():
     def render_call(f):
         return render(means, quats, scales, opac, f)
 
-    img = render_call(feats)
-    img.block_until_ready()
+    # slope timing: on the remote-tunnel backend block_until_ready returns at
+    # enqueue and a readback costs ~35 ms; timing K1 vs K2 enqueued runs with
+    # one readback each cancels both (gags_tpu.utils.timing)
+    from gags_tpu.utils.timing import device_time
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        img = render_call(feats)
-    img.block_until_ready()
-    dt = (time.perf_counter() - t0) / ITERS
+    dt = device_time(render_call, feats, k1=5, k2=5 + ITERS, warmup=2)
     fps = 1.0 / dt
 
     print(
