@@ -3,8 +3,9 @@
 This reproduces the projection semantics the reference relies on through
 `gsplat.rasterization` (`gaussian_renderer/__init__.py:56-70`): perspective
 EWA with FoV-clamped Jacobian, a +0.3 px^2 low-pass on the 2D covariance and
-a 3-sigma circular extent — but as one fused, fully-vectorised JAX function
-(a few (N,3)x(3,3) matmuls + elementwise VPU work; no per-Gaussian loop).
+a 3-sigma circular extent — but as one fused, fully-vectorised JAX function.
+Every 3x3 matmul is hand-expanded to elementwise VPU mul-adds: exact f32
+with no MXU involvement (and no bf16 default-precision hazard).
 
 All outputs are fixed-shape (N,...) with a validity mask instead of
 compaction, which is what the TPU/XLA static-shape world wants.
@@ -16,8 +17,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-
-from gags_tpu.core.transforms import build_covariance_3d
 
 # gsplat defaults (rasterization() signature): eps2d, near/far planes, radius clip
 EPS2D = 0.3
@@ -59,26 +58,61 @@ def project_gaussians(
 
     Returns ProjectedGaussians; culled Gaussians have radii == 0.
     """
-    R = viewmat[:3, :3]
-    t = viewmat[:3, 3]
+    # All the K=3 "matmuls" below are expanded by hand into elementwise
+    # mul-adds: (a) 3x3-sized matmuls utilise ~0.05% of the MXU and were the
+    # bulk of projection cost, (b) the VPU computes them in TRUE f32, so the
+    # TPU bf16-default-precision hazard (means2d jitter flipping tile
+    # assignments — see NOTES.md) is gone by construction, with no
+    # precision= pins to forget.
+    r00, r01, r02 = viewmat[0, 0], viewmat[0, 1], viewmat[0, 2]
+    r10, r11, r12 = viewmat[1, 0], viewmat[1, 1], viewmat[1, 2]
+    r20, r21, r22 = viewmat[2, 0], viewmat[2, 1], viewmat[2, 2]
+    t0, t1, t2 = viewmat[0, 3], viewmat[1, 3], viewmat[2, 3]
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
 
     # --- world → camera ------------------------------------------------------
-    # K=3 matmuls MUST run in true f32: the TPU default lowers matmuls to
-    # bf16, which jitters means2d by ~0.3 px and flips tile assignments
-    p_cam = (
-        jnp.einsum("nj,ij->ni", means, R, precision=jax.lax.Precision.HIGHEST) + t
-    )  # (N, 3)
-    z = p_cam[:, 2]
+    w0, w1, w2 = means[:, 0], means[:, 1], means[:, 2]
+    px_cam = r00 * w0 + r01 * w1 + r02 * w2 + t0
+    py_cam = r10 * w0 + r11 * w1 + r12 * w2 + t1
+    z = r20 * w0 + r21 * w1 + r22 * w2 + t2
+    p_cam = jnp.stack([px_cam, py_cam, z], axis=-1)
     in_depth = (z > near_plane) & (z < far_plane)
     zs = jnp.where(in_depth, z, 1.0)  # avoid div-by-zero on culled points
 
-    # --- 3D covariance in camera frame ---------------------------------------
-    cov3d = build_covariance_3d(scales, quats)  # (N, 3, 3)
-    cov_cam = jnp.einsum(
-        "ij,njk,lk->nil", R, cov3d, R, precision=jax.lax.Precision.HIGHEST
-    )  # R Σ R^T
+    # --- camera-frame covariance Σ_cam = (R L)(R L)^T, L = R_quat diag(s) ----
+    q = quats / jnp.sqrt(
+        jnp.sum(quats * quats, axis=-1, keepdims=True) + 1e-24
+    )
+    qw, qx, qy, qz = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    s0, s1, s2 = scales[:, 0], scales[:, 1], scales[:, 2]
+    # L columns scaled by s (reference build_scaling_rotation semantics)
+    l00 = (1 - 2 * (qy * qy + qz * qz)) * s0
+    l01 = 2 * (qx * qy - qw * qz) * s1
+    l02 = 2 * (qx * qz + qw * qy) * s2
+    l10 = 2 * (qx * qy + qw * qz) * s0
+    l11 = (1 - 2 * (qx * qx + qz * qz)) * s1
+    l12 = 2 * (qy * qz - qw * qx) * s2
+    l20 = 2 * (qx * qz - qw * qy) * s0
+    l21 = 2 * (qy * qz + qw * qx) * s1
+    l22 = (1 - 2 * (qx * qx + qy * qy)) * s2
+    # M = R @ L (rows of the rotated factor)
+    m00 = r00 * l00 + r01 * l10 + r02 * l20
+    m01 = r00 * l01 + r01 * l11 + r02 * l21
+    m02 = r00 * l02 + r01 * l12 + r02 * l22
+    m10 = r10 * l00 + r11 * l10 + r12 * l20
+    m11 = r10 * l01 + r11 * l11 + r12 * l21
+    m12 = r10 * l02 + r11 * l12 + r12 * l22
+    m20 = r20 * l00 + r21 * l10 + r22 * l20
+    m21 = r20 * l01 + r21 * l11 + r22 * l21
+    m22 = r20 * l02 + r21 * l12 + r22 * l22
+    # Σ_cam entries actually consumed by the 2D projection
+    c00 = m00 * m00 + m01 * m01 + m02 * m02
+    c01 = m00 * m10 + m01 * m11 + m02 * m12
+    c02 = m00 * m20 + m01 * m21 + m02 * m22
+    c11 = m10 * m10 + m11 * m11 + m12 * m12
+    c12 = m10 * m20 + m11 * m21 + m12 * m22
+    c22 = m20 * m20 + m21 * m21 + m22 * m22
 
     # --- perspective Jacobian with gsplat's FoV clamping ----------------------
     tan_fovx = 0.5 * width / fx
@@ -95,10 +129,6 @@ def project_gaussians(
     j02 = -fx * tx * rz2
     j11 = fy * rz
     j12 = -fy * ty * rz2
-
-    c00, c01, c02 = cov_cam[:, 0, 0], cov_cam[:, 0, 1], cov_cam[:, 0, 2]
-    c11, c12 = cov_cam[:, 1, 1], cov_cam[:, 1, 2]
-    c22 = cov_cam[:, 2, 2]
 
     # cov2d = J cov_cam J^T, expanded by hand (2x2 symmetric)
     a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22)
