@@ -45,7 +45,15 @@ def main():
     scales = jnp.asarray(raw["scales"])
     opac = jnp.asarray(raw["opacities"])
     feats = jnp.asarray(raw["features"])
-    cfg = RasterizeConfig(interpret=on_cpu)
+    # inference config: 32x32 tiles (best measured shape) + unaligned
+    # binning (forward-only layout: no SAT/dummy passes)
+    cfg = RasterizeConfig(
+        tile_h=8 if on_cpu else 32,
+        tile_w=16 if on_cpu else 32,
+        chunk=8 if on_cpu else 128,
+        interpret=on_cpu,
+        aligned=False,
+    )
     bg = jnp.zeros((feats.shape[1],), jnp.float32)
 
     @jax.jit
@@ -58,12 +66,12 @@ def main():
     def render_call(f):
         return render(means, quats, scales, opac, f)
 
-    # slope timing: on the remote-tunnel backend block_until_ready returns at
-    # enqueue and a readback costs ~35 ms; timing K1 vs K2 enqueued runs with
-    # one readback each cancels both (gags_tpu.utils.timing)
-    from gags_tpu.utils.timing import device_time
+    # drain timing: enqueue ITERS frames (dispatch ~0.04 ms/frame), one
+    # readback at the end; matches profiler module timelines, unlike the
+    # slope method which overestimated ~30% on this backend
+    from gags_tpu.utils.timing import device_time_drain
 
-    dt = device_time(render_call, feats, k1=5, k2=5 + ITERS, warmup=2)
+    dt = device_time_drain(render_call, feats, k=ITERS, warmup=3)
     fps = 1.0 / dt
 
     print(

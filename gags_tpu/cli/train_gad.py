@@ -34,6 +34,7 @@ from gags_tpu.gad.train import (
     create_train_state,
     frozen_geometry,
     loss_weights,
+    make_eval_step,
     make_train_step,
     make_train_step_binned,
 )
@@ -51,9 +52,64 @@ class RunConfig:
     resolution: int = 2          # GAD.sh runs -r 2
     iterations: int = 30000
     save_iterations: str = "15000,30000"
+    test_iterations: str = "7000,30000"  # held-out reporting (reference default)
     seed: int = 0
+    eval_split: bool = False     # reference --eval: hold out every 8th camera
     resume: bool = False
     profile: bool = False        # capture a jax.profiler trace of steps 50-60
+    # SIBR remote viewer (reference network_gui). The CLI defaults to the
+    # reference's port 6009; programmatic runs (tests) default off.
+    viewer_port: int = -1
+
+
+def _make_viewer(geometry, rc: "RunConfig", total_iterations: int):
+    """SIBR remote-viewer bridge serving RGB renders of the frozen geometry
+    (reference train.py:109-123; GAD trains features only, so the RGB view
+    is the pretrained scene). Returns None when disabled/unavailable."""
+    if rc.viewer_port is None or rc.viewer_port <= 0:
+        return None
+    from gags_tpu.utils.viewer import TrainingViewer, ViewerServer
+
+    try:
+        server = ViewerServer(port=rc.viewer_port)
+    except OSError as e:
+        print(f"viewer: port {rc.viewer_port} unavailable ({e}); disabled")
+        return None
+
+    import functools
+
+    from gags_tpu.core.camera import intrinsics_from_fov
+    from gags_tpu.core.sh import sh_colors
+    from gags_tpu.splat.rasterizer import auto_config, rasterize
+
+    @functools.lru_cache(maxsize=4)
+    def _render_at(w, h):
+        cfg = auto_config(aligned=False)
+
+        def f(means, quats, scales, opac, sh, viewmat, K, smod):
+            campos = -viewmat[:3, :3].T @ viewmat[:3, 3]
+            colors = sh_colors(3, sh, means, campos)
+            res = rasterize(
+                means, quats, scales * smod, opac, colors, viewmat, K, w, h,
+                background=jnp.zeros((3,), jnp.float32), config=cfg,
+            )
+            return jnp.clip(res.image, 0.0, 1.0)
+
+        return jax.jit(f)
+
+    def render_rgb(req):
+        K = jnp.asarray(
+            intrinsics_from_fov(req.fovx, req.fovy, req.width, req.height),
+            jnp.float32,
+        )
+        img = _render_at(req.width, req.height)(
+            geometry.means, geometry.quats, geometry.scales, geometry.opacities,
+            geometry.sh, jnp.asarray(req.viewmat), K, jnp.float32(req.scaling_modifier),
+        )
+        return np.asarray(img)
+
+    print(f"viewer listening on port {rc.viewer_port}")
+    return TrainingViewer(server, render_rgb, rc.source_path)
 
 
 def run(rc: RunConfig, gad_cfg: GadConfig = None) -> TrainState:
@@ -65,7 +121,7 @@ def run(rc: RunConfig, gad_cfg: GadConfig = None) -> TrainState:
     save_config(rc, rc.model_path)
     gad_cfg.save(rc.model_path)
 
-    scene_info = detect_and_load(rc.source_path)
+    scene_info = detect_and_load(rc.source_path, eval_split=rc.eval_split)
     # model dir carries the camera set (reference scene/__init__.py:51-63)
     import json
     from gags_tpu.scene.dataset import camera_to_json
@@ -148,9 +204,53 @@ def run(rc: RunConfig, gad_cfg: GadConfig = None) -> TrainState:
     rng = np.random.default_rng(rc.seed)
     save_at = {int(s) for s in rc.save_iterations.split(",") if s}
     save_at.add(rc.iterations)
+    test_at = {int(s) for s in rc.test_iterations.split(",") if s}
 
     metrics_w = MetricsWriter(rc.model_path)
     progress = EmaProgress(rc.iterations)
+
+    viewer = _make_viewer(geometry, rc, rc.iterations)
+
+    # held-out reporting (reference training_report): test-camera losses +
+    # scale-map image dumps at test iterations
+    eval_fn = None
+    test_ds = None
+    if test_at and scene_info.test_cameras:
+        try:
+            test_ds = GadDataset(
+                scene_info.test_cameras, resolution=rc.resolution,
+                max_masks=dataset.max_masks,
+            )
+            eval_fn = make_eval_step(statics, test_ds.width, test_ds.height, gad_cfg)
+        except Exception as e:
+            print(f"held-out reporting disabled: {e}")
+
+    def test_report(it):
+        if eval_fn is None:
+            return
+        from gags_tpu.utils.colormaps import apply_float_colormap
+
+        vals = []
+        smap = None
+        for ci in range(min(len(test_ds), 8)):
+            mtr, smap = eval_fn(state, geom, test_ds.batch(ci))
+            vals.append({k: float(v) for k, v in mtr.items()})
+        agg = {f"test_{k}": float(np.mean([v[k] for v in vals])) for k in vals[0]}
+        metrics_w.write(it, agg)
+        print(f"\n[iter {it}] test: " + ", ".join(f"{k}={v:.4f}" for k, v in agg.items()))
+        out = os.path.join(rc.model_path, "test_renders")
+        os.makedirs(out, exist_ok=True)
+        from PIL import Image
+
+        sm = np.asarray(smap)
+        Image.fromarray((np.clip(sm, 0, 1) * 255).astype(np.uint8)).save(
+            os.path.join(out, f"scale_map_{it}.png")
+        )
+        for gi, gname in enumerate("sml"):
+            heat = apply_float_colormap(sm[..., gi])
+            Image.fromarray((np.clip(heat, 0, 1) * 255).astype(np.uint8)).save(
+                os.path.join(out, f"scale_map_{gname}_{it}.png")
+            )
 
     def batch_stream():
         while True:
@@ -162,6 +262,8 @@ def run(rc: RunConfig, gad_cfg: GadConfig = None) -> TrainState:
     stream = prefetch_to_device(batch_stream())
     t_iter = time.time()
     for it in range(first_iter + 1, rc.iterations + 1):
+        if viewer is not None:
+            viewer.poll(it, rc.iterations)
         if rc.profile and it == 50:
             jax.profiler.start_trace(os.path.join(rc.model_path, "profile"))
         if rc.profile and it == 60:
@@ -189,10 +291,14 @@ def run(rc: RunConfig, gad_cfg: GadConfig = None) -> TrainState:
                     sec_per_500=dt,
                 ),
             )
+        if it in test_at:
+            test_report(it)
         if it in save_at:
             print(f"\n[iter {it}] saving checkpoint + PLY")
             save_checkpoint(rc.model_path, state, it)
             export_ply(rc.model_path, geometry, state, it)
+    if viewer is not None:
+        viewer.close()
     metrics_w.close()
     return state
 
@@ -205,9 +311,12 @@ def main():
     p.add_argument("-r", "--resolution", type=int, default=2)
     p.add_argument("--iterations", type=int, default=30000)
     p.add_argument("--save_iterations", default="15000,30000")
+    p.add_argument("--test_iterations", default="7000,30000")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval", dest="eval_split", action="store_true")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile", action="store_true")
+    p.add_argument("--viewer_port", type=int, default=6009)
     args = p.parse_args()
     run(RunConfig(**vars(args)))
 

@@ -15,9 +15,27 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from gags_tpu.utils.image import mean_smooth, resize_bilinear_align_corners, resize_nearest
+
+
+def segment_median(values: jnp.ndarray, seg: jnp.ndarray, num_segments: int):
+    """Per-segment lower median (torch.median semantics) of flat `values`.
+
+    seg < 0 entries are excluded. Returns (medians (S,), counts (S,));
+    empty segments get median 0. One lexicographic (seg, value) sort +
+    searchsorted run boundaries — no data-dependent shapes.
+    """
+    s = jnp.where(seg < 0, jnp.int32(num_segments), seg.astype(jnp.int32))
+    s_sorted, v_sorted = jax.lax.sort((s, values), num_keys=2)
+    bounds = jnp.arange(num_segments + 1, dtype=jnp.int32)
+    starts = jnp.searchsorted(s_sorted, bounds, side="left")
+    counts = starts[1:] - starts[:-1]
+    pos = starts[:-1] + jnp.maximum(counts - 1, 0) // 2
+    med = v_sorted[jnp.minimum(pos, values.shape[0] - 1)]
+    return jnp.where(counts > 0, med, 0.0), counts
 
 
 def mixed_seg_map(seg_map: jnp.ndarray, scale_map: jnp.ndarray) -> jnp.ndarray:
@@ -38,6 +56,7 @@ def blend_gt_feature_map(
     seg_map: jnp.ndarray,  # (H, W, 4) int32
     scale_map: jnp.ndarray,  # (h, w, 3) granularity weights at render res
     max_mode: bool = False,
+    median_mode: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-pixel GT CLIP map blended across granularities.
 
@@ -50,6 +69,10 @@ def blend_gt_feature_map(
       * feature maps are bilinear-resized with align_corners=True and masks
         nearest-resized when seg and render resolutions differ
         (dataset_readers.py:72-79).
+      * median_mode (dataset_readers.py:90-118): every pixel of an s-level
+        segment gets that segment's per-channel MEDIAN scale weights
+        (normalised to sum 1); the reference's python loop over segment ids
+        becomes one (seg, value) sort per channel.
     """
     h_out, w_out = scale_map.shape[0], scale_map.shape[1]
 
@@ -80,6 +103,28 @@ def blend_gt_feature_map(
             + fl * (one_hot[..., 2] * ml)[..., None]
         )
         mask = fmap[..., 0:1] != 0.0
+    elif median_mode:
+        num_segments = img_embed.shape[0]
+        seg_r = resize_nearest(
+            seg_map.astype(jnp.float32), (h_out, w_out)
+        ).astype(jnp.int32)
+        seg_s = seg_r[..., 1]  # scale_bal_idx=1: the s-granularity segments
+        flat = seg_s.reshape(-1)
+        med = jnp.stack(
+            [
+                segment_median(scale_map[..., ch].reshape(-1), flat, num_segments)[0]
+                for ch in range(3)
+            ],
+            axis=-1,
+        )  # (S, 3)
+        med = med / jnp.sum(med, axis=-1, keepdims=True)
+        balanced = med[jnp.maximum(flat, 0)].reshape(h_out, w_out, 3)
+        scale_bal = jnp.where((seg_s != -1)[..., None], balanced, scale_map)
+        fmap = (
+            fs * scale_bal[..., 0:1]
+            + fm * scale_bal[..., 1:2]
+            + fl * scale_bal[..., 2:3]
+        )
     else:
         fmap = (
             fs * scale_map[..., 0:1]

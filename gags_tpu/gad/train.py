@@ -313,6 +313,46 @@ def make_train_step_binned(statics: Dict[str, Any], width: int, height: int, cfg
     return step
 
 
+def make_eval_step(statics: Dict[str, Any], width: int, height: int, cfg: GadConfig):
+    """Held-out evaluation: the train losses WITHOUT grads, plus the scale
+    map for visualisation.
+
+    Counterpart of the reference's `training_report`
+    (`/root/reference/train.py:244-286`), which logs train-side scalars and
+    scale-map images at test iterations; we additionally run the same loss
+    pipeline on held-out cameras (batch comes from a test-camera GadDataset).
+    """
+    dec: FeatureDecoder = statics["decoder"]
+    scl: ScaleDecoder = statics["scale_decoder"]
+    bg = jnp.zeros((cfg.feature_dim,), jnp.float32)
+
+    @jax.jit
+    def eval_step(state: TrainState, geom, batch):
+        res = rasterize(
+            geom["means"], geom["quats"], geom["scales"], geom["opacities"],
+            state.features, batch["viewmat"], batch["K"], width, height,
+            background=bg, config=cfg.raster,
+        )
+        feat_map = res.image
+        scale_map = _scale_map_fn(cfg, scl, state.scale_params, feat_map)
+        seg_mixed = mixed_seg_map(batch["seg_map"], scale_map)
+        gt_map, mask = blend_gt_feature_map(
+            batch["img_embed"], batch["seg_map"], scale_map
+        )
+        maskf = mask.astype(jnp.float32)
+        decoded = dec.apply(state.decoder_params, feat_map)
+        l1_pix = losses.l1_map(decoded * maskf, gt_map * maskf)
+        l1_feature = losses.region_balanced_l1(l1_pix, seg_mixed, cfg.max_segments)
+        metrics = dict(
+            l1_feature=l1_feature,
+            l1_pixel_mean=jnp.sum(l1_pix * maskf[..., 0]) / jnp.maximum(jnp.sum(maskf), 1.0),
+            region_var=losses.region_variance_loss(feat_map, seg_mixed, cfg.max_segments),
+        )
+        return metrics, scale_map
+
+    return eval_step
+
+
 def render_feature_map(statics, geometry: GaussianScene, state: TrainState, viewmat, K, width, height, cfg: GadConfig, decode: bool = False):
     """Inference helper: render the 16-dim map (optionally decode to CLIP)."""
     res = rasterize(

@@ -173,6 +173,7 @@ def _forward_kernel(
     tile_h: int,
     tile_w: int,
     g: int,
+    aligned: bool = True,
 ):
     t = pl.program_id(0)
     start = tile_starts_ref[t]
@@ -183,10 +184,20 @@ def _forward_kernel(
     px, py = _pixel_coords(t, tiles_x, tile_h, tile_w, p)
     acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
-    nchunks = pl.cdiv(count, g)
+    if aligned:
+        lead = jnp.int32(0)
+        base = start
+        nchunks = pl.cdiv(count, g)
+    else:
+        # unaligned (inference) layout: ranges start anywhere; DMA from the
+        # enclosing chunk-aligned window and mask the head/tail lanes
+        lead = jax.lax.rem(start, g)
+        base = start - lead
+        nchunks = jnp.where(count > 0, pl.cdiv(lead + count, g), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
 
     def dma(k, slot):
-        off = pl.multiple_of(start + k * g, g)
+        off = pl.multiple_of(base + k * g, g)
         return pltpu.make_async_copy(
             data_hbm.at[:, pl.ds(off, g)], buf.at[slot], sems.at[slot]
         )
@@ -219,6 +230,9 @@ def _forward_kernel(
         data = buf[slot]  # (8+C, G)
 
         alpha = _chunk_alpha(data, px, py)  # (P, G)
+        if not aligned:
+            j = k * g + lane  # global position within the aligned window
+            alpha = jnp.where((j >= lead) & (j < lead + count), alpha, 0.0)
         w, log_t_incl_masked, new_log_t = _blend_weights(alpha, log_t, g)
 
         # colour accumulation: (P, G) x (C, G) -> (P, C) on the MXU
@@ -651,7 +665,9 @@ def _fwd_cost(num_tiles: int, p: int, g: int, c: int, m: int) -> pl.CostEstimate
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tiles_x", "tiles_y", "tile_h", "tile_w", "chunk", "interpret"),
+    static_argnames=(
+        "tiles_x", "tiles_y", "tile_h", "tile_w", "chunk", "interpret", "aligned"
+    ),
 )
 def tile_blend_forward(
     inst_data: jnp.ndarray,  # (8+C, M): [mx,my,ca,cb,cc,op,0,0, colours...]
@@ -664,6 +680,7 @@ def tile_blend_forward(
     tile_w: int,
     chunk: int = 128,
     interpret: bool = False,
+    aligned: bool = True,
 ):
     """Returns (T, P, C+1): C composited channels, then alpha."""
     num_tiles = tiles_x * tiles_y
@@ -687,7 +704,8 @@ def tile_blend_forward(
         ],
     )
     kernel = functools.partial(
-        _forward_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w, g=chunk
+        _forward_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w, g=chunk,
+        aligned=aligned,
     )
     (out,) = pl.pallas_call(
         kernel,

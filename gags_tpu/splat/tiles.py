@@ -91,8 +91,9 @@ def bin_gaussians(
     tile_h: int,
     budget: int,
     chunk: int = 128,
+    aligned: bool = True,
 ) -> BinnedInstances:
-    """Build the sorted (tile-major, front-to-back, chunk-aligned) list.
+    """Build the sorted (tile-major, front-to-back) instance list.
 
     Args:
       means2d/radii/depths: (N,...) from `project_gaussians`.
@@ -101,6 +102,14 @@ def bin_gaussians(
       budget: static max real instance count; beyond it the deepest
         Gaussians' instances are dropped entirely (reported via `overflow`).
       chunk: the blend kernel's Gaussian chunk size G.
+      aligned: chunk-align each tile's range by injecting zero-opacity
+        dummy instances (requires pre-sort per-tile counts via the SAT
+        histogram). Needed by the BACKWARD kernels, whose per-chunk
+        gradient writes must own their chunks exclusively. The
+        forward-only inference path uses aligned=False: no dummies, no
+        SAT pass, ~2/3 the binning cost; tile starts/counts fall out of
+        the sorted keys by searchsorted and the blend kernel masks the
+        unaligned head/tail lanes of each range.
     """
     n = means2d.shape[0]
     tiles_x = -(-width // tile_w)
@@ -135,38 +144,41 @@ def bin_gaussians(
     num_valid = jnp.where(g_cut > 0, inc[jnp.clip(g_cut - 1, 0, n - 1)], 0)
     overflow = total - num_valid
 
-    # --- per-tile counts via 2-D summed-area histogram (O(N log N) + O(T)) ---
-    # The ±1 corner contributions of each rect go into a (Ty+1, Tx+1) grid
-    # whose 2-D cumsum is the per-tile cover count. XLA's scatter-add is the
-    # slowest op on TPU (~9 ms for 4N updates); a sort + searchsorted
-    # histogram of the corner cell ids is 4x faster.
-    kept = (jnp.arange(n, dtype=jnp.int32) < g_cut) & (counts_p > 0)
-    gx0 = tblp[:, 0] & 1023
-    gy0 = (tblp[:, 0] >> 10) & 1023
-    gx1 = tblp[:, 2]
-    gy1 = tblp[:, 3]
-    gw = tiles_x + 1
-    ncells = (tiles_y + 1) * gw
-    oob = jnp.int32(ncells)  # non-kept corners fall past the last boundary
-    pos = jnp.concatenate(
-        [jnp.where(kept, gy0 * gw + gx0, oob), jnp.where(kept, gy1 * gw + gx1, oob)]
-    )
-    neg = jnp.concatenate(
-        [jnp.where(kept, gy0 * gw + gx1, oob), jnp.where(kept, gy1 * gw + gx0, oob)]
-    )
-    (pos_s,) = jax.lax.sort((pos,), num_keys=1)
-    (neg_s,) = jax.lax.sort((neg,), num_keys=1)
-    bounds = jnp.arange(ncells + 1, dtype=jnp.int32)
-    hp = jnp.searchsorted(pos_s, bounds, side="left")
-    hn = jnp.searchsorted(neg_s, bounds, side="left")
-    grid = (hp[1:] - hp[:-1]) - (hn[1:] - hn[:-1])
-    grid = grid.reshape(tiles_y + 1, gw)
-    counts_t = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[:tiles_y, :tiles_x]
-    counts_t = counts_t.reshape(num_tiles)
+    if aligned:
+        # --- per-tile counts via 2-D summed-area histogram (O(N log N) + O(T))
+        # The ±1 corner contributions of each rect go into a (Ty+1, Tx+1) grid
+        # whose 2-D cumsum is the per-tile cover count. XLA's scatter-add is
+        # the slowest op on TPU (~9 ms for 4N updates); a sort + searchsorted
+        # histogram of the corner cell ids is 4x faster. Only the aligned
+        # (training) layout needs counts BEFORE the sort — to size each
+        # tile's dummy padding.
+        kept = (jnp.arange(n, dtype=jnp.int32) < g_cut) & (counts_p > 0)
+        gx0 = tblp[:, 0] & 1023
+        gy0 = (tblp[:, 0] >> 10) & 1023
+        gx1 = tblp[:, 2]
+        gy1 = tblp[:, 3]
+        gw = tiles_x + 1
+        ncells = (tiles_y + 1) * gw
+        oob = jnp.int32(ncells)  # non-kept corners fall past the last boundary
+        pos = jnp.concatenate(
+            [jnp.where(kept, gy0 * gw + gx0, oob), jnp.where(kept, gy1 * gw + gx1, oob)]
+        )
+        neg = jnp.concatenate(
+            [jnp.where(kept, gy0 * gw + gx1, oob), jnp.where(kept, gy1 * gw + gx0, oob)]
+        )
+        (pos_s,) = jax.lax.sort((pos,), num_keys=1, is_stable=False)
+        (neg_s,) = jax.lax.sort((neg,), num_keys=1, is_stable=False)
+        bounds = jnp.arange(ncells + 1, dtype=jnp.int32)
+        hp = jnp.searchsorted(pos_s, bounds, side="left")
+        hn = jnp.searchsorted(neg_s, bounds, side="left")
+        grid = (hp[1:] - hp[:-1]) - (hn[1:] - hn[:-1])
+        grid = grid.reshape(tiles_y + 1, gw)
+        counts_t = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[:tiles_y, :tiles_x]
+        counts_t = counts_t.reshape(num_tiles)
 
-    padded_counts = ((counts_t + chunk - 1) // chunk) * chunk
-    padded_counts = jnp.where(counts_t > 0, padded_counts, 0)
-    tile_starts = (jnp.cumsum(padded_counts) - padded_counts).astype(jnp.int32)
+        padded_counts = ((counts_t + chunk - 1) // chunk) * chunk
+        padded_counts = jnp.where(counts_t > 0, padded_counts, 0)
+        tile_starts = (jnp.cumsum(padded_counts) - padded_counts).astype(jnp.int32)
 
     # --- ragged→dense expansion in rank space (no gathers, no searches) ------
     # Telescoping diff-scatter: scatter each Gaussian's per-field DELTA at
@@ -197,22 +209,40 @@ def bin_gaussians(
     tile = (py0 + dy) * tiles_x + (px0 + dx)
     valid = idx < num_valid
 
-    # --- keys: real instances + per-tile alignment dummies -------------------
+    # --- keys: real instances (+ per-tile alignment dummies if aligned) ------
     key_real = jnp.where(valid, tile * (n + 1) + gid, INT32_MAX)
 
-    dummy_idx = jnp.arange(num_tiles * chunk, dtype=jnp.int32)
-    d_tile = dummy_idx // chunk
-    d_within = dummy_idx - d_tile * chunk
-    pad_needed = padded_counts - counts_t  # in [0, chunk)
-    d_ok = d_within < pad_needed[d_tile]
-    key_dummy = jnp.where(d_ok, d_tile * (n + 1) + n, INT32_MAX)
+    if aligned:
+        dummy_idx = jnp.arange(num_tiles * chunk, dtype=jnp.int32)
+        d_tile = dummy_idx // chunk
+        d_within = dummy_idx - d_tile * chunk
+        pad_needed = padded_counts - counts_t  # in [0, chunk)
+        d_ok = d_within < pad_needed[d_tile]
+        key_dummy = jnp.where(d_ok, d_tile * (n + 1) + n, INT32_MAX)
+        keys = jnp.concatenate([key_real, key_dummy])
+    else:
+        keys = key_real
 
-    (sorted_keys,) = jax.lax.sort(
-        (jnp.concatenate([key_real, key_dummy]),), num_keys=1
-    )
+    # keys are unique (one instance per gaussian-tile pair) — an unstable
+    # sort avoids XLA's implicit iota tiebreak payload for stable sorts
+    (sorted_keys,) = jax.lax.sort((keys,), num_keys=1, is_stable=False)
     # rank recovery is pure arithmetic; INT32_MAX filler rows land past every
     # tile range (never read, grads pre-zeroed) — clamp keeps them in-bounds
     inst_rank = jnp.minimum(sorted_keys % (n + 1), n).astype(jnp.int32)
+
+    if not aligned:
+        # starts/counts straight from the sorted keys: tile t's range is
+        # [searchsorted(t*(n+1)), searchsorted((t+1)*(n+1))) — the queries
+        # are tiny (T+1) and sorted, so this is O(T log M)
+        tbounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) * jnp.int32(n + 1)
+        edges = jnp.searchsorted(sorted_keys, tbounds, side="left").astype(jnp.int32)
+        tile_starts = edges[:num_tiles]
+        counts_t = edges[1:] - edges[:num_tiles]
+        # one sentinel chunk of tail padding: the kernel's last (masked)
+        # chunk DMA of the last tile may read up to chunk-1 rows past m_real
+        inst_rank = jnp.concatenate(
+            [inst_rank, jnp.full((chunk,), n, jnp.int32)]
+        )
 
     return BinnedInstances(
         inst_gid=inst_rank,

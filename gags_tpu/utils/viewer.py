@@ -109,3 +109,51 @@ class ViewerServer:
     def close(self) -> None:
         self.drop()
         self.listener.close()
+
+
+class TrainingViewer:
+    """Per-iteration viewer polling for a training loop.
+
+    Reference semantics (`/root/reference/train.py:109-123`): each training
+    iteration serves pending SIBR requests; a paused client
+    (do_training=False) holds training until it resumes; a client rendering
+    while training (do_training=True) gets one frame per iteration.
+    Deviation: an idle connected client (no pending message) does NOT stall
+    the step — we only block on the socket while the client is paused.
+    """
+
+    def __init__(self, server: ViewerServer, render_rgb, verify: str):
+        self.server = server
+        self.render_rgb = render_rgb  # (ViewerRequest) -> (H, W, 3) float/uint8
+        self.verify = verify
+        self.paused = False
+
+    def _pending(self) -> bool:
+        import select
+
+        r, _, _ = select.select([self.server.conn], [], [], 0)
+        return bool(r)
+
+    def poll(self, iteration: int, total_iterations: int) -> None:
+        if self.server.conn is None and not self.server.try_connect():
+            return
+        while self.server.conn is not None:
+            try:
+                if not self.paused and not self._pending():
+                    return
+                req = self.server.receive()
+                img = self.render_rgb(req) if req is not None else None
+                self.server.send(img, self.verify)
+                if req is None:
+                    continue
+                self.paused = not req.do_training
+                if req.do_training and (
+                    iteration < total_iterations or not req.keep_alive
+                ):
+                    return
+            except Exception:
+                self.server.drop()
+                self.paused = False
+
+    def close(self) -> None:
+        self.server.close()

@@ -34,8 +34,33 @@ def trained(tmp_path_factory):
         raster=RasterizeConfig(tile_h=8, tile_w=16, chunk=8, interpret=True),
     )
     run(RunConfig(source_path=root, model_path=model, ply_path=ply,
-                  resolution=1, iterations=6, save_iterations="6"), cfg)
+                  resolution=1, iterations=6, save_iterations="6",
+                  test_iterations="4"), cfg)
     return root, model
+
+
+def test_heldout_report_written(tmp_path):
+    """--eval training writes held-out metrics + scale-map dumps at test
+    iterations (reference training_report analogue, train.py:244-286)."""
+    from gags_tpu.cli.train_gad import RunConfig, run
+    from gags_tpu.gad.train import GadConfig
+    from gags_tpu.splat.rasterizer import RasterizeConfig
+
+    root, model = str(tmp_path / "scene"), str(tmp_path / "model")
+    ply = _build_fixture(root, n_cams=5)
+    cfg = GadConfig(
+        feature_dim=8, clip_dim=24, max_segments=16,
+        raster=RasterizeConfig(tile_h=8, tile_w=16, chunk=8, interpret=True),
+    )
+    run(RunConfig(source_path=root, model_path=model, ply_path=ply,
+                  resolution=1, iterations=4, save_iterations="4",
+                  test_iterations="4", eval_split=True), cfg)
+    rows = [json.loads(l) for l in open(os.path.join(model, "metrics.jsonl"))]
+    test_rows = [r for r in rows if any(k.startswith("test_") for k in r)]
+    assert test_rows and test_rows[0]["step"] == 4
+    assert "test_l1_feature" in test_rows[0]
+    dumps = os.listdir(os.path.join(model, "test_renders"))
+    assert "scale_map_4.png" in dumps and "scale_map_s_4.png" in dumps
 
 
 def test_render_cli_rgb_ed(trained, monkeypatch):
@@ -107,3 +132,49 @@ def test_metrics_cli(trained, monkeypatch, tmp_path):
         res = json.load(f)
     assert res["ours_6"]["PSNR"] > 60  # identical images
     assert abs(res["ours_6"]["SSIM"] - 1.0) < 1e-3
+
+
+def test_render_cli_depth_golden(trained, monkeypatch):
+    """End-to-end RGB+ED depth parity: the depth .npy written by the render
+    CLI must match the pure-JAX oracle's accumulated-depth/alpha map
+    (gsplat RGB+ED semantics, gaussian_renderer/__init__.py:56-70)."""
+    import jax.numpy as jnp
+
+    from gags_tpu.cli.render import camera_from_info
+    from gags_tpu.core.sh import sh_colors
+    from gags_tpu.scene.dataset import detect_and_load
+    from gags_tpu.scene.gaussian_data import GaussianScene
+    from gags_tpu.splat.projection import project_gaussians
+    from gags_tpu.splat.reference import rasterize_reference
+
+    root, model = trained
+    if not os.path.exists(os.path.join(model, "train", "ours_6", "depth")):
+        _run_cli(
+            "gags_tpu.cli.render",
+            ["-m", model, "-s", root, "--iteration", "6",
+             "--render_mode", "RGB+ED", "-r", "1", "--skip_test"],
+            monkeypatch,
+        )
+    info = detect_and_load(root).train_cameras[0]
+    cam = camera_from_info(info, 1)
+    ply = os.path.join(
+        model, "point_cloud", "iteration_6", "point_cloud.ply"
+    )
+    scene = GaussianScene.from_ply(ply)
+
+    name = os.path.splitext(info.name)[0]
+    got = np.load(os.path.join(model, "train", "ours_6", "depth", name + "_depth.npy"))
+
+    proj = project_gaussians(
+        scene.means, scene.quats, scene.scales, cam.viewmat, cam.K,
+        cam.width, cam.height,
+    )
+    rgb = sh_colors(scene.max_sh_degree, scene.sh, scene.means, cam.campos)
+    colors = jnp.concatenate([rgb, proj.depths[:, None]], axis=-1)
+    bg = jnp.concatenate([jnp.zeros((3,)), jnp.zeros((1,))])
+    img, alpha = rasterize_reference(
+        proj.means2d, proj.conics, proj.depths, proj.radii,
+        scene.opacities, colors, cam.width, cam.height, background=bg,
+    )
+    expect = np.asarray(img[..., 3] / jnp.maximum(alpha, 1e-10))
+    np.testing.assert_allclose(got, expect, atol=1e-4, rtol=1e-4)

@@ -152,3 +152,48 @@ def test_blend_gt_feature_map_max_mode():
         jnp.asarray(embed), jnp.asarray(seg), jnp.asarray(scale), max_mode=True
     )
     np.testing.assert_allclose(np.asarray(fmap[1, 1]), embed[3], rtol=1e-6)
+
+
+def test_blend_gt_feature_map_median_mode():
+    """median_mode: every pixel of an s-level segment gets the segment's
+    per-channel median scale weights, renormalised to sum 1
+    (reference dataset_readers.py:90-118, torch lower-median semantics)."""
+    h, w, d = 4, 6, 5
+    rng = np.random.default_rng(3)
+    embed = rng.normal(size=(8, d)).astype(np.float32)
+    seg_s = np.array(
+        [
+            [0, 0, 0, 1, 1, 1],
+            [0, 0, 0, 1, 1, 1],
+            [2, 2, 2, 1, 1, 1],
+            [2, 2, 2, -1, -1, -1],
+        ],
+        np.int32,
+    )
+    seg = np.stack(
+        [np.zeros((h, w)), seg_s, np.full((h, w), 4), np.full((h, w), 6)], -1
+    ).astype(np.int32)
+    scale = rng.uniform(0.05, 1.0, size=(h, w, 3)).astype(np.float32)
+
+    fmap, _ = blend_gt_feature_map(
+        jnp.asarray(embed), jnp.asarray(seg), jnp.asarray(scale), median_mode=True
+    )
+
+    # numpy oracle: torch.median returns the LOWER middle for even counts
+    def lower_median(a):
+        a = np.sort(a)
+        return a[(len(a) - 1) // 2]
+
+    bal = scale.copy()
+    for sid in [0, 1, 2]:
+        m = seg_s == sid
+        med = np.array([lower_median(scale[..., c][m]) for c in range(3)])
+        med = med / med.sum()
+        bal[m] = med
+    # embeds: s-level uses seg_s, m-level id 4, l-level id 6 everywhere; the
+    # -1 s pixels gather embed[0] after clamping but the blend still applies
+    fs = np.where((seg_s != -1)[..., None], embed[np.maximum(seg_s, 0)], embed[0])
+    expect = (
+        fs * bal[..., 0:1] + embed[4] * bal[..., 1:2] + embed[6] * bal[..., 2:3]
+    )
+    np.testing.assert_allclose(np.asarray(fmap), expect, rtol=1e-5, atol=1e-6)

@@ -146,3 +146,47 @@ def test_budget_overflow_flagged():
     cfg = RasterizeConfig(tile_h=8, tile_w=16, chunk=8, budget=64, interpret=True)
     res = rasterize(means, quats, scales, op, col, vm, K, W, H, config=cfg)
     assert int(res.overflow) > 0
+
+
+@pytest.mark.parametrize("n,cdim,seed", [(200, 3, 1), (120, 16, 2)])
+def test_unaligned_forward_matches_reference(n, cdim, seed):
+    """aligned=False (inference binning: no dummies, searchsorted ranges,
+    in-kernel head/tail masking) must match the oracle exactly."""
+    means, quats, scales, op, col, vm, K = _scene(n, seed, cdim)
+    p = project_gaussians(means, quats, scales, vm, K, W, H)
+    ref_img, ref_alpha = rasterize_reference(
+        p.means2d, p.conics, p.depths, p.radii, op, col, W, H
+    )
+    cfg = RasterizeConfig(
+        tile_h=8, tile_w=16, chunk=8, budget_factor=6, interpret=True,
+        aligned=False,
+    )
+    res = rasterize(means, quats, scales, op, col, vm, K, W, H, config=cfg)
+    np.testing.assert_allclose(
+        np.asarray(res.image), np.asarray(ref_img), atol=2e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.alpha), np.asarray(ref_alpha), atol=2e-5
+    )
+    assert int(res.overflow) == 0
+
+
+def test_unaligned_binning_ranges():
+    """Unaligned ranges are dense (no padding) and tile-major sorted."""
+    means, quats, scales, op, col, vm, K = _scene(200)
+    p = project_gaussians(means, quats, scales, vm, K, W, H)
+    chunk = 8
+    binned = tiles.bin_gaussians(
+        p.means2d, p.radii, p.depths, W, H, CFG.tile_w, CFG.tile_h,
+        budget=CFG.instance_budget(200), chunk=chunk, aligned=False,
+    )
+    starts = np.asarray(binned.tile_starts)
+    counts = np.asarray(binned.tile_counts)
+    # dense layout: each range starts where the previous ended
+    np.testing.assert_array_equal(starts[1:], starts[:-1] + counts[:-1])
+    assert starts[0] == 0
+    assert int(starts[-1] + counts[-1]) == int(binned.num_valid)
+    # sentinel tail pad of one chunk
+    m_real = ((CFG.instance_budget(200) + chunk - 1) // chunk) * chunk
+    assert binned.inst_gid.shape[0] == m_real + chunk
+    assert (np.asarray(binned.inst_gid)[-chunk:] == 200).all()

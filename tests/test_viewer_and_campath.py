@@ -81,3 +81,58 @@ def test_simple_interpolation_counts():
     vms = np.stack([np.linalg.inv(c) for c in c2ws])
     out = simple_interpolation(vms, 5)
     assert out.shape == (3 * 5 + 1, 4, 4)
+
+
+def test_training_viewer_poll():
+    """TrainingViewer serves pending SIBR requests without stalling training
+    when idle (reference train.py:109-123 semantics)."""
+    import time
+
+    from gags_tpu.utils.viewer import TrainingViewer
+
+    srv = ViewerServer(port=0)
+    port = srv.listener.getsockname()[1]
+    tv = TrainingViewer(
+        srv, lambda req: np.full((req.height, req.width, 3), 0.5, np.float32), "src"
+    )
+    tv.poll(1, 10)  # no client connected: immediate no-op
+
+    out = {}
+
+    def client():
+        c = socket.create_connection(("127.0.0.1", port))
+        vm = np.eye(4, dtype=np.float32)
+        msg = dict(
+            resolution_x=8, resolution_y=4, train=True, fov_x=1.0, fov_y=0.8,
+            z_near=0.01, z_far=100.0, shs_python=False, rot_scale_python=False,
+            keep_alive=True, scaling_modifier=1.0,
+            view_matrix=vm.flatten().tolist(),
+            view_projection_matrix=vm.flatten().tolist(),
+        )
+        raw = json.dumps(msg).encode()
+        c.sendall(len(raw).to_bytes(4, "little") + raw)
+        img = b""
+        while len(img) < 96:
+            img += c.recv(96 - len(img))
+        n = int.from_bytes(c.recv(4), "little")
+        out["verify"] = c.recv(n)
+        out["img"] = img
+        c.close()
+
+    t = threading.Thread(target=client)
+    t.start()
+    deadline = time.time() + 10
+    while "verify" not in out and time.time() < deadline:
+        tv.poll(2, 10)
+        time.sleep(0.01)
+    t.join(timeout=5)
+    assert out["verify"] == b"src"
+    assert out["img"][0] == 127  # 0.5 * 255
+    # disconnected client: poll hits the EOF path and drops the connection
+    for _ in range(20):
+        tv.poll(3, 10)
+        if srv.conn is None:
+            break
+        time.sleep(0.01)
+    assert srv.conn is None
+    tv.close()
