@@ -195,6 +195,9 @@ def run(rc: RunConfig, gad_cfg: GadConfig = None) -> TrainState:
                 tile_starts=np.asarray(b.tile_starts),
                 tile_counts=np.asarray(b.tile_counts),
                 order=np.asarray(b.order),
+                red_slot=np.asarray(b.red.slot_to_pos),
+                red_rank=np.asarray(b.red.slot_rank),
+                red_block=np.asarray(b.red.chunk_block),
             )
         )
     print(f"cached binning for {len(bin_cache)} cameras")

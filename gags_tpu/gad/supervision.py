@@ -78,6 +78,24 @@ def blend_gt_feature_map(
 
     seg_sml = seg_map[..., 1:4]  # (H, W, 3)
     valid = seg_sml != -1
+
+    if (
+        (h_out, w_out) == seg_map.shape[:2]
+        and not max_mode
+        and not median_mode
+    ):
+        # same-resolution fast path (the -r 0 / feature-res training case):
+        # three separate gather+fma terms keep XLA in ONE loop fusion —
+        # the generic path's (H, W, 3, D) f32 intermediate costs ~14 ms/step
+        # at 360p/512-d in reshape/copy/convert traffic (1.4 GB)
+        mask = jnp.all(valid, axis=-1)[..., None]
+
+        def term(g):
+            f = img_embed[jnp.maximum(seg_sml[..., g], 0)].astype(jnp.float32)
+            return f * scale_map[..., g : g + 1]
+
+        return term(0) + term(1) + term(2), mask
+
     idx = jnp.maximum(seg_sml, 0)
     # gather in the embeddings' storage dtype (f16 on disk — reference
     # preprocess.py:352 saves half precision), halving the dominant HBM

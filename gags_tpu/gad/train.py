@@ -263,7 +263,8 @@ def make_train_step_binned(statics: Dict[str, Any], width: int, height: int, cfg
             features, batch["viewmat"], batch["K"],
             batch["inst_gid"], batch["tile_starts"], batch["tile_counts"],
             width, height, background=bg, config=cfg.raster,
-            order=batch["order"],
+            order=batch["order"], red_slot=batch["red_slot"],
+            red_rank=batch["red_rank"], red_block=batch["red_block"],
         )
         scale_map = _scale_map_fn(cfg, scl, scl_params, feat_map)
         seg_mixed = mixed_seg_map(batch["seg_map"], scale_map)

@@ -39,6 +39,7 @@ from gags_tpu.splat.rasterizer import (
     _blend,
     _tiles_to_image,
     order_ext,
+    permute_rows,
 )
 from gags_tpu.utils.image import mean_smooth
 
@@ -143,12 +144,16 @@ def _render_strip(
         [m2, rows[:, 2:6], jnp.zeros((n, 2), jnp.float32)], axis=1
     )
     geom_table = jnp.pad(geom_rows, ((0, 1), (0, 0)))
+    inv_order = jnp.argsort(binned.order).astype(jnp.int32)
     tile_img, tile_alpha = _blend(
-        colors[binned.order],
+        permute_rows(colors, binned.order, inv_order),
         geom_table[order_ext(binned.order)],
         binned.inst_gid,
         binned.tile_starts,
         binned.tile_counts,
+        binned.red.slot_to_pos,
+        binned.red.slot_rank,
+        binned.red.chunk_block,
         (tiles_x, tiles_y_local),
         cfg,
     )

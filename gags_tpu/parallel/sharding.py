@@ -72,7 +72,8 @@ def make_dp_train_step(
                 features, batch["viewmat"], batch["K"],
                 batch["inst_gid"], batch["tile_starts"], batch["tile_counts"],
                 width, height, background=bg, config=cfg.raster,
-                order=batch["order"],
+                order=batch["order"], red_slot=batch["red_slot"],
+                red_rank=batch["red_rank"], red_block=batch["red_block"],
             )
         else:
             res = rasterize(
@@ -131,6 +132,9 @@ def make_dp_train_step(
             tile_starts=P(mesh.axis_names[0]),
             tile_counts=P(mesh.axis_names[0]),
             order=P(mesh.axis_names[0]),
+            red_slot=P(mesh.axis_names[0]),
+            red_rank=P(mesh.axis_names[0]),
+            red_block=P(mesh.axis_names[0]),
         )
     shard_fn = jax.shard_map(
         per_device,

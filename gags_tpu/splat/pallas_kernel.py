@@ -652,6 +652,139 @@ def tile_blend_backward_full(
     return grad_colors, grad_geom
 
 
+def _segsum_kernel(
+    chunk_block_ref,  # scalar prefetch (nc,) int32, non-decreasing block ids
+    rows_ref,  # (G, C) VMEM block: rank-sorted padded grad rows
+    rank_ref,  # (1, G) VMEM block: block-RELATIVE rank per slot, -1 = pad
+    out_hbm,  # (B*G, C) pl.ANY, pre-zeroed via aliasing
+    acc,  # (2, G, C) VMEM scratch: double-buffered per-block accumulator
+    state,  # SMEM (4,): [cur_slot, pending0 (block+1, 0=none), pending1, _]
+    sems,  # DMA (2,)
+    *,
+    g: int,
+    nc: int,
+):
+    """Sorted-segment-sum: one-hot MXU matmuls per 128-slot chunk.
+
+    Replaces `jax.ops.segment_sum` for the per-gaussian gradient reduction —
+    XLA lowers that to scatter-add, measured at ~138 ms for 1.2M x 16 rows
+    on v5e (59 ms inside the fused train step); this kernel does the same
+    reduction in ~1 ms. Requires the `ReductionLayout` block-aligned
+    rank-sorted layout: every chunk's live slots fall in ONE 128-rank block,
+    so the in-chunk reduction is a (G, G) one-hot matmul and cross-chunk
+    accumulation stays in VMEM until the block changes (grid is sequential
+    on TPU; flushes are double-buffered DMAs).
+    """
+    c = pl.program_id(0)
+    b = chunk_block_ref[c]
+    c_prev = jnp.maximum(c - 1, 0)
+    c_next = jnp.minimum(c + 1, nc - 1)
+    first = jnp.logical_or(c == 0, chunk_block_ref[c_prev] != b)
+    last = jnp.logical_or(c == nc - 1, chunk_block_ref[c_next] != b)
+
+    def flush(bid, slot):
+        return pltpu.make_async_copy(
+            acc.at[slot], out_hbm.at[pl.ds(bid * g, g), :], sems.at[slot]
+        )
+
+    @pl.when(c == 0)
+    def _():
+        state[1] = 0
+        state[2] = 0
+
+    @pl.when(first)
+    def _():
+        new_slot = jnp.where(c == 0, jnp.int32(0), 1 - state[0])
+        pend = jnp.where(c == 0, jnp.int32(0), state[1 + new_slot])
+
+        @pl.when(pend > 0)
+        def _():
+            flush(pend - 1, new_slot).wait()
+
+        state[0] = new_slot
+        state[1 + new_slot] = 0
+        acc[new_slot] = jnp.zeros_like(acc[new_slot])
+
+    slot = state[0]
+    rel = rank_ref[0, 0, :]  # (G,) block-relative ranks; -1 pads match no column
+    oneh = (
+        rel[:, None] == jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+    ).astype(jnp.float32)
+    acc[slot] += jax.lax.dot_general(
+        oneh,
+        rows_ref[:, :],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(last)
+    def _():
+        flush(b, slot).start()
+        state[1 + slot] = b + 1
+
+    @pl.when(c == nc - 1)
+    def _():
+        @pl.when(state[1] > 0)
+        def _():
+            flush(state[1] - 1, 0).wait()
+
+        @pl.when(state[2] > 0)
+        def _():
+            flush(state[2] - 1, 1).wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_ranks", "chunk", "interpret")
+)
+def sorted_segment_sum(
+    rows: jnp.ndarray,  # (Mp, C) f32, rank-sorted block-aligned (ReductionLayout)
+    slot_rank: jnp.ndarray,  # (Mp,) int32 block-relative rank, -1 = pad
+    chunk_block: jnp.ndarray,  # (Mp//chunk,) int32 non-decreasing block ids
+    num_ranks: int,
+    chunk: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns (num_ranks, C) per-rank sums of `rows` — scatter-free."""
+    mp, cdim = rows.shape
+    nc = mp // chunk
+    nb = (num_ranks + chunk - 1) // chunk
+    # (nc, 1, chunk): the unit middle dim satisfies the TPU block-shape rule
+    # (second-to-minor block dim must be a multiple of 8 OR the full dim)
+    rank3d = slot_rank.reshape(nc, 1, chunk)
+    zeros = jnp.zeros((nb * chunk, cdim), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((chunk, cdim), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # zeros → out alias
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, cdim), jnp.float32),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    def kernel(cb, rws, rnk, _z, out, acc, state, sems):
+        _segsum_kernel(cb, rws, rnk, out, acc, state, sems, g=chunk, nc=nc)
+
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nb * chunk, cdim), jnp.float32)],
+        # scalar-prefetch is operand 0; zeros is tensor input #2 → operand 3
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(chunk_block, rows, rank3d, zeros)
+    return out[:num_ranks]
+
+
 def _fwd_cost(num_tiles: int, p: int, g: int, c: int, m: int) -> pl.CostEstimate:
     # rough per-tile estimate assuming ~2 chunks average; guides scheduling only
     chunks = max(2 * num_tiles, m // g)

@@ -106,24 +106,35 @@ def _geom_table(proj, opacities):
     return geom, proj
 
 
-def fast_gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Row gather of an f32 (N, K) table via u16 bit-halves — bit-exact.
+from gags_tpu.splat.tiles import fast_gather_rows  # noqa: F401 (re-export)
 
-    Measured on v5e: XLA row gathers cost per-row on 32-bit element types
-    (~5.4 ms for 1M 24-wide rows, independent of K) but run ~2.5x faster
-    on 16-bit types (~2.2 ms for the same rows at 2K u16 columns). Each
-    f32 is stored as two u16 halves in a (N, 2K) table built with integer
-    ops (NOT bitcast+reshape, whose non-canonical layout defeats the fast
-    path), gathered, and reassembled exactly.
+
+@jax.custom_vjp
+def permute_rows(x, perm, inv_perm):
+    """y = x[perm] with a GATHER-based VJP: dx = dy[inv_perm].
+
+    The autodiff transpose of a gather is a scatter-add — measured at
+    ~19 ms for 300k x 16 rows on v5e (XLA scatter pathology). For a
+    bijective permutation the transpose IS a gather by the inverse
+    permutation, and both directions use the fast u16 row gather.
     """
-    k = table.shape[1]
-    bits = jax.lax.bitcast_convert_type(table, jnp.uint32)  # (N, K)
-    hi = (bits >> 16).astype(jnp.uint16)
-    lo = (bits & jnp.uint32(0xFFFF)).astype(jnp.uint16)
-    tb = jnp.concatenate([hi, lo], axis=1)  # (N, 2K) u16, canonical layout
-    g = tb[idx]  # (M, 2K)
-    rebits = (g[:, :k].astype(jnp.uint32) << 16) | g[:, k:].astype(jnp.uint32)
-    return jax.lax.bitcast_convert_type(rebits, jnp.float32)
+    return fast_gather_rows(x, perm)
+
+
+def _permute_rows_fwd(x, perm, inv_perm):
+    return fast_gather_rows(x, perm), (perm, inv_perm)
+
+
+def _permute_rows_bwd(res, g):
+    perm, inv_perm = res
+    return (
+        fast_gather_rows(g, inv_perm),
+        _float0_like(perm),
+        _float0_like(inv_perm),
+    )
+
+
+permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
 def order_ext(order: jnp.ndarray) -> jnp.ndarray:
@@ -158,9 +169,13 @@ def _prepare(means, quats, scales, opacities, viewmat, K, width, height, cfg):
     return proj, binned, geom, tiles_x, tiles_y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _blend(colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg):
-    """Differentiable (wrt colors) tile blend. grid_dims = (tiles_x, tiles_y)."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _blend(colors, geom_table, inst_gid, tile_starts, tile_counts,
+           red_slot, red_rank, red_block, grid_dims, cfg):
+    """Differentiable (wrt colors) tile blend. grid_dims = (tiles_x, tiles_y).
+
+    red_*: the cached `ReductionLayout` arrays for the scatter-free
+    per-gaussian gradient reduction (see tiles.reduction_layout)."""
     return _blend_fwd_impl(
         colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg
     )
@@ -201,16 +216,36 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, grid
     return out[..., :c_true], out[..., -1:]
 
 
-def _blend_fwd(colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg):
+def _blend_fwd(colors, geom_table, inst_gid, tile_starts, tile_counts,
+               red_slot, red_rank, red_block, grid_dims, cfg):
     out = _blend_fwd_impl(
         colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg
     )
-    residuals = (colors.shape[0], geom_table, inst_gid, tile_starts, tile_counts)
+    residuals = (
+        colors.shape[0], geom_table, inst_gid, tile_starts, tile_counts,
+        red_slot, red_rank, red_block,
+    )
     return out, residuals
 
 
 def _float0_like(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+def _reduce_by_rank(grad_inst_t, red_slot, red_rank, red_block, n, cfg):
+    """Per-instance grads (M, C) → per-RANK sums (n, C), scatter-free.
+
+    Gather rows into the cached rank-sorted block-aligned layout, then the
+    Pallas one-hot-matmul reduction (sorted_segment_sum). Replaces
+    jax.ops.segment_sum, whose scatter-add lowering cost ~59 ms/step."""
+    cdim = grad_inst_t.shape[1]
+    rows_ext = jnp.concatenate(
+        [grad_inst_t, jnp.zeros((1, cdim), grad_inst_t.dtype)], axis=0
+    )
+    rows_pad = fast_gather_rows(rows_ext, red_slot)
+    return pk.sorted_segment_sum(
+        rows_pad, red_rank, red_block, num_ranks=n + 1, interpret=cfg.interpret
+    )[:n]
 
 
 def _blend_bwd(grid_dims, cfg, res, g):
@@ -220,7 +255,7 @@ def _blend_bwd(grid_dims, cfg, res, g):
             "(RasterizeConfig.aligned=True): unaligned gradient-write "
             "chunks would race across tile boundaries"
         )
-    n, geom_table, inst_gid, tile_starts, tile_counts = res
+    n, geom_table, inst_gid, tile_starts, tile_counts, red_slot, red_rank, red_block = res
     tiles_x, tiles_y = grid_dims
     g_img, _g_alpha = g  # alpha has no colour dependence
     c_true = g_img.shape[-1]
@@ -238,15 +273,18 @@ def _blend_bwd(grid_dims, cfg, res, g):
         chunk=cfg.chunk,
         interpret=cfg.interpret,
     )  # (C, M)
-    grad_colors = jax.ops.segment_sum(
-        grad_inst.T, inst_gid, num_segments=n + 1, indices_are_sorted=False
-    )[:n, :c_true]
+    grad_colors = _reduce_by_rank(
+        grad_inst.T, red_slot, red_rank, red_block, n, cfg
+    )[:, :c_true]
     return (
         grad_colors,
         jnp.zeros_like(geom_table),
         _float0_like(inst_gid),
         _float0_like(tile_starts),
         _float0_like(tile_counts),
+        _float0_like(red_slot),
+        _float0_like(red_rank),
+        _float0_like(red_block),
     )
 
 
@@ -258,8 +296,9 @@ _blend.defvjp(_blend_fwd, _blend_bwd)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _blend_full(colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _blend_full(colors, geom_table, inst_gid, tile_starts, tile_counts,
+                red_slot, red_rank, red_block, grid_dims, cfg):
     """Tile blend differentiable wrt colors AND the (N+1, 8) geometry table
     ([mx, my, ca, cb, cc, opac, 0, 0] rows). Chaining the table gradient
     through the (pure-JAX, autodiffable) projection yields means / quats /
@@ -270,11 +309,13 @@ def _blend_full(colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dim
     )
 
 
-def _blend_full_fwd(colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg):
+def _blend_full_fwd(colors, geom_table, inst_gid, tile_starts, tile_counts,
+                    red_slot, red_rank, red_block, grid_dims, cfg):
     out = _blend_fwd_impl(
         colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg
     )
-    residuals = (colors, geom_table, inst_gid, tile_starts, tile_counts)
+    residuals = (colors, geom_table, inst_gid, tile_starts, tile_counts,
+                 red_slot, red_rank, red_block)
     return out, residuals
 
 
@@ -284,7 +325,8 @@ def _blend_full_bwd(grid_dims, cfg, res, g):
             "backward through the blend requires aligned binning "
             "(RasterizeConfig.aligned=True)"
         )
-    colors, geom_table, inst_gid, tile_starts, tile_counts = res
+    (colors, geom_table, inst_gid, tile_starts, tile_counts,
+     red_slot, red_rank, red_block) = res
     n = colors.shape[0]
     tiles_x, tiles_y = grid_dims
     g_img, g_alpha = g
@@ -309,11 +351,12 @@ def _blend_full_bwd(grid_dims, cfg, res, g):
         chunk=cfg.chunk,
         interpret=cfg.interpret,
     )
-    grad_colors = jax.ops.segment_sum(
-        grad_inst_col.T, inst_gid, num_segments=n + 1
-    )[:n, :c_true]
-    grad_table = jax.ops.segment_sum(
-        grad_inst_geom.T, inst_gid, num_segments=n + 1
+    grad_colors = _reduce_by_rank(
+        grad_inst_col.T, red_slot, red_rank, red_block, n, cfg
+    )[:, :c_true]
+    # per-rank geometry grads incl the sentinel row n → (N+1, 8)
+    grad_table = _reduce_by_rank(
+        grad_inst_geom.T, red_slot, red_rank, red_block, n + 1, cfg
     )
     return (
         grad_colors,
@@ -321,6 +364,9 @@ def _blend_full_bwd(grid_dims, cfg, res, g):
         _float0_like(inst_gid),
         _float0_like(tile_starts),
         _float0_like(tile_counts),
+        _float0_like(red_slot),
+        _float0_like(red_rank),
+        _float0_like(red_block),
     )
 
 
@@ -366,12 +412,16 @@ def rasterize_binned(
     config: RasterizeConfig = RasterizeConfig(),
     *,
     order: jnp.ndarray,
+    red_slot: jnp.ndarray,
+    red_rank: jnp.ndarray,
+    red_block: jnp.ndarray,
 ):
     """Stage 2: re-project (cheap) + gather + blend using a cached binning.
 
     `order` is the cached `BinnedInstances.order` — inst_gid holds depth
     ranks, so the tables are permuted into rank order here (required: rank
     indices into an unpermuted table would silently blend wrong Gaussians).
+    `red_*` is the cached `BinnedInstances.red` reduction layout.
     Differentiable wrt colors. Returns (image (H,W,C), alpha (H,W)).
     """
     means = jax.lax.stop_gradient(means)
@@ -383,10 +433,14 @@ def rasterize_binned(
     )
     tiles_x = -(-width // config.tile_w)
     tiles_y = -(-height // config.tile_h)
-    geom = geom[order_ext(order)]
-    colors = colors[order]  # differentiable: grads scatter back
+    inv_order = jnp.argsort(order).astype(jnp.int32)
+    geom = fast_gather_rows(geom, order_ext(order))
+    # differentiable permutation: grads come back via inv_order GATHER
+    # (the autodiff transpose would be a ~19 ms scatter)
+    colors = permute_rows(colors, order, inv_order)
     tile_img, tile_alpha = _blend(
         colors, geom, inst_gid, tile_starts, tile_counts,
+        red_slot, red_rank, red_block,
         (tiles_x, tiles_y), config,
     )
     img = _tiles_to_image(
@@ -447,14 +501,32 @@ def rasterize(
         geom_table, _ = _geom_table(proj_sg, opacities)
         blend_fn = _blend
     # inst_gid holds depth ranks — permute tables to rank order (N-sized
-    # gathers; differentiable, so grads scatter back to the original order)
+    # fast gathers; the differentiable permutes use gather-based VJPs)
     perm = order_ext(binned.order)
+    inv_order = jnp.argsort(binned.order).astype(jnp.int32)
+    inv_perm = jnp.concatenate(
+        [inv_order, jnp.full((1,), binned.order.shape[0], jnp.int32)]
+    )
+    if binned.red is not None:
+        red = binned.red
+    else:
+        # unaligned inference binning carries no reduction layout; any
+        # attempt to differentiate raises in _blend_bwd before these
+        # placeholders are touched
+        red = tiles.ReductionLayout(
+            slot_to_pos=jnp.zeros((128,), jnp.int32),
+            slot_rank=jnp.full((128,), -1, jnp.int32),
+            chunk_block=jnp.zeros((1,), jnp.int32),
+        )
     tile_img, tile_alpha = blend_fn(
-        colors[binned.order],
-        geom_table[perm],
+        permute_rows(colors, binned.order, inv_order),
+        permute_rows(geom_table, perm, inv_perm),
         binned.inst_gid,
         binned.tile_starts,
         binned.tile_counts,
+        red.slot_to_pos,
+        red.slot_rank,
+        red.chunk_block,
         (tiles_x, tiles_y),
         config,
     )

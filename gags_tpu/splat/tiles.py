@@ -44,6 +44,55 @@ import jax.numpy as jnp
 INT32_MAX = jnp.int32(2**31 - 1)
 
 
+def fast_gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather of a 32-bit-dtype (N, K) table via u16 bit-halves — exact.
+
+    Measured on v5e: XLA row gathers cost per-row on 32-bit element types
+    (~5.4 ms for 1M 24-wide rows, independent of K) but run ~2.5x faster
+    on 16-bit types (~2.2 ms for the same rows at 2K u16 columns). Each
+    32-bit word is stored as two u16 halves in a (N, 2K) table built with
+    integer ops (NOT bitcast+reshape, whose non-canonical layout defeats
+    the fast path), gathered, and reassembled exactly.
+    """
+    k = table.shape[1]
+    bits = jax.lax.bitcast_convert_type(table, jnp.uint32)  # (N, K)
+    hi = (bits >> 16).astype(jnp.uint16)
+    lo = (bits & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+    tb = jnp.concatenate([hi, lo], axis=1)  # (N, 2K) u16, canonical layout
+    g = tb[idx]  # (M, 2K)
+    rebits = (g[:, :k].astype(jnp.uint32) << 16) | g[:, k:].astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(rebits, table.dtype)
+
+
+def spread_sorted(field: jnp.ndarray, offsets: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """Piecewise-constant fill: out[i] = field[j] where offsets[j] <= i <
+    offsets[j+1] (offsets non-decreasing). Telescoping diff-scatter + cumsum
+    — no M-sized gathers, no binary searches."""
+    d = jnp.diff(field, prepend=jnp.zeros((1,), field.dtype))
+    acc = jnp.zeros((out_len + 1,), field.dtype).at[
+        jnp.minimum(offsets, out_len)
+    ].add(d, indices_are_sorted=True)
+    return jnp.cumsum(acc[:out_len])
+
+
+class ReductionLayout(NamedTuple):
+    """Rank-sorted, 128-block-aligned instance layout for the scatter-free
+    per-gaussian gradient reduction (see pallas_kernel.sorted_segment_sum).
+
+    XLA's scatter-add is catastrophically slow on TPU (~138 ms for a 1.2M x 16
+    segment-sum); instead the backward gathers per-instance grad rows into
+    this layout (one fast u16 row-gather) and a Pallas kernel reduces each
+    128-rank block with one-hot MXU matmuls.
+    """
+
+    slot_to_pos: jnp.ndarray  # (Mp,) int32 padded slot -> instance position
+                              #   (M_in = zero row sentinel for padding)
+    slot_rank: jnp.ndarray    # (Mp,) int32 rank id RELATIVE to the slot's
+                              #   128-rank block; -1 for padding slots
+    chunk_block: jnp.ndarray  # (Mp//128,) int32 non-decreasing rank-block id
+                              #   per 128-slot chunk
+
+
 class BinnedInstances(NamedTuple):
     inst_gid: jnp.ndarray      # (M,) int32 depth RANK per instance (sorted);
                                # == n_gaussians for padding (sentinel).
@@ -53,6 +102,51 @@ class BinnedInstances(NamedTuple):
     num_valid: jnp.ndarray     # () int32 number of valid real instances
     overflow: jnp.ndarray      # () int32 instances dropped due to budget
     order: jnp.ndarray         # (N,) int32 depth order: order[rank] = index
+    red: "ReductionLayout | None" = None  # gradient-reduction layout
+                               # (aligned/training mode only)
+
+
+def reduction_layout(
+    inst_gid: jnp.ndarray, n: int, chunk: int = 128
+) -> ReductionLayout:
+    """Build the rank-sorted block-aligned layout for gradient reduction.
+
+    Instances are permuted into rank order; each 128-rank block's run is
+    padded to a multiple of `chunk` so the Pallas reduction kernel can
+    process whole chunks whose ranks all fall in one block. Cached per
+    camera by the binned training fast path (geometry frozen ⇒ layout
+    invariant); the unbinned path computes it in-step (~3 ms, still 20x
+    cheaper than the XLA scatter it replaces).
+    """
+    m = inst_gid.shape[0]
+    nb = (n + 1 + chunk - 1) // chunk  # rank blocks, incl the sentinel rank n
+    mp = ((m + chunk - 1) // chunk) * chunk + nb * chunk  # static worst case
+    perm = jnp.argsort(inst_gid).astype(jnp.int32)
+    seg = inst_gid[perm]
+    bounds = jnp.arange(nb + 1, dtype=jnp.int32) * chunk
+    starts = jnp.searchsorted(seg, bounds, side="left").astype(jnp.int32)
+    lens = starts[1:] - starts[:-1]
+    plens = ((lens + chunk - 1) // chunk) * chunk
+    pstarts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(plens).astype(jnp.int32)]
+    )
+    total = pstarts[nb]
+    slot = jnp.arange(mp, dtype=jnp.int32)
+    s_of = spread_sorted(starts[:nb], pstarts[:nb], mp)
+    p_of = spread_sorted(pstarts[:nb], pstarts[:nb], mp)
+    e_of = spread_sorted(starts[1:], pstarts[:nb], mp)
+    block = spread_sorted(jnp.arange(nb, dtype=jnp.int32), pstarts[:nb], mp)
+    pos_sorted = s_of + (slot - p_of)
+    valid = (slot < total) & (pos_sorted < e_of)
+    tbl = jnp.stack([perm, seg.astype(jnp.int32)], axis=1)  # (m, 2)
+    got = fast_gather_rows(tbl, jnp.where(valid, pos_sorted, 0))
+    slot_to_pos = jnp.where(valid, got[:, 0], m)
+    slot_rank = jnp.where(valid, got[:, 1] - block * chunk, -1)
+    return ReductionLayout(
+        slot_to_pos=slot_to_pos,
+        slot_rank=slot_rank,
+        chunk_block=block[::chunk],
+    )
 
 
 def aligned_budget(budget: int, num_tiles: int, chunk: int) -> int:
@@ -251,4 +345,7 @@ def bin_gaussians(
         num_valid=num_valid,
         overflow=overflow,
         order=order.astype(jnp.int32),
+        # training (aligned) binnings carry the gradient-reduction layout;
+        # the forward-only inference layout skips it
+        red=reduction_layout(inst_rank, n) if aligned else None,
     )

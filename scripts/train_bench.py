@@ -35,6 +35,7 @@ seg = rng.integers(-1, M_MASKS, size=(H, W, 4)).astype(np.int32)
 batch = dict(
     viewmat=cam.viewmat, K=cam.K, img_embed=jnp.asarray(emb), seg_map=jnp.asarray(seg),
     inst_gid=b.inst_gid, tile_starts=b.tile_starts, tile_counts=b.tile_counts, order=b.order,
+    red_slot=b.red.slot_to_pos, red_rank=b.red.slot_rank, red_block=b.red.chunk_block,
 )
 step = make_train_step_binned(statics, W, H, cfg)
 t0 = time.time()

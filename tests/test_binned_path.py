@@ -36,6 +36,8 @@ def test_binned_matches_full():
         means, quats, scales, opac, feats, cam.viewmat, cam.K,
         binned.inst_gid, binned.tile_starts, binned.tile_counts,
         W, H, background=bg, config=CFG, order=binned.order,
+        red_slot=binned.red.slot_to_pos, red_rank=binned.red.slot_rank,
+        red_block=binned.red.chunk_block,
     )
     np.testing.assert_allclose(np.asarray(img), np.asarray(full.image), atol=1e-6)
     np.testing.assert_allclose(np.asarray(alpha), np.asarray(full.alpha), atol=1e-6)
@@ -61,6 +63,8 @@ def test_binned_gradients_match():
             means, quats, scales, opac, f, cam.viewmat, cam.K,
             binned.inst_gid, binned.tile_starts, binned.tile_counts, W, H,
             config=CFG, order=binned.order,
+            red_slot=binned.red.slot_to_pos, red_rank=binned.red.slot_rank,
+            red_block=binned.red.chunk_block,
         )
         return jnp.mean(jnp.abs(img - tgt))
 

@@ -110,6 +110,9 @@ def test_dp_binned_step_matches_unbinned():
         tile_starts=jnp.tile(bn.tile_starts[None], (b, 1)),
         tile_counts=jnp.tile(bn.tile_counts[None], (b, 1)),
         order=jnp.tile(bn.order[None], (b, 1)),
+        red_slot=jnp.tile(bn.red.slot_to_pos[None], (b, 1)),
+        red_rank=jnp.tile(bn.red.slot_rank[None], (b, 1)),
+        red_block=jnp.tile(bn.red.chunk_block[None], (b, 1)),
     )
     step_b = make_dp_train_step(mesh, statics, W, H, cfg, binned=True)
     s_b, loss_b = step_b(state, geom, batch_b, jnp.float32(1e-3), jnp.float32(0.0))

@@ -190,3 +190,28 @@ def test_unaligned_binning_ranges():
     m_real = ((CFG.instance_budget(200) + chunk - 1) // chunk) * chunk
     assert binned.inst_gid.shape[0] == m_real + chunk
     assert (np.asarray(binned.inst_gid)[-chunk:] == 200).all()
+
+
+def test_sorted_segment_sum_matches_xla():
+    """ReductionLayout + Pallas one-hot reduction == jax.ops.segment_sum."""
+    from gags_tpu.splat.pallas_kernel import sorted_segment_sum
+    from gags_tpu.splat.tiles import fast_gather_rows, reduction_layout
+
+    rng = np.random.default_rng(11)
+    n, m, c = 300, 2000, 16
+    # tile-major-ish ids incl sentinel n, with some empty rank blocks
+    gid = np.concatenate(
+        [np.sort(rng.integers(0, 40, m // 2)), np.sort(rng.integers(250, n + 1, m - m // 2))]
+    ).astype(np.int32)
+    rows = rng.normal(size=(m, c)).astype(np.float32)
+
+    layout = reduction_layout(jnp.asarray(gid), n)
+    assert layout.slot_to_pos.shape[0] % 128 == 0
+    rows_ext = jnp.concatenate([jnp.asarray(rows), jnp.zeros((1, c))], axis=0)
+    rows_pad = fast_gather_rows(rows_ext, layout.slot_to_pos)
+    out = sorted_segment_sum(
+        rows_pad, layout.slot_rank, layout.chunk_block,
+        num_ranks=n + 1, interpret=True,
+    )
+    expect = jax.ops.segment_sum(jnp.asarray(rows), jnp.asarray(gid), num_segments=n + 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-5, rtol=1e-5)
