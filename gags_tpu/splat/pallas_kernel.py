@@ -654,135 +654,173 @@ def tile_blend_backward_full(
 
 def _segsum_kernel(
     chunk_block_ref,  # scalar prefetch (nc,) int32, non-decreasing block ids
-    rows_ref,  # (G, C) VMEM block: rank-sorted padded grad rows
-    rank_ref,  # (1, G) VMEM block: block-RELATIVE rank per slot, -1 = pad
-    out_hbm,  # (B*G, C) pl.ANY, pre-zeroed via aliasing
-    acc,  # (2, G, C) VMEM scratch: double-buffered per-block accumulator
+    rows_ref,  # (SUB*G, 2C) u16 VMEM block: hi/lo halves of grad rows
+    rank_ref,  # (1, SUB, G) VMEM block: block-RELATIVE rank per slot, -1 = pad
+    out_hbm,  # (B*G, 128) pl.ANY, pre-zeroed via aliasing; cols past C unused
+    acc,  # (2*G, 128) VMEM scratch: double-buffered per-block accumulator.
+          # Lane dim is a full 128 tile: Mosaic rejects partial-lane memref
+          # slices (both vector and DMA), so the dot result is padded.
     state,  # SMEM (4,): [cur_slot, pending0 (block+1, 0=none), pending1, _]
     sems,  # DMA (2,)
     *,
     g: int,
     nc: int,
+    sub: int,
+    cdim: int,
 ):
     """Sorted-segment-sum: one-hot MXU matmuls per 128-slot chunk.
 
     Replaces `jax.ops.segment_sum` for the per-gaussian gradient reduction —
     XLA lowers that to scatter-add, measured at ~138 ms for 1.2M x 16 rows
-    on v5e (59 ms inside the fused train step); this kernel does the same
-    reduction in ~1 ms. Requires the `ReductionLayout` block-aligned
-    rank-sorted layout: every chunk's live slots fall in ONE 128-rank block,
-    so the in-chunk reduction is a (G, G) one-hot matmul and cross-chunk
-    accumulation stays in VMEM until the block changes (grid is sequential
-    on TPU; flushes are double-buffered DMAs).
+    on v5e (59 ms inside the fused train step). Requires the
+    `ReductionLayout` block-aligned rank-sorted layout: every chunk's live
+    slots fall in ONE 128-rank block, so the in-chunk reduction is a (G, G)
+    one-hot matmul and cross-chunk accumulation stays in VMEM until the
+    block changes (grid is sequential on TPU; flushes are double-buffered
+    DMAs). SUB chunks are processed per grid step (the per-step overhead at
+    ~12k single-chunk steps cost ~6 ms), and rows arrive as u16 bit-halves
+    reassembled in-register (a pre-assembled f32 array cost ~6 ms in
+    XLA relayout copies).
     """
-    c = pl.program_id(0)
-    b = chunk_block_ref[c]
-    c_prev = jnp.maximum(c - 1, 0)
-    c_next = jnp.minimum(c + 1, nc - 1)
-    first = jnp.logical_or(c == 0, chunk_block_ref[c_prev] != b)
-    last = jnp.logical_or(c == nc - 1, chunk_block_ref[c_next] != b)
+    lanes = acc.shape[1]
 
     def flush(bid, slot):
         return pltpu.make_async_copy(
-            acc.at[slot], out_hbm.at[pl.ds(bid * g, g), :], sems.at[slot]
+            acc.at[pl.ds(slot * g, g), :],
+            out_hbm.at[pl.ds(bid * g, g), :],
+            sems.at[slot],
         )
 
-    @pl.when(c == 0)
+    @pl.when(pl.program_id(0) == 0)
     def _():
         state[1] = 0
         state[2] = 0
 
-    @pl.when(first)
-    def _():
-        new_slot = jnp.where(c == 0, jnp.int32(0), 1 - state[0])
-        pend = jnp.where(c == 0, jnp.int32(0), state[1 + new_slot])
+    for i in range(sub):
+        cg = pl.program_id(0) * sub + i
+        b = chunk_block_ref[cg]
+        first = jnp.logical_or(
+            cg == 0, chunk_block_ref[jnp.maximum(cg - 1, 0)] != b
+        )
+        last = jnp.logical_or(
+            cg == nc - 1, chunk_block_ref[jnp.minimum(cg + 1, nc - 1)] != b
+        )
 
-        @pl.when(pend > 0)
+        @pl.when(first)
         def _():
-            flush(pend - 1, new_slot).wait()
+            new_slot = jnp.where(cg == 0, jnp.int32(0), 1 - state[0])
+            pend = jnp.where(cg == 0, jnp.int32(0), state[1 + new_slot])
 
-        state[0] = new_slot
-        state[1 + new_slot] = 0
-        acc[new_slot] = jnp.zeros_like(acc[new_slot])
+            @pl.when(pend > 0)
+            def _():
+                flush(pend - 1, new_slot).wait()
 
-    slot = state[0]
-    rel = rank_ref[0, 0, :]  # (G,) block-relative ranks; -1 pads match no column
-    oneh = (
-        rel[:, None] == jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
-    ).astype(jnp.float32)
-    acc[slot] += jax.lax.dot_general(
-        oneh,
-        rows_ref[:, :],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+            state[0] = new_slot
+            state[1 + new_slot] = 0
+            acc[pl.ds(new_slot * g, g), :] = jnp.zeros((g, lanes), jnp.float32)
 
-    @pl.when(last)
-    def _():
-        flush(b, slot).start()
-        state[1 + slot] = b + 1
+        slot = state[0]
+        hw = rows_ref[pl.ds(i * g, g), :]  # (G, 2C) u16
+        rows = jax.lax.bitcast_convert_type(
+            (hw[:, :cdim].astype(jnp.uint32) << 16)
+            | hw[:, cdim:].astype(jnp.uint32),
+            jnp.float32,
+        )  # (G, C) exact f32
+        rel = rank_ref[0, i, :]  # (G,) block-relative ranks; -1 matches nothing
+        oneh = (
+            rel[:, None] == jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+        ).astype(jnp.float32)
+        contrib = jax.lax.dot_general(
+            oneh,
+            rows,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (G, C)
+        if cdim < lanes:
+            contrib = jnp.pad(contrib, ((0, 0), (0, lanes - cdim)))
+        acc[pl.ds(slot * g, g), :] += contrib
 
-    @pl.when(c == nc - 1)
-    def _():
-        @pl.when(state[1] > 0)
+        @pl.when(last)
         def _():
-            flush(state[1] - 1, 0).wait()
+            flush(b, slot).start()
+            state[1 + slot] = b + 1
 
-        @pl.when(state[2] > 0)
+        @pl.when(cg == nc - 1)
         def _():
-            flush(state[2] - 1, 1).wait()
+            @pl.when(state[1] > 0)
+            def _():
+                flush(state[1] - 1, 0).wait()
+
+            @pl.when(state[2] > 0)
+            def _():
+                flush(state[2] - 1, 1).wait()
+
+
+SEGSUM_SUB = 8  # chunks per grid step (amortises per-step overhead)
 
 
 @functools.partial(
     jax.jit, static_argnames=("num_ranks", "chunk", "interpret")
 )
 def sorted_segment_sum(
-    rows: jnp.ndarray,  # (Mp, C) f32, rank-sorted block-aligned (ReductionLayout)
+    rows_u16: jnp.ndarray,  # (Mp, 2C) u16 bit-halves, rank-sorted block-aligned
     slot_rank: jnp.ndarray,  # (Mp,) int32 block-relative rank, -1 = pad
     chunk_block: jnp.ndarray,  # (Mp//chunk,) int32 non-decreasing block ids
     num_ranks: int,
     chunk: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns (num_ranks, C) per-rank sums of `rows` — scatter-free."""
-    mp, cdim = rows.shape
+    """Returns (num_ranks, C) per-rank f32 sums of the u16-half rows."""
+    mp, cdim2 = rows_u16.shape
+    cdim = cdim2 // 2
+    assert cdim <= 128, "sorted_segment_sum assumes C <= one lane tile"
+    sub = SEGSUM_SUB
     nc = mp // chunk
+    assert nc % sub == 0, "ReductionLayout must pad Mp to SEGSUM_SUB*chunk"
     nb = (num_ranks + chunk - 1) // chunk
-    # (nc, 1, chunk): the unit middle dim satisfies the TPU block-shape rule
-    # (second-to-minor block dim must be a multiple of 8 OR the full dim)
-    rank3d = slot_rank.reshape(nc, 1, chunk)
-    zeros = jnp.zeros((nb * chunk, cdim), jnp.float32)
+    # (nsteps, sub, chunk) ranks: block (1, sub, chunk) obeys the TPU
+    # block-shape rule (second-to-minor multiple of 8, minor 128)
+    rank3d = slot_rank.reshape(nc // sub, sub, chunk)
+    lanes = 128
+    zeros = jnp.zeros((nb * chunk, lanes), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nc,),
+        grid=(nc // sub,),
         in_specs=[
-            pl.BlockSpec((chunk, cdim), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, chunk), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (sub * chunk, cdim2), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, sub, chunk), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(memory_space=pl.ANY),  # zeros → out alias
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, cdim), jnp.float32),
+            pltpu.VMEM((2 * chunk, lanes), jnp.float32),
             pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
     def kernel(cb, rws, rnk, _z, out, acc, state, sems):
-        _segsum_kernel(cb, rws, rnk, out, acc, state, sems, g=chunk, nc=nc)
+        _segsum_kernel(
+            cb, rws, rnk, out, acc, state, sems,
+            g=chunk, nc=nc, sub=sub, cdim=cdim,
+        )
 
     (out,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((nb * chunk, cdim), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((nb * chunk, lanes), jnp.float32)],
         # scalar-prefetch is operand 0; zeros is tensor input #2 → operand 3
         input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(chunk_block, rows, rank3d, zeros)
-    return out[:num_ranks]
+    )(chunk_block, rows_u16, rank3d, zeros)
+    return out[:num_ranks, :cdim]
 
 
 def _fwd_cost(num_tiles: int, p: int, g: int, c: int, m: int) -> pl.CostEstimate:

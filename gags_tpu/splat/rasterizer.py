@@ -242,9 +242,11 @@ def _reduce_by_rank(grad_inst_t, red_slot, red_rank, red_block, n, cfg):
     rows_ext = jnp.concatenate(
         [grad_inst_t, jnp.zeros((1, cdim), grad_inst_t.dtype)], axis=0
     )
-    rows_pad = fast_gather_rows(rows_ext, red_slot)
+    # u16 halves straight into the kernel: reassembly happens in-register
+    # there (a pre-assembled (Mp, C) f32 array costs ~6 ms in XLA relayouts)
+    rows_u16 = tiles.u16_halves(rows_ext)[red_slot]
     return pk.sorted_segment_sum(
-        rows_pad, red_rank, red_block, num_ranks=n + 1, interpret=cfg.interpret
+        rows_u16, red_rank, red_block, num_ranks=n + 1, interpret=cfg.interpret
     )[:n]
 
 

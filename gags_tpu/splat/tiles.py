@@ -55,13 +55,17 @@ def fast_gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     the fast path), gathered, and reassembled exactly.
     """
     k = table.shape[1]
+    g = u16_halves(table)[idx]  # (M, 2K)
+    rebits = (g[:, :k].astype(jnp.uint32) << 16) | g[:, k:].astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(rebits, table.dtype)
+
+
+def u16_halves(table: jnp.ndarray) -> jnp.ndarray:
+    """(N, K) 32-bit table → (N, 2K) u16 [hi halves | lo halves] — exact."""
     bits = jax.lax.bitcast_convert_type(table, jnp.uint32)  # (N, K)
     hi = (bits >> 16).astype(jnp.uint16)
     lo = (bits & jnp.uint32(0xFFFF)).astype(jnp.uint16)
-    tb = jnp.concatenate([hi, lo], axis=1)  # (N, 2K) u16, canonical layout
-    g = tb[idx]  # (M, 2K)
-    rebits = (g[:, :k].astype(jnp.uint32) << 16) | g[:, k:].astype(jnp.uint32)
-    return jax.lax.bitcast_convert_type(rebits, table.dtype)
+    return jnp.concatenate([hi, lo], axis=1)
 
 
 def spread_sorted(field: jnp.ndarray, offsets: jnp.ndarray, out_len: int) -> jnp.ndarray:
@@ -121,6 +125,9 @@ def reduction_layout(
     m = inst_gid.shape[0]
     nb = (n + 1 + chunk - 1) // chunk  # rank blocks, incl the sentinel rank n
     mp = ((m + chunk - 1) // chunk) * chunk + nb * chunk  # static worst case
+    # the reduction kernel processes SEGSUM_SUB chunks per grid step
+    step = 8 * chunk
+    mp = ((mp + step - 1) // step) * step
     perm = jnp.argsort(inst_gid).astype(jnp.int32)
     seg = inst_gid[perm]
     bounds = jnp.arange(nb + 1, dtype=jnp.int32) * chunk

@@ -207,10 +207,12 @@ def test_sorted_segment_sum_matches_xla():
 
     layout = reduction_layout(jnp.asarray(gid), n)
     assert layout.slot_to_pos.shape[0] % 128 == 0
+    from gags_tpu.splat.tiles import u16_halves
+
     rows_ext = jnp.concatenate([jnp.asarray(rows), jnp.zeros((1, c))], axis=0)
-    rows_pad = fast_gather_rows(rows_ext, layout.slot_to_pos)
+    rows_u16 = u16_halves(rows_ext)[layout.slot_to_pos]
     out = sorted_segment_sum(
-        rows_pad, layout.slot_rank, layout.chunk_block,
+        rows_u16, layout.slot_rank, layout.chunk_block,
         num_ranks=n + 1, interpret=True,
     )
     expect = jax.ops.segment_sum(jnp.asarray(rows), jnp.asarray(gid), num_segments=n + 1)
