@@ -48,15 +48,18 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("-m", "--model_paths", nargs="+", required=True)
     p.add_argument("--split", default="test")
-    p.add_argument("--vgg_ckpt", default="")
+    p.add_argument("--vgg_ckpt", default="", help="backbone features ckpt")
     p.add_argument("--lpips_lin_ckpt", default="")
+    p.add_argument("--lpips_net", default="vgg", choices=["vgg", "alex", "squeeze"])
     args = p.parse_args()
 
     lpips_fn = None
     if args.vgg_ckpt and args.lpips_lin_ckpt:
         from gags_tpu.utils.lpips import lpips_from_checkpoints
 
-        model, params = lpips_from_checkpoints(args.vgg_ckpt, args.lpips_lin_ckpt)
+        model, params = lpips_from_checkpoints(
+            args.vgg_ckpt, args.lpips_lin_ckpt, net_type=args.lpips_net
+        )
         lpips_fn = jax.jit(lambda a, b: model.apply(params, a, b))
 
     for model_dir in args.model_paths:

@@ -145,6 +145,9 @@ def _render_strip(
     )
     geom_table = jnp.pad(geom_rows, ((0, 1), (0, 0)))
     inv_order = jnp.argsort(binned.order).astype(jnp.int32)
+    bg = background if background is not None else jnp.zeros(
+        (colors.shape[1],), jnp.float32
+    )
     tile_img, tile_alpha = _blend(
         permute_rows(colors, binned.order, inv_order),
         geom_table[order_ext(binned.order)],
@@ -154,6 +157,7 @@ def _render_strip(
         binned.red.slot_to_pos,
         binned.red.slot_rank,
         binned.red.chunk_block,
+        bg,
         (tiles_x, tiles_y_local),
         cfg,
     )
@@ -163,8 +167,6 @@ def _render_strip(
     alpha = _tiles_to_image(
         tile_alpha, tiles_x, tiles_y_local, cfg.tile_h, cfg.tile_w, strip_h, width
     )[..., 0]
-    if background is not None:
-        img = img + (1.0 - alpha[..., None]) * background[None, None, :]
     return img, alpha, binned.overflow
 
 

@@ -160,8 +160,12 @@ def _forward_kernel(
     # scalar prefetch
     tile_starts_ref,
     tile_counts_ref,
-    # input (HBM/ANY)
-    data_hbm,  # (8+C, M): geometry rows then colour rows
+    # inputs
+    data_hbm,  # (8+C, M): geometry rows then colour rows (HBM/ANY)
+    bg_ref,  # (1, C) VMEM: background row, blended in-kernel against the
+             # residual transmittance (keeps the alpha channel DCE-able
+             # for image-only consumers — the out[..., -1:] slice of a
+             # 17-lane minor dim cost ~2 ms in XLA relayouts)
     # output (VMEM block)
     out_ref,  # (1, P, C+1): C colour channels then alpha
     # scratch
@@ -263,8 +267,9 @@ def _forward_kernel(
     def _():
         dma(k_done, jax.lax.rem(k_done, 2)).wait()
 
-    out_ref[0, :, :c] = acc_ref[:, :]
-    out_ref[0, :, c : c + 1] = 1.0 - jnp.exp(log_t_rep)
+    t_fin = jnp.exp(log_t_rep)  # (P, 1) residual transmittance
+    out_ref[0, :, :c] = acc_ref[:, :] + t_fin * bg_ref[0:1, :]
+    out_ref[0, :, c : c + 1] = 1.0 - t_fin
 
 
 def _backward_kernel(
@@ -844,6 +849,7 @@ def tile_blend_forward(
     inst_data: jnp.ndarray,  # (8+C, M): [mx,my,ca,cb,cc,op,0,0, colours...]
     tile_starts: jnp.ndarray,  # (num_tiles,)
     tile_counts: jnp.ndarray,  # (num_tiles,)
+    bg: jnp.ndarray | None = None,  # (C,) background (None = zeros)
     *,
     tiles_x: int,
     tiles_y: int,
@@ -853,16 +859,23 @@ def tile_blend_forward(
     interpret: bool = False,
     aligned: bool = True,
 ):
-    """Returns (T, P, C+1): C composited channels, then alpha."""
+    """Returns (T, P, C+1): C composited channels (bg pre-blended), then
+    alpha."""
     num_tiles = tiles_x * tiles_y
     p = tile_h * tile_w
     c = inst_data.shape[0] - GEOM_ROWS
     m = inst_data.shape[1]
+    if bg is None:
+        bg = jnp.zeros((c,), jnp.float32)
+    bg2d = bg.reshape(1, c).astype(jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, c), lambda t, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
         out_specs=[
             pl.BlockSpec(
                 (1, p, c + 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
@@ -884,7 +897,7 @@ def tile_blend_forward(
         out_shape=[jax.ShapeDtypeStruct((num_tiles, p, c + 1), jnp.float32)],
         cost_estimate=_fwd_cost(num_tiles, p, chunk, c, m),
         interpret=interpret,
-    )(tile_starts, tile_counts, inst_data)
+    )(tile_starts, tile_counts, inst_data, bg2d)
     return out
 
 

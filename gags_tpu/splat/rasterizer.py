@@ -169,15 +169,18 @@ def _prepare(means, quats, scales, opacities, viewmat, K, width, height, cfg):
     return proj, binned, geom, tiles_x, tiles_y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
 def _blend(colors, geom_table, inst_gid, tile_starts, tile_counts,
-           red_slot, red_rank, red_block, grid_dims, cfg):
+           red_slot, red_rank, red_block, bg, grid_dims, cfg):
     """Differentiable (wrt colors) tile blend. grid_dims = (tiles_x, tiles_y).
 
     red_*: the cached `ReductionLayout` arrays for the scatter-free
-    per-gaussian gradient reduction (see tiles.reduction_layout)."""
+    per-gaussian gradient reduction (see tiles.reduction_layout).
+    bg (C,) is blended in-kernel against residual transmittance and is
+    treated as a CONSTANT (zero cotangent), like the reference's fixed
+    background tensor."""
     return _blend_fwd_impl(
-        colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg
+        colors, geom_table, inst_gid, tile_starts, tile_counts, bg, grid_dims, cfg
     )
 
 
@@ -191,9 +194,11 @@ def _pad_channels(colors):
     return colors, c
 
 
-def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg):
+def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, grid_dims, cfg):
     tiles_x, tiles_y = grid_dims
     colors, c_true = _pad_channels(colors)
+    if bg is not None and bg.shape[0] != colors.shape[1]:
+        bg = jnp.pad(bg, (0, colors.shape[1] - bg.shape[0]))
     colors_pad = jnp.concatenate(
         [colors, jnp.zeros((1, colors.shape[1]), colors.dtype)], axis=0
     )
@@ -205,6 +210,7 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, grid
         inst_data,
         tile_starts,
         tile_counts,
+        bg,
         tiles_x=tiles_x,
         tiles_y=tiles_y,
         tile_h=cfg.tile_h,
@@ -217,13 +223,13 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, grid
 
 
 def _blend_fwd(colors, geom_table, inst_gid, tile_starts, tile_counts,
-               red_slot, red_rank, red_block, grid_dims, cfg):
+               red_slot, red_rank, red_block, bg, grid_dims, cfg):
     out = _blend_fwd_impl(
-        colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg
+        colors, geom_table, inst_gid, tile_starts, tile_counts, bg, grid_dims, cfg
     )
     residuals = (
         colors.shape[0], geom_table, inst_gid, tile_starts, tile_counts,
-        red_slot, red_rank, red_block,
+        red_slot, red_rank, red_block, bg,
     )
     return out, residuals
 
@@ -257,7 +263,8 @@ def _blend_bwd(grid_dims, cfg, res, g):
             "(RasterizeConfig.aligned=True): unaligned gradient-write "
             "chunks would race across tile boundaries"
         )
-    n, geom_table, inst_gid, tile_starts, tile_counts, red_slot, red_rank, red_block = res
+    (n, geom_table, inst_gid, tile_starts, tile_counts,
+     red_slot, red_rank, red_block, bg) = res
     tiles_x, tiles_y = grid_dims
     g_img, _g_alpha = g  # alpha has no colour dependence
     c_true = g_img.shape[-1]
@@ -287,6 +294,7 @@ def _blend_bwd(grid_dims, cfg, res, g):
         _float0_like(red_slot),
         _float0_like(red_rank),
         _float0_like(red_block),
+        jnp.zeros_like(bg),  # background treated as constant
     )
 
 
@@ -298,26 +306,26 @@ _blend.defvjp(_blend_fwd, _blend_bwd)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
 def _blend_full(colors, geom_table, inst_gid, tile_starts, tile_counts,
-                red_slot, red_rank, red_block, grid_dims, cfg):
+                red_slot, red_rank, red_block, bg, grid_dims, cfg):
     """Tile blend differentiable wrt colors AND the (N+1, 8) geometry table
     ([mx, my, ca, cb, cc, opac, 0, 0] rows). Chaining the table gradient
     through the (pure-JAX, autodiffable) projection yields means / quats /
     scales / opacities gradients — the rasterizer VJP the reference gets
     from gsplat's CUDA backward, needed for RGB pretraining/densification."""
     return _blend_fwd_impl(
-        colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg
+        colors, geom_table, inst_gid, tile_starts, tile_counts, bg, grid_dims, cfg
     )
 
 
 def _blend_full_fwd(colors, geom_table, inst_gid, tile_starts, tile_counts,
-                    red_slot, red_rank, red_block, grid_dims, cfg):
+                    red_slot, red_rank, red_block, bg, grid_dims, cfg):
     out = _blend_fwd_impl(
-        colors, geom_table, inst_gid, tile_starts, tile_counts, grid_dims, cfg
+        colors, geom_table, inst_gid, tile_starts, tile_counts, bg, grid_dims, cfg
     )
     residuals = (colors, geom_table, inst_gid, tile_starts, tile_counts,
-                 red_slot, red_rank, red_block)
+                 red_slot, red_rank, red_block, bg)
     return out, residuals
 
 
@@ -328,12 +336,18 @@ def _blend_full_bwd(grid_dims, cfg, res, g):
             "(RasterizeConfig.aligned=True)"
         )
     (colors, geom_table, inst_gid, tile_starts, tile_counts,
-     red_slot, red_rank, red_block) = res
+     red_slot, red_rank, red_block, bg) = res
     n = colors.shape[0]
     tiles_x, tiles_y = grid_dims
     g_img, g_alpha = g
     c_true = g_img.shape[-1]
     g_img = jnp.pad(g_img, ((0, 0), (0, 0), (0, (-c_true) % 8)))
+    # the forward blends bg in-kernel: image = acc + T_fin*bg, so the image
+    # cotangent carries a dL/dT_fin term the kernel must see via its alpha
+    # cotangent (alpha = 1 - T_fin): galpha_eff = galpha - g_img . bg
+    g_alpha = g_alpha - jnp.sum(
+        g_img[..., :c_true] * bg[: c_true][None, None, :], axis=-1, keepdims=True
+    )
     colors, _ = _pad_channels(colors)
     colors_pad = jnp.concatenate(
         [colors, jnp.zeros((1, colors.shape[1]), colors.dtype)], axis=0
@@ -369,6 +383,7 @@ def _blend_full_bwd(grid_dims, cfg, res, g):
         _float0_like(red_slot),
         _float0_like(red_rank),
         _float0_like(red_block),
+        jnp.zeros_like(bg),  # background treated as constant
     )
 
 
@@ -440,9 +455,11 @@ def rasterize_binned(
     # differentiable permutation: grads come back via inv_order GATHER
     # (the autodiff transpose would be a ~19 ms scatter)
     colors = permute_rows(colors, order, inv_order)
+    if background is None:
+        background = jnp.zeros((colors.shape[1],), jnp.float32)
     tile_img, tile_alpha = _blend(
         colors, geom, inst_gid, tile_starts, tile_counts,
-        red_slot, red_rank, red_block,
+        red_slot, red_rank, red_block, background,
         (tiles_x, tiles_y), config,
     )
     img = _tiles_to_image(
@@ -451,8 +468,6 @@ def rasterize_binned(
     alpha = _tiles_to_image(
         tile_alpha, tiles_x, tiles_y, config.tile_h, config.tile_w, height, width
     )[..., 0]
-    if background is not None:
-        img = img + (1.0 - alpha[..., None]) * background[None, None, :]
     return img, alpha
 
 
@@ -520,6 +535,8 @@ def rasterize(
             slot_rank=jnp.full((128,), -1, jnp.int32),
             chunk_block=jnp.zeros((1,), jnp.int32),
         )
+    if background is None:
+        background = jnp.zeros((colors.shape[1],), jnp.float32)
     tile_img, tile_alpha = blend_fn(
         permute_rows(colors, binned.order, inv_order),
         permute_rows(geom_table, perm, inv_perm),
@@ -529,6 +546,7 @@ def rasterize(
         red.slot_to_pos,
         red.slot_rank,
         red.chunk_block,
+        background,
         (tiles_x, tiles_y),
         config,
     )
@@ -538,8 +556,6 @@ def rasterize(
     alpha = _tiles_to_image(
         tile_alpha, tiles_x, tiles_y, config.tile_h, config.tile_w, height, width
     )[..., 0]
-    if background is not None:
-        img = img + (1.0 - alpha[..., None]) * background[None, None, :]
     return RasterizeResult(
         image=img,
         alpha=alpha,
