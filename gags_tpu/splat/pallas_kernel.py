@@ -828,6 +828,86 @@ def sorted_segment_sum(
     return out[:num_ranks, :cdim]
 
 
+def _dense_segsum_kernel(
+    vals_ref,  # (CHUNK, C) VMEM block
+    ids_ref,  # (1, 1, CHUNK) int32 VMEM block; out-of-range ids drop out
+    out_hbm,  # (S_pad, 128) pl.ANY
+    acc,  # (S_pad, 128) VMEM scratch
+    sem,  # DMA (1,)
+    *,
+    s_pad: int,
+    nc: int,
+):
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        acc[:, :] = jnp.zeros_like(acc)
+
+    ids = ids_ref[0, 0, :]  # (CHUNK,)
+    chunk = ids.shape[0]
+    oneh = (
+        ids[:, None] == jax.lax.broadcasted_iota(jnp.int32, (chunk, s_pad), 1)
+    ).astype(jnp.float32)
+    contrib = jax.lax.dot_general(
+        oneh,
+        vals_ref[:, :],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (S_pad, C)
+    cdim = vals_ref.shape[1]
+    if cdim < acc.shape[1]:
+        contrib = jnp.pad(contrib, ((0, 0), (0, acc.shape[1] - cdim)))
+    acc[:, :] += contrib
+
+    @pl.when(c == nc - 1)
+    def _():
+        cp = pltpu.make_async_copy(acc, out_hbm, sem.at[0])
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments", "interpret"))
+def dense_segment_sum_fwd(
+    values: jnp.ndarray,  # (P, C) f32
+    ids: jnp.ndarray,  # (P,) int32 in [0, num_segments); OOB ignored
+    num_segments: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Segment-sum for MODERATE segment counts (<= ~2k) via per-chunk
+    one-hot MXU matmuls — XLA's scatter-add lowering costs ~2 ms per
+    230k-pixel segment_sum on v5e; this does all of them in ~0.3 ms."""
+    p, cdim = values.shape
+    assert cdim <= 128
+    chunk = 1024 if num_segments <= 1280 else 256
+    pp = ((p + chunk - 1) // chunk) * chunk
+    if pp != p:
+        values = jnp.pad(values, ((0, pp - p), (0, 0)))
+        ids = jnp.pad(ids, (0, pp - p), constant_values=num_segments)
+    nc = pp // chunk
+    s_pad = ((num_segments + 7) // 8) * 8
+    ids3d = ids.reshape(nc, 1, chunk)
+
+    (out,) = pl.pallas_call(
+        functools.partial(_dense_segsum_kernel, s_pad=s_pad, nc=nc),
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((chunk, cdim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_shape=[jax.ShapeDtypeStruct((s_pad, 128), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((s_pad, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(values, ids3d)
+    return out[:num_segments, :cdim]
+
+
 def _fwd_cost(num_tiles: int, p: int, g: int, c: int, m: int) -> pl.CostEstimate:
     # rough per-tile estimate assuming ~2 chunks average; guides scheduling only
     chunks = max(2 * num_tiles, m // g)

@@ -18,7 +18,10 @@ scene = GaussianScene(
     scales_raw=jnp.asarray(np.log(raw["scales"])), quats=jnp.asarray(raw["quats"]),
     semantic_features=jnp.zeros((N, 16)),
 )
-cfg = GadConfig(max_segments=1024)
+import os
+_th = int(os.environ.get("GAGS_TILE_H", "8"))
+_tw = int(os.environ.get("GAGS_TILE_W", "128"))
+cfg = GadConfig(max_segments=1024, raster=RasterizeConfig(tile_h=_th, tile_w=_tw))
 state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)
 geom = jax.device_put(frozen_geometry(scene))
 cam = make_camera(W, H)
