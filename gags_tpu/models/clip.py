@@ -337,6 +337,63 @@ def load_openclip_state_dict(state: Dict[str, Any], cfg: CLIPConfig) -> Dict:
     return {"params": {"visual": visual, "text": text}}
 
 
+def load_alphaclip_state_dict(state: Dict[str, Any], cfg: CLIPConfig) -> Dict:
+    """AlphaCLIP visual state dict → VisionTowerAlpha flax params.
+
+    alpha_clip checkpoints are open_clip-layout visual towers plus ONE extra
+    key, `visual.conv1_alpha.weight` (a single-channel patch conv added to
+    the RGB patch embedding) — reference `eval/alphaclip_encoder.py:8-78`.
+    """
+    full = load_openclip_state_dict(
+        # text keys may be absent in alpha checkpoints; synthesise zeros so
+        # the shared converter runs, then keep only the visual branch
+        {
+            **{
+                k: v
+                for k, v in state.items()
+                if k.startswith("visual.") and "conv1_alpha" not in k
+            },
+            **_dummy_text_keys(cfg),
+        },
+        cfg,
+    )
+    visual = full["params"]["visual"]
+    visual["alpha_embed"] = {
+        "kernel": _t(state["visual.conv1_alpha.weight"]).transpose(2, 3, 1, 0)
+    }
+    return {"params": visual}
+
+
+def _dummy_text_keys(cfg: CLIPConfig) -> Dict[str, Any]:
+    import numpy as _np
+
+    keys = {
+        "token_embedding.weight": _np.zeros((cfg.vocab_size, cfg.text_width), _np.float32),
+        "positional_embedding": _np.zeros((cfg.context_length, cfg.text_width), _np.float32),
+        "ln_final.weight": _np.ones((cfg.text_width,), _np.float32),
+        "ln_final.bias": _np.zeros((cfg.text_width,), _np.float32),
+        "text_projection": _np.zeros((cfg.text_width, cfg.embed_dim), _np.float32),
+    }
+    for i in range(cfg.text_layers):
+        p = f"transformer.resblocks.{i}"
+        w = cfg.text_width
+        keys.update({
+            f"{p}.ln_1.weight": _np.ones((w,), _np.float32),
+            f"{p}.ln_1.bias": _np.zeros((w,), _np.float32),
+            f"{p}.attn.in_proj_weight": _np.zeros((3 * w, w), _np.float32),
+            f"{p}.attn.in_proj_bias": _np.zeros((3 * w,), _np.float32),
+            f"{p}.attn.out_proj.weight": _np.zeros((w, w), _np.float32),
+            f"{p}.attn.out_proj.bias": _np.zeros((w,), _np.float32),
+            f"{p}.ln_2.weight": _np.ones((w,), _np.float32),
+            f"{p}.ln_2.bias": _np.zeros((w,), _np.float32),
+            f"{p}.mlp.c_fc.weight": _np.zeros((4 * w, w), _np.float32),
+            f"{p}.mlp.c_fc.bias": _np.zeros((4 * w,), _np.float32),
+            f"{p}.mlp.c_proj.weight": _np.zeros((w, 4 * w), _np.float32),
+            f"{p}.mlp.c_proj.bias": _np.zeros((w,), _np.float32),
+        })
+    return keys
+
+
 def load_openclip_checkpoint(path: str, cfg: Optional[CLIPConfig] = None):
     """Load an open_clip .pt/.bin checkpoint from disk (torch CPU)."""
     import torch

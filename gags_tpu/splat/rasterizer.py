@@ -31,8 +31,12 @@ from gags_tpu.splat.projection import project_gaussians
 
 @dataclasses.dataclass(frozen=True)
 class RasterizeConfig:
-    tile_h: int = 8
-    tile_w: int = 128
+    # 32x32 measured best on v5e for both inference (35.3 vs 33.7 FPS at
+    # 8x128, 720p/250k) and training (105 vs 112 ms/step at 360p/300k):
+    # square tiles give more coherent early termination at equal instance
+    # counts. Pixel count 1024 = the (8,128) f32 vreg tile either way.
+    tile_h: int = 32
+    tile_w: int = 32
     chunk: int = 128
     budget_factor: int = 4  # instance budget = factor * N
     budget: Optional[int] = None  # explicit override
