@@ -217,3 +217,27 @@ def test_sorted_segment_sum_matches_xla():
     )
     expect = jax.ops.segment_sum(jnp.asarray(rows), jnp.asarray(gid), num_segments=n + 1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("aligned", [True, False])
+def test_wide_key_sort_matches_narrow(aligned):
+    """The two-key (tile, rank) sort fallback for num_tiles*(N+1) >= 2^31
+    (1080p at ~1M+ gaussians) must produce the identical binning."""
+    means, quats, scales, op, col, vm, K = _scene(200)
+    p = project_gaussians(means, quats, scales, vm, K, W, H)
+    kw = dict(budget=CFG.instance_budget(200), chunk=8, aligned=aligned)
+    a = tiles.bin_gaussians(
+        p.means2d, p.radii, p.depths, W, H, CFG.tile_w, CFG.tile_h, **kw
+    )
+    b = tiles.bin_gaussians(
+        p.means2d, p.radii, p.depths, W, H, CFG.tile_w, CFG.tile_h,
+        _force_wide_keys=True, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(a.tile_starts), np.asarray(b.tile_starts))
+    np.testing.assert_array_equal(np.asarray(a.tile_counts), np.asarray(b.tile_counts))
+    # filler rows past each tile's (padded) range are never read and recover
+    # arbitrary ranks in narrow mode — compare the consumed ranges only
+    ga, gb = np.asarray(a.inst_gid), np.asarray(b.inst_gid)
+    for s, c in zip(np.asarray(a.tile_starts), np.asarray(a.tile_counts)):
+        e = s + (((c + 7) // 8) * 8 if aligned else c)
+        np.testing.assert_array_equal(ga[s:e], gb[s:e])
