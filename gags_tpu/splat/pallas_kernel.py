@@ -828,6 +828,133 @@ def sorted_segment_sum(
     return out[:num_ranks, :cdim]
 
 
+EXPAND_K = 512  # instance slots per expansion grid step
+EXPAND_W = EXPAND_K + 256  # gaussian window: K+1 span + 128-alignment margin
+
+
+def _expand_keys_kernel(
+    glo_ref,  # scalar prefetch (nc,): first gaussian rank owning slot c*K
+    nv_ref,  # scalar prefetch (1,): num_valid
+    gt_hbm,  # (16, n_pad) int32: row 0 = offsets (for the compare);
+    # rows 1..12 = BYTE planes [off_b0..2, rank_b0..2, x0_b0..1, y0_b0..1,
+    # w_b0..1] — bytes are exact in bf16, so the telescoping dot runs as a
+    # single DEFAULT-precision MXU pass (HIGHEST's 6 passes cost ~6 ms)
+    keys_ref,  # (1, 1, K) int32 output block
+    buf,  # (2, 16, W) int32 window double buffer
+    sems,  # DMA (2,)
+    *,
+    nc: int,
+    n: int,
+    tiles_x: int,
+):
+    """Ragged→dense instance expansion + sort-key construction, one pass.
+
+    Replaces the XLA spread (scatter+cumsum, ~2.2 ms) + u16 gather +
+    key arithmetic (~2 ms more) of the unaligned binner. Because gaussians
+    are depth-sorted ALIVE-FIRST (count ≥ 1 before any empty one), the K
+    slots of a chunk are owned by at most K+1 consecutive gaussians — so a
+    windowed DMA of the per-gaussian table plus one step-function compare
+    matrix recovers every slot's fields with a single telescoping MXU
+    matmul: value[i] = Σ_j [i >= off_j]·(v_j − v_{j−1}) = v_{J(i)}.
+    All fields are < 2^24, exact in f32 under a HIGHEST-precision dot.
+    """
+    k = EXPAND_K
+    w = EXPAND_W
+    c = pl.program_id(0)
+
+    def dma(cc, slot):
+        g = glo_ref[cc]
+        base = pl.multiple_of(g - jax.lax.rem(g, 128), 128)
+        return pltpu.make_async_copy(
+            gt_hbm.at[:, pl.ds(base, w)], buf.at[slot], sems.at[slot]
+        )
+
+    @pl.when(c == 0)
+    def _():
+        dma(0, 0).start()
+
+    slot = jax.lax.rem(c, 2)
+
+    @pl.when(c + 1 < nc)
+    def _():
+        dma(c + 1, 1 - slot).start()
+
+    dma(c, slot).wait()
+    win = buf[slot]  # (16, W) int32
+    off = win[0:1, :]  # (1, W)
+    # byte planes as bf16 (exact for |v| <= 255; telescoping partial sums
+    # v[j_prefix] - v[base-1] stay in [-255, 255]); dv[0] = v[0]. All 16
+    # rows go through the shift+dot (sublane slices must stay 8-aligned);
+    # row 0's bf16 garbage lands in an unused output column.
+    vals = win.astype(jnp.bfloat16)  # (16, W)
+    shifted = jnp.pad(vals[:, : w - 1], ((0, 0), (1, 0)))
+    dv = vals - shifted  # (16, W)
+
+    i_glob = c * k + jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)  # (K,1)
+    cmp_b = i_glob >= off  # (K, W) step functions (int compare, exact)
+    got = jax.lax.dot_general(
+        cmp_b.astype(jnp.bfloat16),
+        dv,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # (K, 16): cols 1..12 = owner's byte values
+
+    def _u24(b0):
+        return got[:, b0 : b0 + 1] + (got[:, b0 + 1 : b0 + 2] << 8) + (
+            got[:, b0 + 2 : b0 + 3] << 16
+        )
+
+    def _u16v(b0):
+        return got[:, b0 : b0 + 1] + (got[:, b0 + 1 : b0 + 2] << 8)
+
+    own_off = _u24(1)
+    rank = _u24(4)
+    x0 = _u16v(7)
+    y0 = _u16v(9)
+    rw = jnp.maximum(_u16v(11), 1)
+    s_in = i_glob - own_off
+    dy = s_in // rw
+    dx = s_in - dy * rw
+    tile = (y0 + dy) * tiles_x + (x0 + dx)
+    valid = i_glob < nv_ref[0]
+    keys = jnp.where(valid, tile * (n + 1) + rank, jnp.int32(2**31 - 1))
+    keys_ref[0, 0, :] = keys[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "tiles_x", "interpret"))
+def expand_keys(
+    gauss_table: jnp.ndarray,  # (16, n_pad) int32 [offsets, 12 byte planes, 0*3]
+    g_lo: jnp.ndarray,  # (nc,) int32 first owner rank per chunk
+    num_valid: jnp.ndarray,  # () int32
+    n: int,
+    tiles_x: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns (nc*K,) sort keys; invalid slots get INT32_MAX."""
+    nc = g_lo.shape[0]
+    (keys,) = pl.pallas_call(
+        functools.partial(_expand_keys_kernel, nc=nc, n=n, tiles_x=tiles_x),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nc,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, EXPAND_K), lambda c, *_: (c, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, 16, EXPAND_W), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((nc, 1, EXPAND_K), jnp.int32)],
+        interpret=interpret,
+    )(g_lo, num_valid.reshape(1), gauss_table)
+    return keys.reshape(-1)
+
+
 def _dense_segsum_kernel(
     vals_ref,  # (CHUNK, C) VMEM block
     ids_ref,  # (1, 1, CHUNK) int32 VMEM block; out-of-range ids drop out

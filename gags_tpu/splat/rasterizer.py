@@ -168,6 +168,7 @@ def _prepare(means, quats, scales, opacities, viewmat, K, width, height, cfg):
         budget=cfg.instance_budget(n),
         chunk=cfg.chunk,
         aligned=cfg.aligned,
+        interpret=cfg.interpret,
     )
     geom, _ = _geom_table(proj, opacities)
     return proj, binned, geom, tiles_x, tiles_y
@@ -417,7 +418,7 @@ def prepare_binning(
         proj.means2d, proj.radii, proj.depths, width, height,
         config.tile_w, config.tile_h,
         budget=config.instance_budget(n), chunk=config.chunk,
-        aligned=config.aligned,
+        aligned=config.aligned, interpret=config.interpret,
     )
 
 

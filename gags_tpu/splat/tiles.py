@@ -193,6 +193,7 @@ def bin_gaussians(
     budget: int,
     chunk: int = 128,
     aligned: bool = True,
+    interpret: bool = False,
     _force_wide_keys: bool = False,
 ) -> BinnedInstances:
     """Build the sorted (tile-major, front-to-back) instance list.
@@ -229,7 +230,12 @@ def bin_gaussians(
     x0, y0, w, h, counts = tile_rects(means2d, radii, tile_w, tile_h, tiles_x, tiles_y)
 
     # --- depth-rank permutation: ONE (N, 4) gather ---------------------------
-    order = jnp.argsort(depths)
+    # ALIVE-FIRST depth order: culled / zero-coverage gaussians sort after
+    # every contributing one (their depth key is +inf). Blend order among
+    # contributors is unchanged; the expansion kernel relies on every rank
+    # before the budget cut owning >= 1 instance (a K-slot chunk then spans
+    # <= K+1 consecutive ranks).
+    order = jnp.argsort(jnp.where(counts > 0, depths, jnp.inf))
     # rects bit-packed so the per-instance gather below reads ONE int32
     packed = x0 | (y0 << 10) | (jnp.maximum(w, 1) << 20)
     tblp = jnp.stack([packed, counts, x0 + w, y0 + h], axis=1)[order]  # (N, 4)
@@ -281,71 +287,116 @@ def bin_gaussians(
         padded_counts = jnp.where(counts_t > 0, padded_counts, 0)
         tile_starts = (jnp.cumsum(padded_counts) - padded_counts).astype(jnp.int32)
 
-    # --- ragged→dense expansion in rank space --------------------------------
-    # ONE telescoping diff-scatter + cumsum recovers the owning rank per
-    # instance; the other per-instance fields (rect data + segment base)
-    # come from ONE u16 fast row-gather keyed by it. (Profiled on v5e: each
-    # fused scatter+cumsum spread costs ~2.2 ms at M≈1M — the scatter
-    # dominates — while the 2-field u16 gather is ~1.5 ms total.)
-    idx = jnp.arange(m_real, dtype=jnp.int32)
-    rank = jnp.arange(n, dtype=jnp.int32)
-    oidx = jnp.minimum(offsets, m_real)
+    # --- ragged→dense expansion + sort keys ----------------------------------
+    # Fast path (inference, narrow keys, sizes exact in f32): the Pallas
+    # expansion kernel builds every slot's key in one windowed pass
+    # (telescoping step-function matmuls; see _expand_keys_kernel). The
+    # general path uses one diff-scatter+cumsum spread + a u16 row-gather.
+    use_expand_kernel = (
+        not aligned and not wide_keys and m_real < 2**24 and n < 2**24
+    )
+    if use_expand_kernel:
+        from gags_tpu.splat import pallas_kernel as _pk
 
-    def spread(field):
-        d = jnp.diff(field, prepend=jnp.zeros((1,), jnp.int32))
-        acc = jnp.zeros((m_real + 1,), jnp.int32).at[oidx].add(
-            d, indices_are_sorted=True
+        kk = _pk.EXPAND_K
+        nc = -(-m_real // kk)
+        px0_r = packed_p & 1023
+        py0_r = (packed_p >> 10) & 1023
+        pw_r = (packed_p >> 20) & 1023
+        n_pad = n + _pk.EXPAND_W + 128
+
+        def _padr(row, fill):
+            return jnp.concatenate(
+                [row.astype(jnp.int32), jnp.full((n_pad - n,), fill, jnp.int32)]
+            )
+
+        rank_r = jnp.arange(n, dtype=jnp.int32)
+        pw1 = jnp.maximum(pw_r, 1)
+
+        def _bytes(row, fill, nb):
+            rows = []
+            for b in range(nb):
+                rows.append(_padr((row >> (8 * b)) & 0xFF, (fill >> (8 * b)) & 0xFF))
+            return rows
+
+        zrow = jnp.zeros((n_pad,), jnp.int32)
+        gt = jnp.stack(
+            [_padr(offsets, INT32_MAX)]
+            + _bytes(offsets, 0, 3)       # pad offsets' bytes 0: cmp false there
+            + _bytes(rank_r, n, 3)
+            + _bytes(px0_r, 0, 2)
+            + _bytes(py0_r, 0, 2)
+            + _bytes(pw1, 1, 2)
+            + [zrow, zrow, zrow]
+        )  # (16, n_pad)
+        g_lo = jnp.searchsorted(
+            inc, jnp.arange(nc, dtype=jnp.int32) * kk, side="right"
+        ).astype(jnp.int32)
+        keys = _pk.expand_keys(
+            gt, g_lo, num_valid, n=n, tiles_x=tiles_x, interpret=interpret
         )
-        return jnp.cumsum(acc[:m_real])
-
-    gid = jnp.clip(spread(rank), 0, n - 1)  # owning RANK
-    per_rank = jnp.stack([packed_p, offsets], axis=1)  # (N, 2)
-    got = fast_gather_rows(per_rank, gid)  # (M, 2)
-    pk = got[:, 0]
-    slot = idx - got[:, 1]
-    px0 = pk & 1023
-    py0 = (pk >> 10) & 1023
-    pw = (pk >> 20) & 1023
-    dy = slot // pw
-    dx = slot - dy * pw
-    tile = (py0 + dy) * tiles_x + (px0 + dx)
-    valid = idx < num_valid
-
-    # --- keys: real instances (+ per-tile alignment dummies if aligned) ------
-    if aligned:
-        dummy_idx = jnp.arange(num_tiles * chunk, dtype=jnp.int32)
-        d_tile = dummy_idx // chunk
-        d_within = dummy_idx - d_tile * chunk
-        pad_needed = padded_counts - counts_t  # in [0, chunk)
-        d_ok = d_within < pad_needed[d_tile]
-
-    if not wide_keys:
-        key_real = jnp.where(valid, tile * (n + 1) + gid, INT32_MAX)
-        if aligned:
-            key_dummy = jnp.where(d_ok, d_tile * (n + 1) + n, INT32_MAX)
-            keys = jnp.concatenate([key_real, key_dummy])
-        else:
-            keys = key_real
-        # keys are unique (one instance per gaussian-tile pair) — an
-        # unstable sort avoids XLA's implicit iota payload for stable sorts
         (sorted_keys,) = jax.lax.sort((keys,), num_keys=1, is_stable=False)
-        # rank recovery is pure arithmetic; INT32_MAX filler rows land past
-        # every tile range (never read, grads pre-zeroed) — clamp in-bounds
         inst_rank = jnp.minimum(sorted_keys % (n + 1), n).astype(jnp.int32)
-    else:
-        k_tile = jnp.where(valid, tile, INT32_MAX)
-        k_rank = jnp.where(valid, gid, n)
+    if not use_expand_kernel:
+        idx = jnp.arange(m_real, dtype=jnp.int32)
+        rank = jnp.arange(n, dtype=jnp.int32)
+        oidx = jnp.minimum(offsets, m_real)
+
+        def spread(field):
+            d = jnp.diff(field, prepend=jnp.zeros((1,), jnp.int32))
+            acc = jnp.zeros((m_real + 1,), jnp.int32).at[oidx].add(
+                d, indices_are_sorted=True
+            )
+            return jnp.cumsum(acc[:m_real])
+
+        gid = jnp.clip(spread(rank), 0, n - 1)  # owning RANK
+        per_rank = jnp.stack([packed_p, offsets], axis=1)  # (N, 2)
+        got = fast_gather_rows(per_rank, gid)  # (M, 2)
+        pk = got[:, 0]
+        slot = idx - got[:, 1]
+        px0 = pk & 1023
+        py0 = (pk >> 10) & 1023
+        pw = (pk >> 20) & 1023
+        dy = slot // pw
+        dx = slot - dy * pw
+        tile = (py0 + dy) * tiles_x + (px0 + dx)
+        valid = idx < num_valid
+
+        # --- keys: real instances (+ per-tile alignment dummies if aligned) --
         if aligned:
-            k_tile = jnp.concatenate(
-                [k_tile, jnp.where(d_ok, d_tile, INT32_MAX)]
+            dummy_idx = jnp.arange(num_tiles * chunk, dtype=jnp.int32)
+            d_tile = dummy_idx // chunk
+            d_within = dummy_idx - d_tile * chunk
+            pad_needed = padded_counts - counts_t  # in [0, chunk)
+            d_ok = d_within < pad_needed[d_tile]
+
+        if not wide_keys:
+            key_real = jnp.where(valid, tile * (n + 1) + gid, INT32_MAX)
+            if aligned:
+                key_dummy = jnp.where(d_ok, d_tile * (n + 1) + n, INT32_MAX)
+                keys = jnp.concatenate([key_real, key_dummy])
+            else:
+                keys = key_real
+            # keys are unique (one instance per gaussian-tile pair) — an
+            # unstable sort avoids XLA's implicit iota payload
+            (sorted_keys,) = jax.lax.sort((keys,), num_keys=1, is_stable=False)
+            # rank recovery is pure arithmetic; INT32_MAX filler rows land
+            # past every tile range (never read, grads pre-zeroed)
+            inst_rank = jnp.minimum(sorted_keys % (n + 1), n).astype(jnp.int32)
+        else:
+            k_tile = jnp.where(valid, tile, INT32_MAX)
+            k_rank = jnp.where(valid, gid, n)
+            if aligned:
+                k_tile = jnp.concatenate(
+                    [k_tile, jnp.where(d_ok, d_tile, INT32_MAX)]
+                )
+                k_rank = jnp.concatenate(
+                    [k_rank, jnp.full((num_tiles * chunk,), n, jnp.int32)]
+                )
+            sorted_keys, inst_rank = jax.lax.sort(
+                (k_tile, k_rank), num_keys=2, is_stable=False
             )
-            k_rank = jnp.concatenate(
-                [k_rank, jnp.full((num_tiles * chunk,), n, jnp.int32)]
-            )
-        sorted_keys, inst_rank = jax.lax.sort(
-            (k_tile, k_rank), num_keys=2, is_stable=False
-        )
-        inst_rank = jnp.minimum(inst_rank, n).astype(jnp.int32)
+            inst_rank = jnp.minimum(inst_rank, n).astype(jnp.int32)
 
     if not aligned:
         # starts/counts straight from the sorted keys: tile t's range is

@@ -179,6 +179,7 @@ def test_unaligned_binning_ranges():
     binned = tiles.bin_gaussians(
         p.means2d, p.radii, p.depths, W, H, CFG.tile_w, CFG.tile_h,
         budget=CFG.instance_budget(200), chunk=chunk, aligned=False,
+        interpret=True,
     )
     starts = np.asarray(binned.tile_starts)
     counts = np.asarray(binned.tile_counts)
@@ -186,9 +187,13 @@ def test_unaligned_binning_ranges():
     np.testing.assert_array_equal(starts[1:], starts[:-1] + counts[:-1])
     assert starts[0] == 0
     assert int(starts[-1] + counts[-1]) == int(binned.num_valid)
-    # sentinel tail pad of one chunk
+    # sentinel tail pad of one chunk (the expansion kernel rounds the
+    # slot count up to its grid-step multiple first)
+    from gags_tpu.splat.pallas_kernel import EXPAND_K
+
     m_real = ((CFG.instance_budget(200) + chunk - 1) // chunk) * chunk
-    assert binned.inst_gid.shape[0] == m_real + chunk
+    mk = -(-m_real // EXPAND_K) * EXPAND_K
+    assert binned.inst_gid.shape[0] == mk + chunk
     assert (np.asarray(binned.inst_gid)[-chunk:] == 200).all()
 
 
@@ -225,7 +230,8 @@ def test_wide_key_sort_matches_narrow(aligned):
     (1080p at ~1M+ gaussians) must produce the identical binning."""
     means, quats, scales, op, col, vm, K = _scene(200)
     p = project_gaussians(means, quats, scales, vm, K, W, H)
-    kw = dict(budget=CFG.instance_budget(200), chunk=8, aligned=aligned)
+    kw = dict(budget=CFG.instance_budget(200), chunk=8, aligned=aligned,
+              interpret=True)
     a = tiles.bin_gaussians(
         p.means2d, p.radii, p.depths, W, H, CFG.tile_w, CFG.tile_h, **kw
     )
