@@ -828,35 +828,29 @@ def sorted_segment_sum(
     return out[:num_ranks, :cdim]
 
 
-EXPAND_K = 512  # instance slots per expansion grid step
-EXPAND_W = EXPAND_K + 256  # gaussian window: K+1 span + 128-alignment margin
+EXPAND_K = 1024  # instance slots per expansion grid step
+# gaussian window: alignment pad (<=127) + K+1 owner span fits exactly
+EXPAND_W = EXPAND_K + 128
 
 
-def _expand_keys_kernel(
+def _expand_gid_kernel(
     glo_ref,  # scalar prefetch (nc,): first gaussian rank owning slot c*K
-    nv_ref,  # scalar prefetch (1,): num_valid
-    gt_hbm,  # (16, n_pad) int32: row 0 = offsets (for the compare);
-    # rows 1..12 = BYTE planes [off_b0..2, rank_b0..2, x0_b0..1, y0_b0..1,
-    # w_b0..1] — bytes are exact in bf16, so the telescoping dot runs as a
-    # single DEFAULT-precision MXU pass (HIGHEST's 6 passes cost ~6 ms)
-    keys_ref,  # (1, 1, K) int32 output block
-    buf,  # (2, 16, W) int32 window double buffer
+    off_hbm,  # (8, n_pad) int32; row 0 = instance offsets (monotone)
+    gid_ref,  # (1, 1, K) int32 output block: owning rank per slot
+    buf,  # (2, 8, W) int32 window double buffer
     sems,  # DMA (2,)
     *,
     nc: int,
-    n: int,
-    tiles_x: int,
 ):
-    """Ragged→dense instance expansion + sort-key construction, one pass.
+    """Owning-rank recovery for the ragged->dense instance expansion.
 
-    Replaces the XLA spread (scatter+cumsum, ~2.2 ms) + u16 gather +
-    key arithmetic (~2 ms more) of the unaligned binner. Because gaussians
-    are depth-sorted ALIVE-FIRST (count ≥ 1 before any empty one), the K
-    slots of a chunk are owned by at most K+1 consecutive gaussians — so a
-    windowed DMA of the per-gaussian table plus one step-function compare
-    matrix recovers every slot's fields with a single telescoping MXU
-    matmul: value[i] = Σ_j [i >= off_j]·(v_j − v_{j−1}) = v_{J(i)}.
-    All fields are < 2^24, exact in f32 under a HIGHEST-precision dot.
+    Replaces the XLA spread (scatter+cumsum, ~2.2 ms at M~1M — the scatter
+    dominates). Gaussians are depth-sorted ALIVE-FIRST (count >= 1 before
+    any empty one), so the K slots of a chunk are owned by <= K+1
+    consecutive ranks: a windowed DMA of the offset row + one step-function
+    compare + a lane reduction yields gid = base + #{j: off[base+j] <= i} - 1.
+    Pure VPU — an MXU formulation (telescoping byte-plane matmul) measured
+    10 ms/frame because the 12-column output uses ~10% of the array.
     """
     k = EXPAND_K
     w = EXPAND_W
@@ -866,7 +860,7 @@ def _expand_keys_kernel(
         g = glo_ref[cc]
         base = pl.multiple_of(g - jax.lax.rem(g, 128), 128)
         return pltpu.make_async_copy(
-            gt_hbm.at[:, pl.ds(base, w)], buf.at[slot], sems.at[slot]
+            off_hbm.at[:, pl.ds(base, w)], buf.at[slot], sems.at[slot]
         )
 
     @pl.when(c == 0)
@@ -880,62 +874,26 @@ def _expand_keys_kernel(
         dma(c + 1, 1 - slot).start()
 
     dma(c, slot).wait()
-    win = buf[slot]  # (16, W) int32
-    off = win[0:1, :]  # (1, W)
-    # byte planes as bf16 (exact for |v| <= 255; telescoping partial sums
-    # v[j_prefix] - v[base-1] stay in [-255, 255]); dv[0] = v[0]. All 16
-    # rows go through the shift+dot (sublane slices must stay 8-aligned);
-    # row 0's bf16 garbage lands in an unused output column.
-    vals = win.astype(jnp.bfloat16)  # (16, W)
-    shifted = jnp.pad(vals[:, : w - 1], ((0, 0), (1, 0)))
-    dv = vals - shifted  # (16, W)
-
+    g = glo_ref[c]
+    base = g - jax.lax.rem(g, 128)
+    off = buf[slot][0:1, :]  # (1, W)
     i_glob = c * k + jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)  # (K,1)
-    cmp_b = i_glob >= off  # (K, W) step functions (int compare, exact)
-    got = jax.lax.dot_general(
-        cmp_b.astype(jnp.bfloat16),
-        dv,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)  # (K, 16): cols 1..12 = owner's byte values
-
-    def _u24(b0):
-        return got[:, b0 : b0 + 1] + (got[:, b0 + 1 : b0 + 2] << 8) + (
-            got[:, b0 + 2 : b0 + 3] << 16
-        )
-
-    def _u16v(b0):
-        return got[:, b0 : b0 + 1] + (got[:, b0 + 1 : b0 + 2] << 8)
-
-    own_off = _u24(1)
-    rank = _u24(4)
-    x0 = _u16v(7)
-    y0 = _u16v(9)
-    rw = jnp.maximum(_u16v(11), 1)
-    s_in = i_glob - own_off
-    dy = s_in // rw
-    dx = s_in - dy * rw
-    tile = (y0 + dy) * tiles_x + (x0 + dx)
-    valid = i_glob < nv_ref[0]
-    keys = jnp.where(valid, tile * (n + 1) + rank, jnp.int32(2**31 - 1))
-    keys_ref[0, 0, :] = keys[:, 0]
+    cnt = jnp.sum((i_glob >= off).astype(jnp.int32), axis=1, keepdims=True)
+    gid_ref[0, 0, :] = (base + cnt - 1)[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("n", "tiles_x", "interpret"))
-def expand_keys(
-    gauss_table: jnp.ndarray,  # (16, n_pad) int32 [offsets, 12 byte planes, 0*3]
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def expand_gid(
+    offsets_table: jnp.ndarray,  # (8, n_pad) int32, row 0 = offsets
     g_lo: jnp.ndarray,  # (nc,) int32 first owner rank per chunk
-    num_valid: jnp.ndarray,  # () int32
-    n: int,
-    tiles_x: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns (nc*K,) sort keys; invalid slots get INT32_MAX."""
+    """Returns (nc*K,) owning-rank ids (garbage past the last valid slot)."""
     nc = g_lo.shape[0]
-    (keys,) = pl.pallas_call(
-        functools.partial(_expand_keys_kernel, nc=nc, n=n, tiles_x=tiles_x),
+    (gid,) = pl.pallas_call(
+        functools.partial(_expand_gid_kernel, nc=nc),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=1,
             grid=(nc,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[
@@ -945,14 +903,14 @@ def expand_keys(
                 )
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, 16, EXPAND_W), jnp.int32),
+                pltpu.VMEM((2, 8, EXPAND_W), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=[jax.ShapeDtypeStruct((nc, 1, EXPAND_K), jnp.int32)],
         interpret=interpret,
-    )(g_lo, num_valid.reshape(1), gauss_table)
-    return keys.reshape(-1)
+    )(g_lo, offsets_table)
+    return gid.reshape(-1)
 
 
 def _dense_segsum_kernel(

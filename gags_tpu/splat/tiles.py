@@ -300,41 +300,29 @@ def bin_gaussians(
 
         kk = _pk.EXPAND_K
         nc = -(-m_real // kk)
-        px0_r = packed_p & 1023
-        py0_r = (packed_p >> 10) & 1023
-        pw_r = (packed_p >> 20) & 1023
+        mk = nc * kk
         n_pad = n + _pk.EXPAND_W + 128
-
-        def _padr(row, fill):
-            return jnp.concatenate(
-                [row.astype(jnp.int32), jnp.full((n_pad - n,), fill, jnp.int32)]
-            )
-
-        rank_r = jnp.arange(n, dtype=jnp.int32)
-        pw1 = jnp.maximum(pw_r, 1)
-
-        def _bytes(row, fill, nb):
-            rows = []
-            for b in range(nb):
-                rows.append(_padr((row >> (8 * b)) & 0xFF, (fill >> (8 * b)) & 0xFF))
-            return rows
-
-        zrow = jnp.zeros((n_pad,), jnp.int32)
-        gt = jnp.stack(
-            [_padr(offsets, INT32_MAX)]
-            + _bytes(offsets, 0, 3)       # pad offsets' bytes 0: cmp false there
-            + _bytes(rank_r, n, 3)
-            + _bytes(px0_r, 0, 2)
-            + _bytes(py0_r, 0, 2)
-            + _bytes(pw1, 1, 2)
-            + [zrow, zrow, zrow]
-        )  # (16, n_pad)
+        off_tbl = jnp.zeros((8, n_pad), jnp.int32)
+        off_tbl = off_tbl.at[0, :n].set(offsets).at[0, n:].set(INT32_MAX)
         g_lo = jnp.searchsorted(
             inc, jnp.arange(nc, dtype=jnp.int32) * kk, side="right"
         ).astype(jnp.int32)
-        keys = _pk.expand_keys(
-            gt, g_lo, num_valid, n=n, tiles_x=tiles_x, interpret=interpret
+        gid = jnp.clip(
+            _pk.expand_gid(off_tbl, g_lo, interpret=interpret), 0, n - 1
         )
+        idx = jnp.arange(mk, dtype=jnp.int32)
+        per_rank = jnp.stack([packed_p, offsets], axis=1)  # (N, 2)
+        got = fast_gather_rows(per_rank, gid)  # (Mk, 2)
+        pk_f = got[:, 0]
+        slot = idx - got[:, 1]
+        px0 = pk_f & 1023
+        py0 = (pk_f >> 10) & 1023
+        pw = (pk_f >> 20) & 1023
+        dy = slot // pw
+        dx = slot - dy * pw
+        tile = (py0 + dy) * tiles_x + (px0 + dx)
+        valid = idx < num_valid
+        keys = jnp.where(valid, tile * (n + 1) + gid, INT32_MAX)
         (sorted_keys,) = jax.lax.sort((keys,), num_keys=1, is_stable=False)
         inst_rank = jnp.minimum(sorted_keys % (n + 1), n).astype(jnp.int32)
     if not use_expand_kernel:
