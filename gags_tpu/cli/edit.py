@@ -42,7 +42,11 @@ def main():
 
     gcfg = GadConfig.load(args.model_path, feature_dim=scene.semantic_features.shape[1])
     gcfg = _dc.replace(gcfg, raster=auto_config(
-        **{k: v for k, v in _dc.asdict(gcfg.raster).items() if k != "interpret"}
+        # forward-only: the unaligned inference binning skips the SAT/dummy
+        # passes and the gradient ReductionLayout (~3 ms/frame) entirely
+        **{k: v for k, v in _dc.asdict(gcfg.raster).items()
+           if k not in ("interpret", "aligned")},
+        aligned=False,
     ))
     state, statics = create_train_state(scene, jax.random.PRNGKey(0), gcfg)
     step = latest_checkpoint_step(args.model_path) or args.iteration

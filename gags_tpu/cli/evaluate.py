@@ -81,7 +81,11 @@ def main():
 
     cfg = GadConfig.load(args.model_path, feature_dim=scene.semantic_features.shape[1])
     cfg = _dc.replace(cfg, raster=auto_config(
-        **{k: v for k, v in _dc.asdict(cfg.raster).items() if k != "interpret"}
+        # forward-only: the unaligned inference binning skips the SAT/dummy
+        # passes and the gradient ReductionLayout (~3 ms/frame) entirely
+        **{k: v for k, v in _dc.asdict(cfg.raster).items()
+           if k not in ("interpret", "aligned")},
+        aligned=False,
     ))
     state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)
     step = latest_checkpoint_step(args.model_path) or args.iteration

@@ -79,7 +79,11 @@ def _dense_segsum_bwd(num_segments, res, g):
     (ids,) = res
     from gags_tpu.splat.tiles import fast_gather_rows
 
-    return fast_gather_rows(g, jnp.minimum(ids, num_segments - 1)), _float0_like(ids)
+    # OOB ids are dropped by the forward — their cotangent must be zero,
+    # not the last segment's (clamping the gather index alone would leak it)
+    in_range = ids < num_segments
+    rows = fast_gather_rows(g, jnp.where(in_range, ids, 0))
+    return jnp.where(in_range[:, None], rows, 0.0), _float0_like(ids)
 
 
 _dense_segsum.defvjp(_dense_segsum_fwd, _dense_segsum_bwd)

@@ -64,8 +64,13 @@ def blend_gt_feature_map(
 
     Parity notes vs the reference:
       * seg ids of -1 gather `img_embed[-1]` there (python negative
-        indexing); those pixels are excluded by the mask, so we clamp to 0
-        instead — identical under the mask.
+        indexing) — and when seg/render resolutions differ, that last row
+        BLEEDS into mask-valid pixels through the align_corners bilinear
+        resize, so clamping to row 0 is NOT equivalent; we reproduce the
+        wraparound (-1 -> M-1). With a zero-padded embedding table the
+        bleed source is a zero row instead of the last real mask — benign,
+        and exact golden parity holds for unpadded tables
+        (tests/test_reference_golden.py).
       * feature maps are bilinear-resized with align_corners=True and masks
         nearest-resized when seg and render resolutions differ
         (dataset_readers.py:72-79).
@@ -91,12 +96,14 @@ def blend_gt_feature_map(
         mask = jnp.all(valid, axis=-1)[..., None]
 
         def term(g):
-            f = img_embed[jnp.maximum(seg_sml[..., g], 0)].astype(jnp.float32)
+            f = img_embed[seg_sml[..., g] % img_embed.shape[0]].astype(
+                jnp.float32
+            )
             return f * scale_map[..., g : g + 1]
 
         return term(0) + term(1) + term(2), mask
 
-    idx = jnp.maximum(seg_sml, 0)
+    idx = seg_sml % img_embed.shape[0]  # -1 wraps to the last row
     # gather in the embeddings' storage dtype (f16 on disk — reference
     # preprocess.py:352 saves half precision), halving the dominant HBM
     # traffic of supervision; arithmetic upcasts to f32 right after
@@ -135,7 +142,10 @@ def blend_gt_feature_map(
             ],
             axis=-1,
         )  # (S, 3)
-        med = med / jnp.sum(med, axis=-1, keepdims=True)
+        # guard: segments absent from the image have all-zero medians; the
+        # where(seg_s != -1) below discards those rows, but an unguarded 0/0
+        # would poison the whole gt_map through NaN propagation in gradients
+        med = med / jnp.maximum(jnp.sum(med, axis=-1, keepdims=True), 1e-12)
         balanced = med[jnp.maximum(flat, 0)].reshape(h_out, w_out, 3)
         scale_bal = jnp.where((seg_s != -1)[..., None], balanced, scale_map)
         fmap = (

@@ -60,7 +60,6 @@ def smooth_point_mask(
     """Keep a point iff >= min_votes of its neighbours within `radius` are
     also selected (vote semantics of smooth_pcd_mask; neighbourhood realised
     as k-NN capped at `radius` instead of an unbounded ball query)."""
-    sel = jnp.where(mask)[0]
     # distances from selected points to all points is O(S*N) — reuse the
     # blocked KNN over the full set, then vote among the k nearest
     d2, idx = _knn_with_indices(xyz, k)

@@ -151,7 +151,13 @@ class TrainingViewer:
                     iteration < total_iterations or not req.keep_alive
                 ):
                     return
-            except Exception:
+            except (ConnectionError, OSError, json.JSONDecodeError, KeyError):
+                # client went away / sent garbage: drop quietly (the
+                # reference swallows viewer socket errors too, train.py:122)
+                self.server.drop()
+                self.paused = False
+            except Exception as exc:  # a real render failure must be visible
+                print(f"[viewer] render error, dropping connection: {exc!r}")
                 self.server.drop()
                 self.paused = False
 

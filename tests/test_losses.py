@@ -190,9 +190,10 @@ def test_blend_gt_feature_map_median_mode():
         med = np.array([lower_median(scale[..., c][m]) for c in range(3)])
         med = med / med.sum()
         bal[m] = med
-    # embeds: s-level uses seg_s, m-level id 4, l-level id 6 everywhere; the
-    # -1 s pixels gather embed[0] after clamping but the blend still applies
-    fs = np.where((seg_s != -1)[..., None], embed[np.maximum(seg_s, 0)], embed[0])
+    # embeds: s-level uses seg_s, m-level id 4, l-level id 6 everywhere; -1
+    # pixels wrap to the LAST row (reference python negative indexing,
+    # dataset_readers.py:75 — golden-tested in test_reference_golden.py)
+    fs = embed[seg_s % embed.shape[0]]
     expect = (
         fs * bal[..., 0:1] + embed[4] * bal[..., 1:2] + embed[6] * bal[..., 2:3]
     )
