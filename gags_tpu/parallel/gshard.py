@@ -291,6 +291,12 @@ def make_gshard_train_step(
     The loss is the exact full-image loss (psum'd region moments, halo'd
     scale-map smoothing); decoder grads are psum'd; feature grads arrive
     pre-sharded through the all-gather transpose.
+
+    Returns fn(state, geom, batch, entropy_w, regionvar_w) ->
+    (new_state, loss, overflow) — overflow is the worst strip's dropped
+    instance count; a non-zero value means gradients were computed from a
+    truncated instance list and the step should be retried with a larger
+    `budget_slack`.
     """
     axis = mesh.axis_names[0]
     dec = statics["decoder"]
@@ -300,7 +306,7 @@ def make_gshard_train_step(
 
     def local_loss(params, geom_l, batch, entropy_w, regionvar_w):
         feats_l, dec_params, scl_params = params
-        feat_map, _alpha, _ovf = _render_strip(
+        feat_map, _alpha, ovf = _render_strip(
             axis, geom_l, feats_l, batch["viewmat"], batch["K"],
             width, height, cfg.raster, bg, budget_slack=budget_slack,
         )
@@ -319,13 +325,19 @@ def make_gshard_train_step(
         regvar = losses.region_variance_loss(
             feat_map, seg_mixed, cfg.max_segments, axis_name=axis
         )
-        return l1_feature + entropy_w * ent + regionvar_w * regvar
+        loss = l1_feature + entropy_w * ent + regionvar_w * regvar
+        return loss, ovf
 
     def per_device(state: GShardState, geom_l, batch, entropy_w, regionvar_w):
         params = (state.features, state.decoder_params, state.scale_params)
-        loss, grads = jax.value_and_grad(local_loss)(
+        (loss, ovf), grads = jax.value_and_grad(local_loss, has_aux=True)(
             params, geom_l, batch, entropy_w, regionvar_w
         )
+        # a skewed camera can overflow one strip's heuristic budget and
+        # silently drop instances — surface it so callers can re-bin with a
+        # larger budget_slack (single-chip path: cli/train_gad.py overflow
+        # check); pmax because the worst strip is the binding one
+        ovf = jax.lax.pmax(ovf, axis)
         g_feat, g_dec, g_scale = grads
         # feature grads are already exact per-shard (all_gather transpose);
         # replicated decoder grads need the cross-strip sum
@@ -343,7 +355,7 @@ def make_gshard_train_step(
             opt_dec=opt_dec,
             opt_scale=opt_scale,
         )
-        return new_state, loss
+        return new_state, loss, ovf
 
     shard = lambda x: P(axis) if (
         getattr(x, "ndim", 0) == state_template.features.ndim
@@ -364,7 +376,7 @@ def make_gshard_train_step(
         per_device,
         mesh=mesh,
         in_specs=(state_spec, geom_spec, batch_spec, P(), P()),
-        out_specs=(state_spec, P()),
+        out_specs=(state_spec, P(), P()),
         check_vma=False,
     )
     return jax.jit(fn)

@@ -102,7 +102,8 @@ def test_gshard_train_step_matches_single_chip():
         viewmat=cam.viewmat, K=cam.K, img_embed=emb,
         seg_map=jnp.asarray(pad_seg_map(seg, mesh, cfg.raster)),
     )
-    s2, loss2 = stepd(gstate, geom_s, batchd, jnp.float32(1e-3), jnp.float32(0.1))
+    s2, loss2, ovf2 = stepd(gstate, geom_s, batchd, jnp.float32(1e-3), jnp.float32(0.1))
+    assert int(ovf2) == 0
 
     np.testing.assert_allclose(float(loss2), float(metrics1["loss"]), rtol=2e-5)
     np.testing.assert_allclose(
@@ -134,7 +135,36 @@ def test_gshard_second_step_runs():
             pad_seg_map(rng.integers(-1, 6, size=(H, W, 4)).astype(np.int32), mesh, cfg.raster)
         ),
     )
-    s1, l1 = stepd(gstate, geom_s, batch, jnp.float32(1e-3), jnp.float32(0.0))
-    s2, l2 = stepd(s1, geom_s, batch, jnp.float32(1e-3), jnp.float32(0.0))
+    s1, l1, _ = stepd(gstate, geom_s, batch, jnp.float32(1e-3), jnp.float32(0.0))
+    s2, l2, _ = stepd(s1, geom_s, batch, jnp.float32(1e-3), jnp.float32(0.0))
     assert np.isfinite(float(l1)) and np.isfinite(float(l2))
     assert int(s2.step) == 2
+
+
+def test_gshard_train_step_reports_overflow():
+    """A starved strip budget must surface as a non-zero overflow count, not
+    silently truncate the instance list (VERDICT r2 weak #4)."""
+    scene = _scene()
+    geom = frozen_geometry(scene)
+    cam = make_camera(W, H)
+    cfg = GadConfig(feature_dim=8, clip_dim=16, max_segments=16, raster=RCFG)
+    state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(8)
+    geom_s, _ = shard_gaussians(geom, state.features, mesh)
+    gstate = gshard_state(state, mesh)
+    # budget_slack tiny -> per-strip budget collapses to the 4*chunk floor,
+    # far below the real per-strip instance count
+    stepd = make_gshard_train_step(
+        mesh, statics, W, H, cfg, gstate, budget_slack=1e-6
+    )
+    rng = np.random.default_rng(2)
+    batch = dict(
+        viewmat=cam.viewmat, K=cam.K,
+        img_embed=jnp.asarray(rng.normal(size=(6, 16)).astype(np.float32)),
+        seg_map=jnp.asarray(
+            pad_seg_map(rng.integers(-1, 6, size=(H, W, 4)).astype(np.int32),
+                        mesh, cfg.raster)
+        ),
+    )
+    _, _, ovf = stepd(gstate, geom_s, batch, jnp.float32(1e-3), jnp.float32(0.0))
+    assert int(ovf) > 0
