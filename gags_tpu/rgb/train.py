@@ -151,7 +151,7 @@ def make_rgb_step(cfg: RgbConfig, width: int, height: int, spatial_scale: float)
     """
     bg = jnp.zeros((3,))
 
-    def loss_fn(params, batch, sh_degree):
+    def loss_fn(params, m2d_tap, batch, sh_degree):
         from gags_tpu.core.sh import sh_colors
 
         sh = jnp.concatenate([params["sh_dc"], params["sh_rest"]], axis=1)
@@ -169,6 +169,7 @@ def make_rgb_step(cfg: RgbConfig, width: int, height: int, spatial_scale: float)
             height,
             background=bg,
             config=cfg.raster,
+            means2d_tap=m2d_tap,
         )
         img = res.image
         l1 = jnp.mean(jnp.abs(img - batch["image"]))
@@ -181,9 +182,10 @@ def make_rgb_step(cfg: RgbConfig, width: int, height: int, spatial_scale: float)
     @functools.partial(jax.jit, static_argnames=("sh_degree",))
     def step(state: RgbState, batch, xyz_lr, sh_degree: int):
         params = _params_of(state)
-        (loss, (radii, means2d)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params, batch, sh_degree)
+        m2d_tap = jnp.zeros((state.means.shape[0], 2), jnp.float32)
+        (loss, (radii, means2d)), (grads, g_m2d) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, m2d_tap, batch, sh_degree)
 
         lrs = dict(
             means=xyz_lr,
@@ -199,10 +201,13 @@ def make_rgb_step(cfg: RgbConfig, width: int, height: int, spatial_scale: float)
                 params[k], grads[k], state.opt[k], lrs[k], state.step
             )
 
-        # densification stats: screen-space positional gradient magnitude
-        # (reference normalises the NDC grad by W/2, H/2 — our means2d is in
-        # pixels so the world-grad norm is accumulated via the chain below)
-        g2d = jnp.linalg.norm(grads["means"], axis=-1)  # world-space proxy
+        # densification stats: SCREEN-SPACE positional gradient magnitude,
+        # normalised exactly like the reference (gaussian_model.py:476-482:
+        # pixel grads scaled by W/2, H/2 before the norm — the 2e-4
+        # threshold is calibrated in those units)
+        g2d = jnp.linalg.norm(
+            g_m2d * jnp.array([width * 0.5, height * 0.5]), axis=-1
+        )
         vis = radii > 0
         alive = state.alive
         new_state = RgbState(

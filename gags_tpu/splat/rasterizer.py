@@ -395,8 +395,15 @@ def _blend_full_bwd(grid_dims, cfg, res, g):
 _blend_full.defvjp(_blend_full_fwd, _blend_full_bwd)
 
 
-def _project_geom_table(means, quats, scales, opacities, viewmat, K, width, height):
+def _project_geom_table(means, quats, scales, opacities, viewmat, K, width,
+                        height, means2d_tap=None):
     proj = project_gaussians(means, quats, scales, viewmat, K, width, height)
+    if means2d_tap is not None:
+        # zero-valued differentiable tap: grad wrt it IS dL/dmeans2d in
+        # pixels — the JAX equivalent of the reference's
+        # info["means2d"].retain_grad() (gaussian_renderer/__init__.py:76),
+        # consumed by densification stats (gaussian_model.py:476-482)
+        proj = proj._replace(means2d=proj.means2d + means2d_tap)
     return _geom_table(proj, opacities)
 
 
@@ -488,8 +495,14 @@ def rasterize(
     height: int,
     background: Optional[jnp.ndarray] = None,
     config: RasterizeConfig = RasterizeConfig(),
+    means2d_tap: Optional[jnp.ndarray] = None,
 ) -> RasterizeResult:
     """Rasterize N Gaussians with C colour channels into an (H, W, C) image.
+
+    `means2d_tap`: optional (N, 2) ZERO-valued array added to the projected
+    screen positions inside the differentiable path (geometry_grads only).
+    Its gradient is exactly dL/dmeans2d in pixel units — the screen-space
+    densification signal the reference reads via retain_grad.
 
     Gradients: d image / d colors is always exact. With
     config.geometry_grads, gradients also flow to means / quats / scales /
@@ -516,7 +529,8 @@ def rasterize(
     if config.geometry_grads:
         # differentiable geometry table (autodiff chains table grads back)
         geom_table, proj = _project_geom_table(
-            means, quats, scales, opacities, viewmat, K, width, height
+            means, quats, scales, opacities, viewmat, K, width, height,
+            means2d_tap,
         )
         blend_fn = _blend_full
     else:

@@ -101,3 +101,34 @@ def test_feature_mode_grads_unaffected():
     g_on = np.asarray(loss(CFG))
     g_off = np.asarray(loss(cfg_off))
     np.testing.assert_allclose(g_on, g_off, atol=1e-6)
+
+
+def test_means2d_tap_gradient_is_screen_grad():
+    """d loss / d means2d via the zero tap == autodiff of the ORACLE wrt an
+    identical screen-space shift — the densification signal the reference
+    reads through info["means2d"].retain_grad()."""
+    n = 40
+    means, quats, scales, op, col, vm, K = _scene(n, seed=3)
+    tgt = jnp.asarray(
+        np.random.default_rng(11).uniform(0, 1, (H, W, 3)).astype(np.float32)
+    )
+
+    def loss_pallas(tap):
+        res = rasterize(means, quats, scales, op, col, vm, K, W, H,
+                        config=CFG, means2d_tap=tap)
+        return jnp.mean(jnp.abs(res.image - tgt))
+
+    def loss_oracle(tap):
+        p = project_gaussians(means, quats, scales, vm, K, W, H)
+        img, _ = rasterize_reference(
+            p.means2d + tap, p.conics, p.depths, p.radii,
+            op * p.compensations, col, W, H,
+        )
+        return jnp.mean(jnp.abs(img - tgt))
+
+    zero = jnp.zeros((n, 2), jnp.float32)
+    gp = np.asarray(jax.grad(loss_pallas)(zero))
+    go = np.asarray(jax.grad(loss_oracle)(zero))
+    scale = np.abs(go).max() + 1e-8
+    np.testing.assert_allclose(gp / scale, go / scale, atol=2e-4)
+    assert np.abs(gp).max() > 0  # signal actually flows
