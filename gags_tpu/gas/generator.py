@@ -67,6 +67,81 @@ def box_nms(boxes: np.ndarray, scores: np.ndarray, thresh: float) -> List[int]:
     return keep
 
 
+def remove_small_regions(
+    mask: np.ndarray, area_thresh: float, mode: str
+) -> Tuple[np.ndarray, bool]:
+    """Remove small disconnected regions ('islands') or fill small 'holes'.
+
+    Semantics of segment-anything's utils.amg.remove_small_regions (the
+    cleanup `min_mask_region_area=100` triggers, preprocess.py:235):
+    8-connected components of the mask (islands) or its complement (holes);
+    components below `area_thresh` are flipped. If removing islands would
+    empty the mask, the largest island is kept. Returns (mask, changed).
+    """
+    assert mode in ("holes", "islands")
+    correct_holes = mode == "holes"
+    working = (correct_holes ^ mask).astype(np.uint8)
+    try:
+        import cv2
+
+        n_labels, regions, stats, _ = cv2.connectedComponentsWithStats(working, 8)
+        sizes = stats[1:, -1]
+    except ImportError:  # pragma: no cover - cv2 is in the base env
+        from scipy import ndimage
+
+        regions, n_comp = ndimage.label(working, structure=np.ones((3, 3)))
+        n_labels = n_comp + 1
+        sizes = np.bincount(regions.reshape(-1), minlength=n_labels)[1:]
+    small = [i + 1 for i, s in enumerate(sizes) if s < area_thresh]
+    if not small:
+        return mask, False
+    fill = [0] + small
+    if not correct_holes:
+        fill = [i for i in range(n_labels) if i not in fill]
+        if not fill:  # every island is small: keep the largest
+            fill = [int(np.argmax(sizes)) + 1]
+    return np.isin(regions, fill), True
+
+
+def postprocess_small_regions(
+    recs: List[dict], min_area: int, nms_thresh: float
+) -> List[dict]:
+    """Per-mask island/hole cleanup + dedup NMS, preferring unchanged masks.
+
+    Mirrors SamAutomaticMaskGenerator.postprocess_small_regions: fill holes
+    < min_area, drop islands < min_area, recompute boxes, then box-NMS with
+    score 1.0 for untouched masks and 0.0 for modified ones so cleanup-
+    created duplicates collapse onto the original mask.
+    """
+    if not recs or min_area <= 0:
+        return recs
+    cleaned, scores = [], []
+    for r in recs:
+        m = r["segmentation"]
+        m, ch1 = remove_small_regions(m, min_area, "holes")
+        m, ch2 = remove_small_regions(m, min_area, "islands")
+        cleaned.append(m)
+        scores.append(0.0 if (ch1 or ch2) else 1.0)
+    boxes = np.array(
+        [
+            (lambda b: [b[0], b[1], b[0] + b[2], b[1] + b[3]])(mask_to_box(m))
+            for m in cleaned
+        ],
+        np.float32,
+    )
+    keep = box_nms(boxes, np.array(scores, np.float32), nms_thresh)
+    out = []
+    for i in sorted(keep):
+        r = recs[i]
+        if scores[i] == 0.0:  # changed: rewrite segmentation/area/bbox
+            r = dict(r)
+            r["segmentation"] = cleaned[i]
+            r["area"] = int(cleaned[i].sum())
+            r["bbox"] = mask_to_box(cleaned[i])
+        out.append(r)
+    return out
+
+
 class AutomaticMaskGenerator:
     """4-granularity automatic mask generator over a jitted SAM."""
 
@@ -128,6 +203,11 @@ class AutomaticMaskGenerator:
             masks = jax.image.resize(
                 masks, (masks.shape[0], masks.shape[1], h, w), "bilinear"
             )
+            # stability on the fully-upscaled (h, w) logits — the same frame
+            # stock AMG uses: its predict_torch returns postprocess_masks
+            # output (256 -> model size -> crop -> original) BEFORE
+            # calculate_stability_score runs, and with crop_n_layers=0
+            # (preprocess.py:234) the crop frame IS the original image
             stab = stability_score(masks, cfg.mask_threshold, cfg.stability_offset)
             masks_np = np.asarray(masks > cfg.mask_threshold)
             iou_np = np.asarray(iou)
@@ -164,12 +244,18 @@ class AutomaticMaskGenerator:
                 scores = np.array([r["predicted_iou"] for r in recs], np.float32)
                 keep = box_nms(boxes, scores, cfg.box_nms_thresh)
                 recs = [recs[i] for i in keep]
+                # stock-AMG small-region cleanup: fill sub-100px holes and
+                # drop sub-100px islands of KEPT masks (not just drop whole
+                # small masks), then dedupe cleanup-created duplicates
+                recs = postprocess_small_regions(
+                    recs, cfg.min_mask_region_area, cfg.box_nms_thresh
+                )
             out.append(recs)
         return tuple(out)
 
     def _make_record(self, seg: np.ndarray, iou: float, stab: float):
         area = int(seg.sum())
-        if area < max(self.cfg.min_mask_region_area, 1):
+        if area < 1:  # empty after thresholding — nothing to record
             return None
         return dict(
             segmentation=seg,

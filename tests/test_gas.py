@@ -141,3 +141,54 @@ def test_min_depth_and_splat():
     assert float(m[24, 32]) == 4.0
     assert float(m[24, 37]) == 5.0
     assert float(np.asarray(m).sum()) == 9.0
+
+
+def test_remove_small_regions_semantics():
+    """Island/hole cleanup matches segment-anything remove_small_regions."""
+    from gags_tpu.gas.generator import remove_small_regions
+
+    m = np.zeros((30, 30), bool)
+    m[5:25, 5:25] = True
+    m[10:12, 10:12] = False  # 4-px hole -> filled under thresh 10
+    m[0:2, 0:2] = True       # 4-px island -> removed
+
+    out, ch = remove_small_regions(m, 10, "holes")
+    assert ch and out[10:12, 10:12].all() and out[0:2, 0:2].all()
+    out2, ch2 = remove_small_regions(out, 10, "islands")
+    assert ch2 and not out2[0:2, 0:2].any() and out2[5:25, 5:25].all()
+
+    # unchanged mask reports changed=False
+    out3, ch3 = remove_small_regions(out2, 10, "holes")
+    assert not ch3 and (out3 == out2).all()
+
+    # a mask made ONLY of small islands keeps its largest island
+    tiny = np.zeros((20, 20), bool)
+    tiny[0:2, 0:2] = True   # area 4
+    tiny[10:13, 10:12] = True  # area 6 (largest)
+    out4, ch4 = remove_small_regions(tiny, 100, "islands")
+    assert ch4 and out4.sum() == 6 and out4[10:13, 10:12].all()
+
+
+def test_postprocess_small_regions_dedupes_to_unchanged():
+    """Cleanup + NMS: modified masks that collapse onto an unchanged mask's
+    box are dropped in its favour (stock postprocess_small_regions)."""
+    from gags_tpu.gas.generator import mask_to_box, postprocess_small_regions
+
+    base = np.zeros((40, 40), bool)
+    base[10:30, 10:30] = True
+    speckled = base.copy()
+    speckled[0:2, 0:2] = True  # island that cleanup removes -> same box
+
+    def rec(seg):
+        return dict(segmentation=seg, area=int(seg.sum()),
+                    bbox=mask_to_box(seg), predicted_iou=0.9,
+                    stability_score=0.9)
+
+    out = postprocess_small_regions([rec(speckled), rec(base)], 100, 0.7)
+    assert len(out) == 1
+    # the surviving record is the UNCHANGED one (score 1 beats 0)
+    np.testing.assert_array_equal(out[0]["segmentation"], base)
+
+    # masks with no small regions pass through untouched
+    out2 = postprocess_small_regions([rec(base)], 100, 0.7)
+    assert len(out2) == 1 and out2[0]["segmentation"] is base
