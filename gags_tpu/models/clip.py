@@ -46,6 +46,22 @@ class CLIPConfig:
         return CLIPConfig()
 
     @staticmethod
+    def vit_l_14_336() -> "CLIPConfig":
+        """AlphaCLIP's tower (reference eval/alphaclip_encoder.py: ViT-L/14
+        at 336px; OpenAI-CLIP text stack: width 768, 12 heads)."""
+        return CLIPConfig(
+            embed_dim=768,
+            image_size=336,
+            patch_size=14,
+            vision_width=1024,
+            vision_layers=24,
+            vision_heads=16,
+            text_width=768,
+            text_heads=12,
+            text_layers=12,
+        )
+
+    @staticmethod
     def tiny() -> "CLIPConfig":  # for tests
         return CLIPConfig(
             embed_dim=16,
@@ -272,7 +288,9 @@ def load_openclip_state_dict(state: Dict[str, Any], cfg: CLIPConfig) -> Dict:
     visual.conv1.weight, visual.transformer.resblocks.N.*, transformer.resblocks.N.*,
     token_embedding.weight, text_projection, ...
     """
-    sd = {k: _t(v) for k, v in state.items()}
+    from gags_tpu.models.sam_weights import _F32View
+
+    sd = _F32View(state)
 
     def block(prefix_src: str, width: int) -> Dict:
         return {
@@ -344,19 +362,23 @@ def load_alphaclip_state_dict(state: Dict[str, Any], cfg: CLIPConfig) -> Dict:
     key, `visual.conv1_alpha.weight` (a single-channel patch conv added to
     the RGB patch embedding) — reference `eval/alphaclip_encoder.py:8-78`.
     """
-    full = load_openclip_state_dict(
+    dummy = _dummy_text_keys(cfg)
+
+    class _VisualPlusDummyText:
         # text keys may be absent in alpha checkpoints; synthesise zeros so
-        # the shared converter runs, then keep only the visual branch
-        {
-            **{
-                k: v
-                for k, v in state.items()
-                if k.startswith("visual.") and "conv1_alpha" not in k
-            },
-            **_dummy_text_keys(cfg),
-        },
-        cfg,
-    )
+        # the shared converter runs, then keep only the visual branch.
+        # Reads of real visual keys pass through to `state` (tracked).
+        def __getitem__(self, k):
+            if k.startswith("visual.") and "conv1_alpha" not in k:
+                return state[k]
+            return dummy[k]
+
+        def __contains__(self, k):
+            if k.startswith("visual.") and "conv1_alpha" not in k:
+                return k in state
+            return k in dummy
+
+    full = load_openclip_state_dict(_VisualPlusDummyText(), cfg)
     visual = full["params"]["visual"]
     visual["alpha_embed"] = {
         "kernel": _t(state["visual.conv1_alpha.weight"]).transpose(2, 3, 1, 0)

@@ -18,8 +18,24 @@ def _t(x):
     return np.ascontiguousarray(np.asarray(x, dtype=np.float32))
 
 
+class _F32View:
+    """Lazy float32 view over a torch/numpy state dict: converts values on
+    key access instead of copying the whole dict upfront (the real ViT-H
+    file is ~2.4 GB), and keeps key reads visible to wrapping mappings
+    (ckpt_inventory.TrackingDict key-coverage tests)."""
+
+    def __init__(self, state):
+        self._state = state
+
+    def __getitem__(self, k):
+        return _t(self._state[k])
+
+    def __contains__(self, k):
+        return k in self._state
+
+
 def load_sam_state_dict(sd: Dict[str, Any], cfg: SAMConfig) -> Dict:
-    sd = {k: _t(v) for k, v in sd.items()}
+    sd = _F32View(sd)
 
     def ln(prefix):
         return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}

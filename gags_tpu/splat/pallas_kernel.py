@@ -272,6 +272,237 @@ def _forward_kernel(
     out_ref[0, :, c : c + 1] = 1.0 - t_fin
 
 
+INV_LN2 = 1.0 / math.log(2.0)
+LOG2_T_EPS = math.log2(1e-4)
+
+
+def _forward_fast_kernel(
+    # scalar prefetch
+    tile_starts_ref,
+    tile_counts_ref,
+    # inputs
+    geom_hbm,   # (8, M) f32 geometry rows
+    col_hbm,    # (C, M) colour rows (f32 or bf16)
+    bg_ref,     # (1, C) VMEM
+    # output
+    out_ref,    # (1, P, C+1)
+    # scratch
+    gbuf,       # (2, 8, G) f32
+    cbuf,       # (2, C, G) colour dtype
+    acc_ref,    # (P, C) f32
+    sems,       # DMA (4,): 2 geom + 2 colour slots
+    *,
+    tiles_x: int,
+    tile_h: int,
+    tile_w: int,
+    g: int,
+    p_block: int,
+):
+    """Inference-only forward blend (unaligned ranges), VMEM-traffic-dieted.
+
+    The baseline kernel is NOT ALU-bound: drain-timed ablations at
+    720p/250k (scripts/blend_ablate.py) show removing all transcendentals
+    saves only ~9% and pair-count reductions (16x16 tiles, 0.56x pairs)
+    barely move it — each (P, G) f32 elementwise op streams ~0.5 MB
+    through VMEM (~57 ns measured), so cost ≈ #materialised (P, G) ops.
+    This kernel cuts them: per-lane (1, G) work replaces (P, G) work
+    wherever possible (range masking folded into the opacity row, the
+    0.5x and 1/ln2 constants folded into the conic rows so the alpha
+    transcendental is a bare exp2), the select chain is collapsed, and the
+    pixel dimension is processed in `p_block` slabs so live temporaries
+    fit closer to the register file. Numerics are exact f32 (same alpha
+    floor/clamp/early-stop semantics); colour rows may be bf16
+    (fast_color_rows) — colour matmul error ~1e-3 relative, geometry math
+    unaffected.
+    """
+    t = pl.program_id(0)
+    start = tile_starts_ref[t]
+    count = tile_counts_ref[t]
+    p = tile_h * tile_w
+    c = acc_ref.shape[1]
+    nb = p // p_block
+
+    # per-tile pixel coordinates, per p-block (static python loop)
+    px_full, py_full = _pixel_coords(t, tiles_x, tile_h, tile_w, p)
+
+    lead = jax.lax.rem(start, g)
+    base = start - lead
+    nchunks = jnp.where(count > 0, pl.cdiv(lead + count, g), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
+
+    acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    def dma_g(k, slot):
+        off = pl.multiple_of(base + k * g, g)
+        return pltpu.make_async_copy(
+            geom_hbm.at[:, pl.ds(off, g)], gbuf.at[slot], sems.at[slot]
+        )
+
+    def dma_c(k, slot):
+        off = pl.multiple_of(base + k * g, g)
+        return pltpu.make_async_copy(
+            col_hbm.at[:, pl.ds(off, g)], cbuf.at[slot], sems.at[2 + slot]
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma_g(0, 0).start()
+        dma_c(0, 0).start()
+
+    def cond(carry):
+        k, log_t, _ = carry
+        return jnp.logical_and(k < nchunks, jnp.max(log_t) >= LOG2_T_EPS)
+
+    def body(carry):
+        # log_t: NAIVE cumulative log2 T (monotone decreasing — drives the
+        # include test, so a pixel stays stopped after its first crossing);
+        # log_t_rep: log2 T after the last INCLUDED splat (the residual the
+        # background blends against — the crossing splat itself is skipped)
+        k, log_t, log_t_rep = carry
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            dma_g(k + 1, 1 - slot).start()
+            dma_c(k + 1, 1 - slot).start()
+
+        dma_g(k, slot).wait()
+        dma_c(k, slot).wait()
+        rows = gbuf[slot]  # (8, G) f32
+        mx = rows[0:1, :]
+        my = rows[1:2, :]
+        # constants folded into the per-lane conic rows: sigma2 = sigma *
+        # log2(e) so alpha = op * exp2(-sigma2); 0.5 absorbed as well
+        ca = rows[2:3, :] * (0.5 * INV_LN2)
+        cb = rows[3:4, :] * INV_LN2
+        cc = rows[4:5, :] * (0.5 * INV_LN2)
+        # unaligned head/tail masking folded into the opacity LANE row
+        j = k * g + lane
+        opm = jnp.where((j >= lead) & (j < lead + count), rows[5:6, :], 0.0)
+        colors = cbuf[slot].astype(jnp.float32)  # (C, G)
+
+        new_log_t, new_rep = [], []
+        for b in range(nb):
+            sl = slice(b * p_block, (b + 1) * p_block)
+            px = px_full[sl]
+            py = py_full[sl]
+            lt = log_t[sl]
+            dx = px - mx  # (Pb, G)
+            dy = py - my
+            s2 = (ca * dx) * dx + (cb * dx + cc * dy) * dy
+            alpha = jnp.minimum(ALPHA_CLAMP, opm * jnp.exp2(-s2))
+            alpha = jnp.where(
+                (s2 >= 0.0) & (alpha >= ALPHA_FLOOR), alpha, 0.0
+            )
+            l1m = jnp.log1p(-alpha) * INV_LN2  # log2(1 - alpha)
+            cum = _cumsum_lanes(l1m, g)
+            lt_incl = lt + cum
+            include = lt_incl >= LOG2_T_EPS
+            w = jnp.where(
+                include, alpha * jnp.exp2(lt_incl - l1m), 0.0
+            )
+            acc_ref[sl, :] += jax.lax.dot_general(
+                w, colors,  # (Pb, G) x (C, G) -> (Pb, C)
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            chunk_min = jnp.min(
+                jnp.where(include & (lt_incl < 0.0), lt_incl, 0.0),
+                axis=1, keepdims=True,
+            )
+            new_rep.append(jnp.minimum(log_t_rep[sl], chunk_min))
+            new_log_t.append(lt + cum[:, g - 1 : g])
+        return (
+            k + 1,
+            jnp.concatenate(new_log_t, axis=0),
+            jnp.concatenate(new_rep, axis=0),
+        )
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((p, 1), jnp.float32),
+        jnp.zeros((p, 1), jnp.float32),
+    )
+    k_done, _, log_t = jax.lax.while_loop(cond, body, init)
+
+    @pl.when(jnp.logical_and(k_done < nchunks, k_done > 0))
+    def _():
+        dma_g(k_done, jax.lax.rem(k_done, 2)).wait()
+        dma_c(k_done, jax.lax.rem(k_done, 2)).wait()
+
+    t_fin = jnp.exp2(log_t)
+    out_ref[0, :, :c] = acc_ref[:, :] + t_fin * bg_ref[0:1, :]
+    out_ref[0, :, c : c + 1] = 1.0 - t_fin
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tiles_x", "tiles_y", "tile_h", "tile_w", "chunk", "p_block",
+        "interpret",
+    ),
+)
+def tile_blend_forward_fast(
+    geom_inst: jnp.ndarray,   # (8, M) f32
+    color_inst: jnp.ndarray,  # (C, M) f32 or bf16
+    tile_starts: jnp.ndarray,
+    tile_counts: jnp.ndarray,
+    bg: jnp.ndarray | None = None,
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    tile_h: int,
+    tile_w: int,
+    chunk: int = 256,
+    p_block: int = 256,
+    interpret: bool = False,
+):
+    """Inference forward blend over unaligned ranges. Returns (T, P, C+1)."""
+    num_tiles = tiles_x * tiles_y
+    p = tile_h * tile_w
+    c = color_inst.shape[0]
+    m = geom_inst.shape[1]
+    p_block = min(p_block, p)
+    assert p % p_block == 0
+    if bg is None:
+        bg = jnp.zeros((c,), jnp.float32)
+    bg2d = bg.reshape(1, c).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, c), lambda t, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, p, c + 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, GEOM_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((2, c, chunk), color_inst.dtype),
+            pltpu.VMEM((p, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    kernel = functools.partial(
+        _forward_fast_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
+        g=chunk, p_block=p_block,
+    )
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((num_tiles, p, c + 1), jnp.float32)],
+        cost_estimate=_fwd_cost(num_tiles, p, chunk, c, m),
+        interpret=interpret,
+    )(tile_starts, tile_counts, geom_inst, color_inst, bg2d)
+    return out
+
+
 def _backward_kernel(
     tile_starts_ref,
     tile_counts_ref,

@@ -1,0 +1,115 @@
+"""Converters vs the REAL checkpoint key inventories.
+
+The parity tests elsewhere run converters on replicas whose key sets the
+tests themselves generate — naming drift vs the real files would survive
+them. Here each converter consumes a state dict with the EXACT key
+inventory of the real checkpoints (sam_vit_h_4b8939.pth, OpenCLIP ViT-B-16,
+AlphaCLIP ViT-L/14@336 — reference preprocess.py:526,52-60), and the result
+is shape-diffed against the model's own init tree via jax.eval_shape.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gags_tpu.models import ckpt_inventory as inv
+from gags_tpu.models.clip import (
+    CLIP,
+    CLIPConfig,
+    VisionTowerAlpha,
+    load_alphaclip_state_dict,
+    load_openclip_state_dict,
+)
+from gags_tpu.models.sam import SAM, SAMConfig
+from gags_tpu.models.sam_weights import load_sam_state_dict
+
+
+def _shapes_of_tree(tree):
+    return {
+        jax.tree_util.keystr(k): tuple(v.shape)
+        for k, v in jax.tree_util.tree_flatten_with_path(tree)[0]
+    }
+
+
+@pytest.mark.parametrize("name", ["vit_b", "vit_h"])
+def test_sam_converter_consumes_real_inventory(name):
+    cfg = getattr(SAMConfig, name)()
+    inventory = inv.sam_inventory(cfg)
+    # zeros: np views keep the (2.5 GB at ViT-H) dict cheap — the converter
+    # only transposes/reshapes, so key/shape handling is fully exercised
+    sd = inv.TrackingDict(
+        {k: np.zeros(s, np.float32) for k, s in inventory.items()}
+    )
+    conv = load_sam_state_dict(sd, cfg)
+
+    leftover = inv.unread_keys(sd, allowed_prefixes=inv.SAM_UNUSED_KEYS)
+    assert leftover == [], f"converter ignored real keys: {leftover[:8]}"
+
+    model = SAM(cfg)
+    img = jax.ShapeDtypeStruct((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    pts = jax.ShapeDtypeStruct((2, 1, 2), jnp.float32)
+    lbl = jax.ShapeDtypeStruct((2, 1), jnp.int32)
+    ref = jax.eval_shape(model.init, jax.random.PRNGKey(0), img, pts, lbl)
+    problems = inv.diff_shapes(_shapes_of_tree(conv), _shapes_of_tree(ref))
+    assert problems == [], problems[:8]
+
+
+def test_sam_vit_h_inventory_matches_published_stats():
+    """Sanity-pin the ViT-H inventory against known facts of the real file:
+    parameter count ~636M and the documented oddly-shaped entries."""
+    iv = inv.sam_inventory(SAMConfig.vit_h())
+    n_params = sum(int(np.prod(s)) for s in iv.values())
+    assert 630e6 < n_params < 650e6, n_params
+    assert iv["image_encoder.pos_embed"] == (1, 64, 64, 1280)
+    assert iv["image_encoder.blocks.7.attn.rel_pos_h"] == (127, 80)  # global
+    assert iv["image_encoder.blocks.0.attn.rel_pos_h"] == (27, 80)  # window
+    assert iv["mask_decoder.mask_tokens.weight"] == (4, 256)
+
+
+def test_openclip_converter_consumes_real_inventory():
+    cfg = CLIPConfig.vit_b_16()
+    sd = inv.TrackingDict(
+        {k: np.zeros(s, np.float32) for k, s in inv.openclip_inventory(cfg).items()}
+    )
+    conv = load_openclip_state_dict(sd, cfg)
+    leftover = inv.unread_keys(sd, allowed_prefixes=inv.CLIP_UNUSED_KEYS)
+    assert leftover == [], f"converter ignored real keys: {leftover[:8]}"
+
+    model = CLIP(cfg)
+    imgs = jax.ShapeDtypeStruct((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    toks = jax.ShapeDtypeStruct((1, cfg.context_length), jnp.int32)
+    ref = jax.eval_shape(model.init, jax.random.PRNGKey(0), imgs, toks)
+    problems = inv.diff_shapes(_shapes_of_tree(conv), _shapes_of_tree(ref))
+    assert problems == [], problems[:8]
+
+
+def test_openclip_vit_b16_inventory_stats():
+    iv = inv.openclip_inventory(CLIPConfig.vit_b_16())
+    n_params = sum(int(np.prod(s)) for s in iv.values())
+    assert 149e6 < n_params < 151e6, n_params  # ViT-B-16 CLIP ~149.6M
+    assert iv["visual.positional_embedding"] == (197, 768)
+    assert iv["visual.proj"] == (768, 512)
+    assert iv["token_embedding.weight"] == (49408, 512)
+
+
+def test_alphaclip_converter_consumes_real_inventory():
+    cfg = CLIPConfig.vit_l_14_336()
+    inventory = inv.alphaclip_visual_inventory(cfg)
+    assert inventory["visual.conv1_alpha.weight"] == (1024, 1, 14, 14)
+    assert inventory["visual.positional_embedding"] == (577, 1024)
+    sd = inv.TrackingDict(
+        {k: np.zeros(s, np.float32) for k, s in inventory.items()}
+    )
+    conv = load_alphaclip_state_dict(sd, cfg)
+    leftover = inv.unread_keys(sd)
+    assert leftover == [], f"converter ignored real keys: {leftover[:8]}"
+
+    model = VisionTowerAlpha(cfg)
+    imgs = jax.ShapeDtypeStruct((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    alpha = jax.ShapeDtypeStruct((1, cfg.image_size, cfg.image_size, 1), jnp.float32)
+    ref = jax.eval_shape(model.init, jax.random.PRNGKey(0), imgs, alpha)
+    problems = inv.diff_shapes(
+        _shapes_of_tree(conv), _shapes_of_tree(ref)
+    )
+    assert problems == [], problems[:8]
