@@ -59,6 +59,7 @@ def image_mode(args, scene, state, statics, info):
         cams = [novel_camera(vm, cams[0], f"novel_{i:04d}") for i, vm in enumerate(path)]
 
     out_dir = os.path.join(args.model_path, "relevancy")
+    video_frames = {label: [] for label in labels} if args.video else None
     for cam in cams:
         out = render(
             cam,
@@ -77,6 +78,15 @@ def image_mode(args, scene, state, statics, info):
             _save(os.path.join(out_dir, "mask", label, cam.name + ".png"),
                   np.asarray(mask, np.float32)[..., None].repeat(3, -1))
             _save(os.path.join(out_dir, "composited", label, cam.name + ".png"), comp)
+            if video_frames is not None:
+                video_frames[label].append(np.asarray(comp))
+    if video_frames is not None:
+        from gags_tpu.utils.video import write_video
+
+        for label, frames in video_frames.items():
+            out = os.path.join(out_dir, "video", f"{label}.mp4")
+            if write_video(out, frames, fps=30):
+                print(f"wrote {out} ({len(frames)} frames)")
 
 
 def pcd_mode(args, scene, state, statics):

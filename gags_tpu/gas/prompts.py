@@ -147,3 +147,47 @@ def build_all_layer_mindepth_point_grids(
         )
         out.append(pts)
     return out
+
+
+def sample_from_pcd(
+    pcd_depth: np.ndarray,          # (N,) per-point min hit depth
+    pcd_pxl_mask: np.ndarray,       # (N, n_imgs) bool: point visible in img
+    sample_num: int,
+    rng: np.random.Generator | None = None,
+) -> List[int]:
+    """Depth-weighted sample of 3D point ids with at least one 2D hit.
+
+    Counterpart of `SAM_utils.py:380-388`: points with a valid pixel
+    mapping are sampled (with replacement) with probability proportional
+    to their depth, then deduplicated — farther points get denser prompt
+    coverage across the image set. Returns a sorted unique id list.
+    """
+    rng = rng or np.random.default_rng(0)
+    point_ids = np.unique(np.nonzero(pcd_pxl_mask)[0])
+    if point_ids.size == 0:
+        return []
+    depths = np.asarray(pcd_depth, np.float64)[point_ids]
+    weights = depths / depths.sum()
+    chosen = rng.choice(point_ids, size=sample_num, replace=True, p=weights)
+    return sorted(set(int(i) for i in chosen))
+
+
+def project_from_sampled_pcd(
+    pcd_pxl_mask: np.ndarray,     # (S,) or (S, ...) bool: sampled-point hits
+    pcd_pxl_mapping: np.ndarray,  # (S, ..., 2) int (row, col) pixel coords
+    n_layers: int,
+    h: int,
+    w: int,
+) -> List[np.ndarray]:
+    """Normalised (x, y) prompt points from projected sampled 3D points.
+
+    Counterpart of `SAM_utils.py:368-378`: the mapping stores (row, col);
+    output is (x, y) = (col/w, row/h) per visible sampled point, repeated
+    per crop layer like the reference (the mask/mapping are per-image, so
+    every layer sees the same prompt set).
+    """
+    pts = pcd_pxl_mapping[pcd_pxl_mask.astype(bool)].astype(np.float32)
+    pts = pts.reshape(-1, 2)
+    # reference divides row by h and col by w, THEN swaps to (x, y)
+    out = np.stack([pts[:, 1] / w, pts[:, 0] / h], axis=-1)
+    return [out for _ in range(n_layers + 1)]

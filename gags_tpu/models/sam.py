@@ -77,11 +77,73 @@ def _rel_pos_bias(q_size: int, k_size: int, rel_pos: jnp.ndarray) -> jnp.ndarray
     return rel_pos[rel.astype(jnp.int32)]  # (q, k, head_dim)
 
 
+def _blocked_rel_attention(q, k, v, rh, rw, h, w, row_block):
+    """Flash-style attention with SAM's decomposed rel-pos bias, blocked
+    over ROWS of the token grid — nothing (HW, HW)-shaped is materialised.
+
+    q/k/v: (B, n_heads, H*W, hd) pre-scaled q; rh: (h, h, hd); rw:
+    (w, w, hd). Blocks are `row_block` grid rows (row_block*w tokens), so a
+    block's bias decomposes exactly: bias_h needs only the (rb, rb, hd)
+    slice of rh between the query and key row ranges, and bias_w the full
+    (w, w, hd) rw. Online softmax (running max/denominator) over key
+    blocks — the memory-bound fix for the 4096-token global blocks, which
+    at ViT-H scale cost (B, 16, 4096, 4096) f32 = 1 GB per materialised
+    intermediate and OOM'd bf16 batch-4 on one v5e.
+    """
+    b, n, hw, hd = q.shape
+    nb = h // row_block
+    qb = row_block * w
+    q6 = q.reshape(b, n, nb, row_block, w, hd)
+    k6 = k.reshape(b, n, nb, row_block, w, hd)
+    v6 = v.reshape(b, n, nb, row_block * w, hd)
+
+    def one_q_block(qi):
+        q_blk = q6[:, :, qi]  # (b, n, rb, w, hd)
+        rh_q = jax.lax.dynamic_slice(
+            rh, (qi * row_block, 0, 0), (row_block, h, hd)
+        )  # (rb, h, hd)
+        bias_w = jnp.einsum("bnqwc,wkc->bnqwk", q_blk, rw)  # (b,n,rb,w,w)
+
+        def k_step(carry, kj):
+            m, l, acc = carry
+            k_blk = jax.lax.dynamic_index_in_dim(k6, kj, 2, keepdims=False)
+            v_blk = jax.lax.dynamic_index_in_dim(v6, kj, 2, keepdims=False)
+            s = jnp.einsum("bnqwc,bnkvc->bnqwkv", q_blk, k_blk)
+            rh_qk = jax.lax.dynamic_slice(
+                rh_q, (0, kj * row_block, 0), (row_block, row_block, hd)
+            )
+            bias_h = jnp.einsum("bnqwc,qkc->bnqwk", q_blk, rh_qk)
+            s = s + bias_h[..., :, None] + bias_w[..., None, :]
+            s = s.reshape(b, n, qb, qb)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * corr + jnp.einsum("bnqk,bnkc->bnqc", p, v_blk)
+            return (m_new, l, acc), None
+
+        init = (
+            jnp.full((b, n, qb, 1), -jnp.inf, q.dtype),
+            jnp.zeros((b, n, qb, 1), q.dtype),
+            jnp.zeros((b, n, qb, hd), q.dtype),
+        )
+        (m, l, acc), _ = jax.lax.scan(
+            k_step, init, jnp.arange(nb, dtype=jnp.int32)
+        )
+        return acc / l
+
+    out = jnp.concatenate([one_q_block(qi) for qi in range(nb)], axis=2)
+    return out  # (b, n, hw, hd)
+
+
 class WindowAttention(nn.Module):
     dim: int
     heads: int
     use_rel_pos: bool = True
     input_hw: Tuple[int, int] = (14, 14)
+    # grids with at least this many tokens use the blocked (flash-style)
+    # path — i.e. the global-attention blocks at ViT scale (64x64 = 4096)
+    blocked_min_tokens: int = 2048
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -90,7 +152,7 @@ class WindowAttention(nn.Module):
         hd = self.dim // self.heads
         qkv = nn.Dense(3 * self.dim, name="qkv")(x).reshape(b, h * w, 3, self.heads, hd)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # (B,hds,HW,hd)
-        att = (q @ k.transpose(0, 1, 3, 2)) / jnp.sqrt(hd).astype(x.dtype)
+        scale = 1.0 / jnp.sqrt(hd).astype(x.dtype)
         if self.use_rel_pos:
             rel_h = self.param(
                 "rel_pos_h", nn.initializers.zeros, (2 * h - 1, hd)
@@ -100,6 +162,18 @@ class WindowAttention(nn.Module):
             )
             rh = _rel_pos_bias(h, h, rel_h)  # (h, h, hd)
             rw = _rel_pos_bias(w, w, rel_w)  # (w, w, hd)
+        if (
+            self.use_rel_pos
+            and h * w >= self.blocked_min_tokens
+            and h % 8 == 0
+        ):
+            # scale folded into K so the rel-pos biases see UNSCALED q
+            # (segment-anything's add_decomposed_rel_pos convention)
+            out = _blocked_rel_attention(q, k * scale, v, rh, rw, h, w, 8)
+            out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
+            return nn.Dense(self.dim, name="proj")(out)
+        att = (q @ k.transpose(0, 1, 3, 2)) * scale
+        if self.use_rel_pos:
             qr = q.reshape(b, self.heads, h, w, hd)
             bias_h = jnp.einsum("bnhwc,hkc->bnhwk", qr, rh)  # (B,hds,h,w,h)
             bias_w = jnp.einsum("bnhwc,wkc->bnhwk", qr, rw)  # (B,hds,h,w,w)

@@ -321,6 +321,8 @@ def _forward_fast_kernel(
     p = tile_h * tile_w
     c = acc_ref.shape[1]
     nb = p // p_block
+    seg_w = gbuf.shape[2]  # segment width (chunks per DMA * g)
+    cpseg = seg_w // g
 
     # per-tile pixel coordinates, per p-block (static python loop)
     px_full, py_full = _pixel_coords(t, tiles_x, tile_h, tile_w, p)
@@ -328,119 +330,146 @@ def _forward_fast_kernel(
     lead = jax.lax.rem(start, g)
     base = start - lead
     nchunks = jnp.where(count > 0, pl.cdiv(lead + count, g), 0)
+    nseg = pl.cdiv(nchunks, cpseg)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
 
     acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
-    def dma_g(k, slot):
-        off = pl.multiple_of(base + k * g, g)
-        return pltpu.make_async_copy(
-            geom_hbm.at[:, pl.ds(off, g)], gbuf.at[slot], sems.at[slot]
+    def dma_seg(s, slot):
+        # whole-segment streaming: ONE (8+C, seg_w) DMA pair per up-to-
+        # `cpseg` chunks — per-chunk (24, 128) DMAs left the loop latency-
+        # bound (~3 us/chunk measured with compute ~1 us; see fast_sweep)
+        off = pl.multiple_of(base + s * seg_w, g)
+        a = pltpu.make_async_copy(
+            geom_hbm.at[:, pl.ds(off, seg_w)], gbuf.at[slot], sems.at[slot]
         )
-
-    def dma_c(k, slot):
-        off = pl.multiple_of(base + k * g, g)
-        return pltpu.make_async_copy(
-            col_hbm.at[:, pl.ds(off, g)], cbuf.at[slot], sems.at[2 + slot]
+        b = pltpu.make_async_copy(
+            col_hbm.at[:, pl.ds(off, seg_w)], cbuf.at[slot], sems.at[2 + slot]
         )
+        return a, b
 
-    @pl.when(nchunks > 0)
+    def seg_start(s, slot):
+        a, b = dma_seg(s, slot)
+        a.start()
+        b.start()
+
+    def seg_wait(s, slot):
+        a, b = dma_seg(s, slot)
+        a.wait()
+        b.wait()
+
+    @pl.when(nseg > 0)
     def _():
-        dma_g(0, 0).start()
-        dma_c(0, 0).start()
+        seg_start(0, 0)
 
-    def cond(carry):
-        k, log_t, _ = carry
-        return jnp.logical_and(k < nchunks, jnp.max(log_t) >= LOG2_T_EPS)
+    def seg_cond(carry):
+        s, log_t, _ = carry
+        return jnp.logical_and(s < nseg, jnp.max(log_t) >= LOG2_T_EPS)
 
-    def body(carry):
-        # log_t: NAIVE cumulative log2 T (monotone decreasing — drives the
-        # include test, so a pixel stays stopped after its first crossing);
-        # log_t_rep: log2 T after the last INCLUDED splat (the residual the
-        # background blends against — the crossing splat itself is skipped)
-        k, log_t, log_t_rep = carry
-        slot = jax.lax.rem(k, 2)
+    def seg_body(carry):
+        s, log_t0, rep0 = carry
+        slot = jax.lax.rem(s, 2)
 
-        @pl.when(k + 1 < nchunks)
+        @pl.when(s + 1 < nseg)
         def _():
-            dma_g(k + 1, 1 - slot).start()
-            dma_c(k + 1, 1 - slot).start()
+            seg_start(s + 1, 1 - slot)
 
-        dma_g(k, slot).wait()
-        dma_c(k, slot).wait()
-        rows = gbuf[slot]  # (8, G) f32
-        mx = rows[0:1, :]
-        my = rows[1:2, :]
-        # constants folded into the per-lane conic rows: sigma2 = sigma *
-        # log2(e) so alpha = op * exp2(-sigma2); 0.5 absorbed as well
-        ca = rows[2:3, :] * (0.5 * INV_LN2)
-        cb = rows[3:4, :] * INV_LN2
-        cc = rows[4:5, :] * (0.5 * INV_LN2)
-        # unaligned head/tail masking folded into the opacity LANE row
-        j = k * g + lane
-        opm = jnp.where((j >= lead) & (j < lead + count), rows[5:6, :], 0.0)
-        colors = cbuf[slot].astype(jnp.float32)  # (C, G)
+        seg_wait(s, slot)
+        nc_here = jnp.minimum(nchunks - s * cpseg, cpseg)
 
-        new_log_t, new_rep = [], []
-        for b in range(nb):
-            sl = slice(b * p_block, (b + 1) * p_block)
-            px = px_full[sl]
-            py = py_full[sl]
-            lt = log_t[sl]
-            dx = px - mx  # (Pb, G)
-            dy = py - my
-            s2 = (ca * dx) * dx + (cb * dx + cc * dy) * dy
-            alpha = jnp.minimum(ALPHA_CLAMP, opm * jnp.exp2(-s2))
-            alpha = jnp.where(
-                (s2 >= 0.0) & (alpha >= ALPHA_FLOOR), alpha, 0.0
+        def chunk_cond(carry):
+            k, log_t, _ = carry
+            return jnp.logical_and(k < nc_here, jnp.max(log_t) >= LOG2_T_EPS)
+
+        def chunk_body(carry):
+            # log_t: NAIVE cumulative log2 T (monotone decreasing — drives
+            # the include test, so a pixel stays stopped after its first
+            # crossing); rep: log2 T after the last INCLUDED splat (the
+            # residual the background blends against)
+            k, log_t, rep = carry
+            rows = gbuf[slot, :, pl.ds(k * g, g)]  # (8, G) f32
+            mx = rows[0:1, :]
+            my = rows[1:2, :]
+            # constants folded into the per-lane conic rows: sigma2 =
+            # sigma * log2(e) so alpha = op * exp2(-sigma2); 0.5 absorbed
+            ca = rows[2:3, :] * (0.5 * INV_LN2)
+            cb = rows[3:4, :] * INV_LN2
+            cc = rows[4:5, :] * (0.5 * INV_LN2)
+            # unaligned head/tail masking folded into the opacity LANE row
+            j = (s * cpseg + k) * g + lane
+            opm = jnp.where(
+                (j >= lead) & (j < lead + count), rows[5:6, :], 0.0
             )
-            l1m = jnp.log1p(-alpha) * INV_LN2  # log2(1 - alpha)
-            cum = _cumsum_lanes(l1m, g)
-            lt_incl = lt + cum
-            include = lt_incl >= LOG2_T_EPS
-            w = jnp.where(
-                include, alpha * jnp.exp2(lt_incl - l1m), 0.0
+            colors = cbuf[slot, :, pl.ds(k * g, g)].astype(jnp.float32)
+
+            new_log_t, new_rep = [], []
+            for b in range(nb):
+                sl = slice(b * p_block, (b + 1) * p_block)
+                px = px_full[sl]
+                py = py_full[sl]
+                lt = log_t[sl]
+                dx = px - mx  # (Pb, G)
+                dy = py - my
+                s2 = (ca * dx) * dx + (cb * dx + cc * dy) * dy
+                alpha = jnp.minimum(ALPHA_CLAMP, opm * jnp.exp2(-s2))
+                alpha = jnp.where(
+                    (s2 >= 0.0) & (alpha >= ALPHA_FLOOR), alpha, 0.0
+                )
+                l1m = jnp.log1p(-alpha) * INV_LN2  # log2(1 - alpha)
+                cum = _cumsum_lanes(l1m, g)
+                lt_incl = lt + cum
+                include = lt_incl >= LOG2_T_EPS
+                w = jnp.where(
+                    include, alpha * jnp.exp2(lt_incl - l1m), 0.0
+                )
+                acc_ref[sl, :] += jax.lax.dot_general(
+                    w, colors,  # (Pb, G) x (C, G) -> (Pb, C)
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                chunk_min = jnp.min(
+                    jnp.where(include & (lt_incl < 0.0), lt_incl, 0.0),
+                    axis=1, keepdims=True,
+                )
+                new_rep.append(jnp.minimum(rep[sl], chunk_min))
+                new_log_t.append(lt + cum[:, g - 1 : g])
+            return (
+                k + 1,
+                jnp.concatenate(new_log_t, axis=0),
+                jnp.concatenate(new_rep, axis=0),
             )
-            acc_ref[sl, :] += jax.lax.dot_general(
-                w, colors,  # (Pb, G) x (C, G) -> (Pb, C)
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            chunk_min = jnp.min(
-                jnp.where(include & (lt_incl < 0.0), lt_incl, 0.0),
-                axis=1, keepdims=True,
-            )
-            new_rep.append(jnp.minimum(log_t_rep[sl], chunk_min))
-            new_log_t.append(lt + cum[:, g - 1 : g])
-        return (
-            k + 1,
-            jnp.concatenate(new_log_t, axis=0),
-            jnp.concatenate(new_rep, axis=0),
+
+        _, log_t1, rep1 = jax.lax.while_loop(
+            chunk_cond, chunk_body, (jnp.zeros((), jnp.int32), log_t0, rep0)
         )
+        return s + 1, log_t1, rep1
 
     init = (
         jnp.zeros((), jnp.int32),
         jnp.zeros((p, 1), jnp.float32),
         jnp.zeros((p, 1), jnp.float32),
     )
-    k_done, _, log_t = jax.lax.while_loop(cond, body, init)
+    s_done, _, log_t = jax.lax.while_loop(seg_cond, seg_body, init)
 
-    @pl.when(jnp.logical_and(k_done < nchunks, k_done > 0))
+    # early exit leaves the prefetched segment in flight — drain it
+    @pl.when(jnp.logical_and(s_done < nseg, s_done > 0))
     def _():
-        dma_g(k_done, jax.lax.rem(k_done, 2)).wait()
-        dma_c(k_done, jax.lax.rem(k_done, 2)).wait()
+        seg_wait(s_done, jax.lax.rem(s_done, 2))
 
     t_fin = jnp.exp2(log_t)
     out_ref[0, :, :c] = acc_ref[:, :] + t_fin * bg_ref[0:1, :]
     out_ref[0, :, c : c + 1] = 1.0 - t_fin
 
 
+SEG_CHUNKS = 8  # chunks streamed per segment DMA in the fast kernel
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "tiles_x", "tiles_y", "tile_h", "tile_w", "chunk", "p_block",
-        "interpret",
+        "seg_chunks", "interpret",
     ),
 )
 def tile_blend_forward_fast(
@@ -454,11 +483,17 @@ def tile_blend_forward_fast(
     tiles_y: int,
     tile_h: int,
     tile_w: int,
-    chunk: int = 256,
-    p_block: int = 256,
+    chunk: int = 128,
+    p_block: int = 1024,
+    seg_chunks: int = SEG_CHUNKS,
     interpret: bool = False,
 ):
-    """Inference forward blend over unaligned ranges. Returns (T, P, C+1)."""
+    """Inference forward blend over unaligned ranges. Returns (T, P, C+1).
+
+    Instance arrays must carry >= seg_chunks*chunk rows of sentinel slack
+    past the last tile range (zero rows — the rasterizer pads the gather
+    index list): segment DMAs read whole seg windows.
+    """
     num_tiles = tiles_x * tiles_y
     p = tile_h * tile_w
     c = color_inst.shape[0]
@@ -483,8 +518,8 @@ def tile_blend_forward_fast(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, GEOM_ROWS, chunk), jnp.float32),
-            pltpu.VMEM((2, c, chunk), color_inst.dtype),
+            pltpu.VMEM((2, GEOM_ROWS, seg_chunks * chunk), jnp.float32),
+            pltpu.VMEM((2, c, seg_chunks * chunk), color_inst.dtype),
             pltpu.VMEM((p, c), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],

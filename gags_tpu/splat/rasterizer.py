@@ -50,7 +50,7 @@ class RasterizeConfig:
     # inference (aligned=False) blend tuning: pixel-slab size inside the
     # fast kernel, and bf16 colour rows (halves the colour gather + DMA
     # bytes; feature output error ~1e-3 relative, geometry math unaffected)
-    p_block: int = 256
+    p_block: int = 1024
     fast_color_rows: bool = False
 
     def instance_budget(self, n: int) -> int:
@@ -214,7 +214,14 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, 
     )
     if not cfg.aligned:
         # inference: ONE u16 row gather of [geom hi|lo halves | colour
-        # rows], split into the fast kernel's (8, M) f32 + (C, M) operands
+        # rows], split into the fast kernel's (8, M) f32 + (C, M) operands.
+        # Extend the binner's one-chunk sentinel tail to a full streaming
+        # segment: the kernel DMAs whole seg windows past the last range.
+        seg_slack = (pk.SEG_CHUNKS - 1) * cfg.chunk
+        n_sentinel = geom_table.shape[0] - 1
+        inst_gid = jnp.concatenate(
+            [inst_gid, jnp.full((seg_slack,), n_sentinel, jnp.int32)]
+        )
         cp = colors_pad.shape[1]
         geom_u16 = tiles.u16_halves(geom_table)  # (N+1, 16)
         if cfg.fast_color_rows:

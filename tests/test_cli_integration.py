@@ -178,3 +178,25 @@ def test_render_cli_depth_golden(trained, monkeypatch):
     )
     expect = np.asarray(img[..., 3] / jnp.maximum(alpha, 1e-10))
     np.testing.assert_allclose(got, expect, atol=1e-4, rtol=1e-4)
+
+
+def test_relevancy_video_cli(trained, monkeypatch, tmp_path):
+    """--video renders along the spline path AND encodes an mp4 per label."""
+    root, model = trained
+    rng = np.random.default_rng(1)
+    pos = rng.normal(size=(1, 24)).astype(np.float32)
+    pos /= np.linalg.norm(pos, axis=1, keepdims=True)
+    neg = rng.normal(size=(4, 24)).astype(np.float32)
+    neg /= np.linalg.norm(neg, axis=1, keepdims=True)
+    embeds = str(tmp_path / "embeds_v.npz")
+    np.savez(embeds, labels=np.array(["cup"]), pos=pos, neg=neg)
+    _run_cli(
+        "gags_tpu.cli.relevancy",
+        ["-m", model, "-s", root, "--iteration", "6", "--image_mode",
+         "--video", "--video_frames", "4", "--text_embeds", embeds],
+        monkeypatch,
+    )
+    vid = os.path.join(model, "relevancy", "video", "cup.mp4")
+    assert os.path.exists(vid) and os.path.getsize(vid) > 0
+    frames = os.listdir(os.path.join(model, "relevancy", "composited", "cup"))
+    assert len([f for f in frames if f.startswith("novel_")]) == 4

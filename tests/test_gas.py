@@ -192,3 +192,30 @@ def test_postprocess_small_regions_dedupes_to_unchanged():
     # masks with no small regions pass through untouched
     out2 = postprocess_small_regions([rec(base)], 100, 0.7)
     assert len(out2) == 1 and out2[0]["segmentation"] is base
+
+
+def test_pcd_prompt_modes():
+    """sample_from_pcd / project_from_sampled_pcd (SAM_utils.py:368-388)."""
+    from gags_tpu.gas.prompts import project_from_sampled_pcd, sample_from_pcd
+
+    rng = np.random.default_rng(0)
+    n_pts, n_img = 50, 3
+    depth = rng.uniform(1, 10, n_pts)
+    mask = rng.random((n_pts, n_img)) < 0.4
+    mask[10] = False  # a point with no hits must never be sampled
+    ids = sample_from_pcd(depth, mask, sample_num=200, rng=rng)
+    assert ids == sorted(set(ids))
+    assert 10 not in ids
+    assert all(mask[i].any() for i in ids)
+
+    # projection: (row, col) mapping -> normalised (x, y)
+    h, w = 40, 60
+    mapping = np.stack(
+        [rng.integers(0, h, (n_pts,)), rng.integers(0, w, (n_pts,))], -1
+    )
+    vis = np.zeros(n_pts, bool)
+    vis[[2, 5]] = True
+    layers = project_from_sampled_pcd(vis, mapping, n_layers=1, h=h, w=w)
+    assert len(layers) == 2 and layers[0].shape == (2, 2)
+    np.testing.assert_allclose(layers[0][0], [mapping[2, 1] / w, mapping[2, 0] / h])
+    assert (layers[0] >= 0).all() and (layers[0] <= 1).all()

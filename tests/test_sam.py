@@ -99,3 +99,34 @@ def test_generator_end_to_end(tiny_sam):
     for rec in d + s + m + l:
         assert rec["segmentation"].shape == (48, 64)
         assert rec["area"] == int(rec["segmentation"].sum())
+
+
+def test_blocked_rel_attention_matches_naive():
+    """The flash-style blocked global attention must equal the naive
+    materialised attention (same rel-pos decomposition, online softmax)."""
+    import jax.numpy as jnp
+    from gags_tpu.models.sam import _blocked_rel_attention, _rel_pos_bias
+
+    rng = np.random.default_rng(0)
+    b, n, h, w, hd = 1, 2, 16, 16, 8
+    hw = h * w
+    q = jnp.asarray(rng.normal(size=(b, n, hw, hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, n, hw, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, n, hw, hd)).astype(np.float32))
+    rel_h = jnp.asarray(rng.normal(size=(2 * h - 1, hd)).astype(np.float32))
+    rel_w = jnp.asarray(rng.normal(size=(2 * w - 1, hd)).astype(np.float32))
+    rh = _rel_pos_bias(h, h, rel_h)
+    rw = _rel_pos_bias(w, w, rel_w)
+    scale = 1.0 / np.sqrt(hd)
+
+    # naive reference (the pre-flash formulation)
+    att = (q * scale) @ k.transpose(0, 1, 3, 2)
+    qr = q.reshape(b, n, h, w, hd)
+    bias_h = jnp.einsum("bnhwc,hkc->bnhwk", qr, rh)
+    bias_w = jnp.einsum("bnhwc,wkc->bnhwk", qr, rw)
+    att = att.reshape(b, n, h, w, h, w) + bias_h[..., :, None] + bias_w[..., None, :]
+    att = jax.nn.softmax(att.reshape(b, n, hw, hw), axis=-1)
+    ref = att @ v
+
+    out = _blocked_rel_attention(q, k * scale, v, rh, rw, h, w, row_block=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
