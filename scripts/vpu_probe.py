@@ -12,7 +12,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from gags_tpu.utils.timing import device_time_drain
 
-R, C = 8192, 512
+R, C = 512, 256
 
 
 def make(dtype):
