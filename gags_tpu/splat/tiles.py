@@ -20,10 +20,11 @@ The design removes them:
      segment base — O(M) elementwise, no binary searches; the per-instance
      rect data comes from ONE (M,) gather of a bit-packed (x0, y0, w) int32;
   4. per-tile alignment dummies are injected BEFORE the sort (key =
-     tile*(N+1)+N sorts after every real rank in that tile), so one
+     (tile << shift) | N sorts after every real rank in that tile), so one
      **key-only** `lax.sort` directly yields the final chunk-aligned,
      tile-major, front-to-back instance list; the owning rank is recovered
-     as `key mod (N+1)` — no payload column, no post-sort gather.
+     as `key & (2^shift - 1)` (shift = bits(N)) — no payload column, no
+     post-sort gather, no M-sized division.
 
 `inst_gid` therefore holds **depth ranks**: rank r refers to the Gaussian
 `order[r]`. Callers permute their per-Gaussian tables by `order` once
@@ -220,10 +221,13 @@ def bin_gaussians(
     num_tiles = tiles_x * tiles_y
     m_real = ((budget + chunk - 1) // chunk) * chunk
 
-    # single int32 keys (tile*(n+1)+rank) until the product overflows;
-    # beyond that (e.g. 1080p with ~1M+ gaussians) sort (tile, rank) as a
-    # two-key lexicographic lax.sort — ~1.5x the sort cost, same layout
-    wide_keys = _force_wide_keys or num_tiles * (n + 1) >= 2**31
+    # single int32 keys ((tile << shift) | rank, shift = bits(n)) until the
+    # packing overflows; the shift form keeps rank recovery a mask (no
+    # M-sized division) and 1080p with 1M gaussians (2040 tiles x 2^20)
+    # still fits. Beyond that, sort (tile, rank) as a two-key
+    # lexicographic lax.sort — ~1.5x the sort cost, same layout.
+    shift = max(1, int(n).bit_length())  # 2**shift > n, so rank n fits too
+    wide_keys = _force_wide_keys or num_tiles << shift >= 2**31
     if tiles_x > 1023 or tiles_y > 1023:
         raise ValueError("tile grid exceeds the 10-bit rect packing")
 
@@ -322,9 +326,11 @@ def bin_gaussians(
         dx = slot - dy * pw
         tile = (py0 + dy) * tiles_x + (px0 + dx)
         valid = idx < num_valid
-        keys = jnp.where(valid, tile * (n + 1) + gid, INT32_MAX)
+        keys = jnp.where(valid, (tile << shift) | gid, INT32_MAX)
         (sorted_keys,) = jax.lax.sort((keys,), num_keys=1, is_stable=False)
-        inst_rank = jnp.minimum(sorted_keys % (n + 1), n).astype(jnp.int32)
+        inst_rank = jnp.minimum(
+            sorted_keys & ((1 << shift) - 1), n
+        ).astype(jnp.int32)
     if not use_expand_kernel:
         idx = jnp.arange(m_real, dtype=jnp.int32)
         rank = jnp.arange(n, dtype=jnp.int32)
@@ -359,18 +365,20 @@ def bin_gaussians(
             d_ok = d_within < pad_needed[d_tile]
 
         if not wide_keys:
-            key_real = jnp.where(valid, tile * (n + 1) + gid, INT32_MAX)
+            key_real = jnp.where(valid, (tile << shift) | gid, INT32_MAX)
             if aligned:
-                key_dummy = jnp.where(d_ok, d_tile * (n + 1) + n, INT32_MAX)
+                key_dummy = jnp.where(d_ok, (d_tile << shift) | n, INT32_MAX)
                 keys = jnp.concatenate([key_real, key_dummy])
             else:
                 keys = key_real
             # keys are unique (one instance per gaussian-tile pair) — an
             # unstable sort avoids XLA's implicit iota payload
             (sorted_keys,) = jax.lax.sort((keys,), num_keys=1, is_stable=False)
-            # rank recovery is pure arithmetic; INT32_MAX filler rows land
-            # past every tile range (never read, grads pre-zeroed)
-            inst_rank = jnp.minimum(sorted_keys % (n + 1), n).astype(jnp.int32)
+            # rank recovery is a mask; INT32_MAX filler rows land past
+            # every tile range (never read, grads pre-zeroed)
+            inst_rank = jnp.minimum(
+                sorted_keys & ((1 << shift) - 1), n
+            ).astype(jnp.int32)
         else:
             k_tile = jnp.where(valid, tile, INT32_MAX)
             k_rank = jnp.where(valid, gid, n)
@@ -392,7 +400,7 @@ def bin_gaussians(
         # are tiny (T+1) and sorted, so this is O(T log M)
         tbounds = jnp.arange(num_tiles + 1, dtype=jnp.int32)
         if not wide_keys:
-            tbounds = tbounds * jnp.int32(n + 1)
+            tbounds = tbounds << shift
         edges = jnp.searchsorted(sorted_keys, tbounds, side="left").astype(jnp.int32)
         tile_starts = edges[:num_tiles]
         counts_t = edges[1:] - edges[:num_tiles]

@@ -23,14 +23,13 @@ def make(dtype):
         a = x * half + one
         b = a * a - x
         c = jnp.minimum(b, one)
-        d = jnp.where(c > 0, c, jnp.asarray(0.004, dtype))
-        e = jnp.exp2(-d)
-        f = jnp.log1p(-d * half)
+        e = jnp.exp2(-c)
+        f = e * half - b
         g = e * f + a
-        h = jnp.where(g > half, g * e, f)
+        h = g * e + f
         i = h + b * c
         j = jnp.exp2(i * jnp.asarray(-0.01, dtype))
-        o_ref[:] = j + d
+        o_ref[:] = j + c
 
     @jax.jit
     def run(x):
