@@ -94,12 +94,33 @@ def make_dp_train_step(
         return l1_feature + entropy_w * ent + regionvar_w * regvar
 
     def per_device(state: TrainState, geom, batch, entropy_w, regionvar_w):
-        # one camera per device: strip the size-1 shard axis
-        local = {k: v[0] for k, v in batch.items()}
         params = (state.features, state.decoder_params, state.scale_params)
-        loss, grads = jax.value_and_grad(local_loss)(
-            params, geom, local, entropy_w, regionvar_w
-        )
+        b_local = batch["viewmat"].shape[0]
+        if b_local == 1:
+            loss, grads = jax.value_and_grad(local_loss)(
+                params, geom, {k: v[0] for k, v in batch.items()},
+                entropy_w, regionvar_w,
+            )
+        else:
+            # per-device camera batch > 1: sequential gradient accumulation
+            # (lax.scan keeps memory at one camera's activations) — the
+            # result is the exact mean over all mesh.size * b_local cameras
+            def scan_body(carry, cam):
+                acc_loss, acc_grads = carry
+                loss_i, grads_i = jax.value_and_grad(local_loss)(
+                    params, geom, cam, entropy_w, regionvar_w
+                )
+                return (
+                    acc_loss + loss_i,
+                    jax.tree.map(jnp.add, acc_grads, grads_i),
+                ), None
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            (sum_loss, sum_grads), _ = jax.lax.scan(
+                scan_body, (jnp.zeros(()), zeros), batch
+            )
+            loss = sum_loss / b_local
+            grads = jax.tree.map(lambda g: g / b_local, sum_grads)
         # mean over the camera batch rides ICI
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)

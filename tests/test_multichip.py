@@ -120,3 +120,49 @@ def test_dp_binned_step_matches_unbinned():
     np.testing.assert_allclose(
         np.asarray(s_b.features), np.asarray(s_u.features), atol=1e-6
     )
+
+
+def test_dp_per_device_batch_accumulation():
+    """B = 2 cameras PER DEVICE (16 over the 8-dev mesh) via gradient
+    accumulation: with all cameras identical, the accumulated mean equals
+    the per-device-batch-1 step exactly."""
+    from gags_tpu.gad.train import GadConfig, create_train_state, frozen_geometry
+    from gags_tpu.scene.gaussian_data import GaussianScene
+
+    raw = make_scene(N, seed=0)
+    scene = GaussianScene(
+        means=jnp.asarray(raw["means"]),
+        sh=jnp.asarray(raw["sh"]),
+        opacities_raw=jnp.asarray(np.log(raw["opacities"] / (1 - raw["opacities"]))),
+        scales_raw=jnp.asarray(np.log(raw["scales"])),
+        quats=jnp.asarray(raw["quats"]),
+        semantic_features=jnp.zeros((N, 8)),
+    )
+    cfg = GadConfig(
+        feature_dim=8, clip_dim=16, max_segments=16,
+        raster=RasterizeConfig(tile_h=8, tile_w=16, chunk=8, interpret=True),
+    )
+    state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(8)
+    stepf = make_dp_train_step(mesh, statics, W, H, cfg)
+    geom = frozen_geometry(scene)
+
+    rng = np.random.default_rng(1)
+    cam = make_camera(W, H)
+    emb1 = rng.normal(size=(1, 5, 16)).astype(np.float32)
+    seg1 = rng.integers(-1, 5, size=(1, H, W, 4)).astype(np.int32)
+
+    def batch_of(b):
+        return dict(
+            viewmat=jnp.tile(cam.viewmat[None], (b, 1, 1)),
+            K=jnp.tile(cam.K[None], (b, 1, 1)),
+            img_embed=jnp.tile(jnp.asarray(emb1), (b, 1, 1)),
+            seg_map=jnp.tile(jnp.asarray(seg1), (b, 1, 1, 1)),
+        )
+
+    s8, loss8 = stepf(state, geom, batch_of(8), jnp.float32(1e-3), jnp.float32(0.1))
+    s16, loss16 = stepf(state, geom, batch_of(16), jnp.float32(1e-3), jnp.float32(0.1))
+    np.testing.assert_allclose(float(loss16), float(loss8), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s16.features), np.asarray(s8.features), atol=1e-6
+    )
