@@ -105,20 +105,23 @@ def _render_strip(
     proj = project_gaussians(
         geom_l["means"], geom_l["quats"], geom_l["scales"], viewmat, K, width, h_pad
     )
-    radii = (proj.radii.astype(jnp.float32) * geom_l["valid"]).astype(jnp.int32)
+    rx = (proj.radii_x.astype(jnp.float32) * geom_l["valid"]).astype(jnp.int32)
+    ry = (proj.radii_y.astype(jnp.float32) * geom_l["valid"]).astype(jnp.int32)
     opac = geom_l["opacities"] * proj.compensations
     n_l = geom_l["means"].shape[0]
-    # [mx, my, ca, cb, cc, opac, radius, depth] — geometry rows + bin info
+    # [mx, my, ca, cb, cc, opac, rx, ry, depth] — geometry rows + bin info
+    # (rx/ry: the tight anisotropic 3-sigma bbox half-extents)
     local_rows = jnp.concatenate(
         [
             proj.means2d,
             proj.conics,
             opac[:, None],
-            radii.astype(jnp.float32)[:, None],
+            rx.astype(jnp.float32)[:, None],
+            ry.astype(jnp.float32)[:, None],
             proj.depths[:, None],
         ],
         axis=1,
-    )  # (n_l, 8)
+    )  # (n_l, 9)
     rows = jax.lax.all_gather(local_rows, axis, tiled=True)  # (N, 8)
     colors = jax.lax.all_gather(feats_l, axis, tiled=True)  # (N, C) — differentiable
 
@@ -128,11 +131,12 @@ def _render_strip(
     binned = tiles.bin_gaussians(
         m2,
         rows[:, 6].astype(jnp.int32),
-        rows[:, 7],
+        rows[:, 8],
         width,
         strip_h,
         cfg.tile_w,
         cfg.tile_h,
+        radii_y=rows[:, 7].astype(jnp.int32),
         # instances skew across strips; slack covers imbalance without
         # paying the full replicated budget per device
         budget=max(int(cfg.instance_budget(n) * budget_slack) // n_dev, 4 * cfg.chunk),

@@ -29,8 +29,15 @@ class ProjectedGaussians(NamedTuple):
     means2d: jnp.ndarray  # (N, 2) pixel coords
     conics: jnp.ndarray   # (N, 3) upper triangle (a, b, c) of inverse 2D cov
     depths: jnp.ndarray   # (N,) camera-space z
-    radii: jnp.ndarray    # (N,) int32 3-sigma pixel radius, 0 = culled
+    radii: jnp.ndarray    # (N,) int32 3-sigma MAX-axis radius, 0 = culled
     compensations: jnp.ndarray  # (N,) AA opacity scale (1.0 when not used)
+    # tight axis-aligned 3-sigma half-extents (3*sqrt(cov_xx), 3*sqrt(
+    # cov_yy)): the ellipse's exact bbox, <= the isotropic radius. Binning
+    # rects built from these shed up to the anisotropy ratio in instances;
+    # any point outside still has sigma > 4.5, the same bound as the
+    # square's edge, so blend numerics keep the identical worst case.
+    radii_x: jnp.ndarray = None  # (N,) int32, 0 = culled
+    radii_y: jnp.ndarray = None  # (N,) int32
 
 
 def project_gaussians(
@@ -156,12 +163,15 @@ def project_gaussians(
     bmid = 0.5 * (a_b + c_b)
     v1 = bmid + jnp.sqrt(jnp.maximum(0.01, bmid * bmid - det))
     radius = jnp.ceil(3.0 * jnp.sqrt(v1))
+    # tight per-axis 3-sigma extents (bbox of the 3-sigma ellipse)
+    rx = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(a_b, 0.0)))
+    ry = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(c_b, 0.0)))
 
     inside = (
-        (mx + radius > 0)
-        & (mx - radius < width)
-        & (my + radius > 0)
-        & (my - radius < height)
+        (mx + rx > 0)
+        & (mx - rx < width)
+        & (my + ry > 0)
+        & (my - ry < height)
     )
     valid = in_depth & valid_det & (radius > RADIUS_CLIP) & inside
     radii = jnp.where(valid, radius, 0.0).astype(jnp.int32)
@@ -172,4 +182,6 @@ def project_gaussians(
         depths=z,
         radii=radii,
         compensations=compensations,
+        radii_x=jnp.where(valid, rx, 0.0).astype(jnp.int32),
+        radii_y=jnp.where(valid, ry, 0.0).astype(jnp.int32),
     )

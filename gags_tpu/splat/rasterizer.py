@@ -164,7 +164,7 @@ def _prepare(means, quats, scales, opacities, viewmat, K, width, height, cfg):
     tiles_y = -(-height // cfg.tile_h)
     binned = tiles.bin_gaussians(
         proj.means2d,
-        proj.radii,
+        proj.radii_x,
         proj.depths,
         width,
         height,
@@ -174,6 +174,7 @@ def _prepare(means, quats, scales, opacities, viewmat, K, width, height, cfg):
         chunk=cfg.chunk,
         aligned=cfg.aligned,
         interpret=cfg.interpret,
+        radii_y=proj.radii_y,
     )
     geom, _ = _geom_table(proj, opacities)
     return proj, binned, geom, tiles_x, tiles_y
@@ -475,10 +476,11 @@ def prepare_binning(
     proj = project_gaussians(means, quats, scales, viewmat, K, width, height)
     n = means.shape[0]
     return tiles.bin_gaussians(
-        proj.means2d, proj.radii, proj.depths, width, height,
+        proj.means2d, proj.radii_x, proj.depths, width, height,
         config.tile_w, config.tile_h,
         budget=config.instance_budget(n), chunk=config.chunk,
         aligned=config.aligned, interpret=config.interpret,
+        radii_y=proj.radii_y,
     )
 
 

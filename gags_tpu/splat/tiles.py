@@ -170,14 +170,19 @@ def tile_rects(
     tile_h: int,
     tiles_x: int,
     tiles_y: int,
+    radii_y: jnp.ndarray | None = None,
 ):
-    """Inclusive-exclusive tile rectangle [x0, x1) x [y0, y1) per Gaussian."""
-    r = radii.astype(jnp.float32)
-    x0 = jnp.clip(jnp.floor((means2d[:, 0] - r) / tile_w), 0, tiles_x).astype(jnp.int32)
-    x1 = jnp.clip(jnp.ceil((means2d[:, 0] + r) / tile_w), 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((means2d[:, 1] - r) / tile_h), 0, tiles_y).astype(jnp.int32)
-    y1 = jnp.clip(jnp.ceil((means2d[:, 1] + r) / tile_h), 0, tiles_y).astype(jnp.int32)
-    alive = radii > 0
+    """Inclusive-exclusive tile rectangle [x0, x1) x [y0, y1) per Gaussian.
+
+    With `radii_y`, `radii` is the x half-extent and the rect is the tight
+    anisotropic 3-sigma bbox; otherwise the isotropic square."""
+    rx = radii.astype(jnp.float32)
+    ry = rx if radii_y is None else radii_y.astype(jnp.float32)
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - rx) / tile_w), 0, tiles_x).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil((means2d[:, 0] + rx) / tile_w), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - ry) / tile_h), 0, tiles_y).astype(jnp.int32)
+    y1 = jnp.clip(jnp.ceil((means2d[:, 1] + ry) / tile_h), 0, tiles_y).astype(jnp.int32)
+    alive = radii > 0 if radii_y is None else (radii > 0) & (radii_y > 0)
     w = jnp.where(alive, x1 - x0, 0)
     h = jnp.where(alive, y1 - y0, 0)
     return x0, y0, w, h, w * h
@@ -196,6 +201,7 @@ def bin_gaussians(
     aligned: bool = True,
     interpret: bool = False,
     _force_wide_keys: bool = False,
+    radii_y: jnp.ndarray | None = None,
 ) -> BinnedInstances:
     """Build the sorted (tile-major, front-to-back) instance list.
 
@@ -231,7 +237,9 @@ def bin_gaussians(
     if tiles_x > 1023 or tiles_y > 1023:
         raise ValueError("tile grid exceeds the 10-bit rect packing")
 
-    x0, y0, w, h, counts = tile_rects(means2d, radii, tile_w, tile_h, tiles_x, tiles_y)
+    x0, y0, w, h, counts = tile_rects(
+        means2d, radii, tile_w, tile_h, tiles_x, tiles_y, radii_y=radii_y
+    )
 
     # --- depth-rank permutation: ONE (N, 4) gather ---------------------------
     # ALIVE-FIRST depth order: culled / zero-coverage gaussians sort after

@@ -114,9 +114,9 @@ def run_distill():
 def test_golden_distillation_run():
     loss, iou = run_distill()
     # stored goldens (recorded by running this file directly on the CPU
-    # backend): loss 0.008652, IoU 0.9805 — bands allow compiler-version
+    # backend): loss 0.008565, IoU 0.9805 (anisotropic-bbox binning) — bands allow compiler-version
     # noise only; a semantic change in render/supervision/losses breaks out
-    assert abs(loss - 0.008652) < 0.004, loss
+    assert abs(loss - 0.008565) < 0.004, loss
     assert iou >= 0.9, iou
 
 
