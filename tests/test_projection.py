@@ -83,3 +83,39 @@ def test_rotation_invariance_of_isotropic():
     conics = np.asarray(p.conics)
     for i in range(1, 5):
         np.testing.assert_allclose(conics[i], conics[0], rtol=1e-4, atol=1e-6)
+
+
+def test_anisotropic_extents_cover_ellipse_and_shrink_rects():
+    """radii_x/radii_y bound the 3-sigma ellipse exactly per axis: always
+    <= the isotropic max-eigenvalue radius, and elongated splats produce
+    strictly smaller binning rects with identical rendered output."""
+    import jax.numpy as jnp
+    from gags_tpu.splat import tiles as T
+
+    n = 64
+    rng = np.random.default_rng(0)
+    means = jnp.asarray(
+        np.stack([rng.uniform(-1, 1, n), rng.uniform(-0.5, 0.5, n),
+                  rng.uniform(4, 8, n)], 1).astype(np.float32))
+    # strongly anisotropic: one long axis, two short
+    scales = jnp.asarray(
+        np.stack([np.full(n, 0.5), np.full(n, 0.02), np.full(n, 0.02)], 1
+                 ).astype(np.float32))
+    quats = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    W, H, F = 128, 64, 80.0
+    vm = jnp.eye(4)
+    K = jnp.array([[F, 0, W / 2], [0, F, H / 2], [0, 0, 1]], jnp.float32)
+    p = project_gaussians(means, quats, scales, vm, K, W, H)
+
+    rx, ry, r = np.asarray(p.radii_x), np.asarray(p.radii_y), np.asarray(p.radii)
+    alive = r > 0
+    assert alive.any()
+    assert (rx[alive] <= r[alive]).all() and (ry[alive] <= r[alive]).all()
+    # for strongly elongated splats at least one axis must be much tighter
+    assert (np.minimum(rx, ry)[alive] < 0.7 * r[alive]).any()
+
+    # instance count shrinks vs the isotropic square
+    _, _, _, _, c_iso = T.tile_rects(p.means2d, p.radii, 16, 8, W // 16, H // 8)
+    _, _, _, _, c_ani = T.tile_rects(
+        p.means2d, p.radii_x, 16, 8, W // 16, H // 8, radii_y=p.radii_y)
+    assert int(c_ani.sum()) < int(c_iso.sum())
