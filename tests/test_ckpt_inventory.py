@@ -113,3 +113,37 @@ def test_alphaclip_converter_consumes_real_inventory():
         _shapes_of_tree(conv), _shapes_of_tree(ref)
     )
     assert problems == [], problems[:8]
+
+
+@pytest.mark.slow
+def test_convert_weights_cli_on_synthetic_real_layout(tmp_path):
+    """cli/convert_weights.py end-to-end on files with the real layouts."""
+    torch = pytest.importorskip("torch")
+    from gags_tpu.cli.convert_weights import main as cw_main
+
+    rng = np.random.default_rng(0)
+    sam_sd = {
+        k: torch.from_numpy(rng.normal(scale=0.02, size=s).astype(np.float32))
+        for k, s in inv.sam_inventory(SAMConfig.vit_b()).items()
+    }
+    sam_path = str(tmp_path / "sam_vit_b.pth")
+    torch.save(sam_sd, sam_path)
+    clip_sd = {
+        k: torch.from_numpy(rng.normal(scale=0.02, size=s).astype(np.float32))
+        for k, s in inv.openclip_inventory(CLIPConfig.vit_b_16()).items()
+    }
+    clip_path = str(tmp_path / "openclip.bin")
+    torch.save(clip_sd, clip_path)
+
+    rc = cw_main(["--sam", sam_path, "--openclip", clip_path])
+    assert rc == 0
+
+    # a renamed key must be caught
+    bad = dict(sam_sd)
+    bad["image_encoder.patch_embed.proj.weightX"] = bad.pop(
+        "image_encoder.patch_embed.proj.weight"
+    )
+    bad_path = str(tmp_path / "sam_bad.pth")
+    torch.save(bad, bad_path)
+    with pytest.raises(Exception):
+        cw_main(["--sam", bad_path])
