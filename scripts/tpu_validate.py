@@ -24,6 +24,21 @@ with jax.default_device(cpu):
 err = float(jnp.max(jnp.abs(img - jnp.asarray(np.asarray(ref)))))
 print(f"forward parity max err: {err:.2e} {'OK' if err < 1e-3 else 'FAIL'}", flush=True)
 
+# ---- 1b. INFERENCE fast-kernel parity (unaligned streaming path) --------
+cfg_inf = RasterizeConfig(aligned=False)
+img_f = jax.jit(
+    lambda *a: rasterize(*a, cam.viewmat, cam.K, 128, 128, config=cfg_inf).image
+)(m, q, s, o, c)
+err_f = float(jnp.max(jnp.abs(img_f - jnp.asarray(np.asarray(ref)))))
+print(f"fast-kernel parity max err: {err_f:.2e} {'OK' if err_f < 1e-3 else 'FAIL'}", flush=True)
+cfg_bf = RasterizeConfig(aligned=False, fast_color_rows=True)
+img_b = jax.jit(
+    lambda *a: rasterize(*a, cam.viewmat, cam.K, 128, 128, config=cfg_bf).image
+)(m, q, s, o, c)
+err_b = float(jnp.max(jnp.abs(img_b - jnp.asarray(np.asarray(ref)))))
+print(f"bf16-colour-rows max err: {err_b:.2e} {'OK' if err_b < 3e-2 else 'FAIL'} "
+      "(expected ~1e-3 relative: colour rows quantised)", flush=True)
+
 # ---- 2. full-VJP parity (geometry grads) --------------------------------
 cfg_g = RasterizeConfig(geometry_grads=True, budget_factor=8)
 raw2 = make_scene(400, seed=2)
