@@ -14,6 +14,7 @@ filtering runs on host over the (already small) surviving masks.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Sequence, Tuple
 
 import jax
@@ -30,6 +31,10 @@ class GeneratorConfig:
     box_nms_thresh: float = 0.7
     min_mask_region_area: int = 100
     mask_threshold: float = 0.0
+    # prompts whose low-res logits are upscaled to full image size at once:
+    # the (B, 4, S, S) f32 upscale costs B*4*S^2*4 bytes (4.3 GB at B=256,
+    # S=1024) — sliced to keep peak HBM at ~0.5 GB
+    upscale_slice: int = 32
 
 
 def stability_score(mask_logits: jnp.ndarray, thresh: float, offset: float) -> jnp.ndarray:
@@ -161,6 +166,18 @@ class AutomaticMaskGenerator:
                 sam_params, emb, pts, lbl, method="decode"
             )
         )
+        size = sam_cfg.image_size
+
+        @functools.partial(jax.jit, static_argnames=("nh", "nw", "h", "w"))
+        def _upscale(ms, nh, nw, h, w):
+            ms = jax.image.resize(
+                ms, (ms.shape[0], ms.shape[1], size, size), "bilinear"
+            )[:, :, :nh, :nw]
+            return jax.image.resize(
+                ms, (ms.shape[0], ms.shape[1], h, w), "bilinear"
+            )
+
+        self._upscale = _upscale
 
     def generate(
         self, image: np.ndarray, point_grid: np.ndarray
@@ -189,29 +206,29 @@ class AutomaticMaskGenerator:
             pad = pb - len(pts)
             pts_p = np.pad(pts, ((0, pad), (0, 0)))
             lbl = np.concatenate([np.ones(len(pts)), -np.ones(pad)])
-            masks, iou = self._decode(
+            masks_lr, iou = self._decode(
                 embed,
                 jnp.asarray(pts_p[:, None, :], jnp.float32),
                 jnp.asarray(lbl[:, None], jnp.int32),
             )
-            # upscale low-res logits to the original frame
-            masks = jax.image.resize(
-                masks,
-                (masks.shape[0], masks.shape[1], self.sam_cfg.image_size, self.sam_cfg.image_size),
-                "bilinear",
-            )[:, :, :nh, :nw]
-            masks = jax.image.resize(
-                masks, (masks.shape[0], masks.shape[1], h, w), "bilinear"
-            )
-            # stability on the fully-upscaled (h, w) logits — the same frame
-            # stock AMG uses: its predict_torch returns postprocess_masks
-            # output (256 -> model size -> crop -> original) BEFORE
-            # calculate_stability_score runs, and with crop_n_layers=0
-            # (preprocess.py:234) the crop frame IS the original image
-            stab = stability_score(masks, cfg.mask_threshold, cfg.stability_offset)
-            masks_np = np.asarray(masks > cfg.mask_threshold)
+            # upscale low-res logits to the original frame in slices (the
+            # full (B, 4, S, S) f32 upscale is ~4.3 GB at B=256, S=1024)
+            mask_slices, stab_slices = [], []
+            for s0 in range(0, masks_lr.shape[0], cfg.upscale_slice):
+                ms = self._upscale(masks_lr[s0 : s0 + cfg.upscale_slice], nh, nw, h, w)
+                # stability on the fully-upscaled (h, w) logits — the same
+                # frame stock AMG uses: its predict_torch returns
+                # postprocess_masks output (256 -> model size -> crop ->
+                # original) BEFORE calculate_stability_score runs, and
+                # with crop_n_layers=0 (preprocess.py:234) the crop frame
+                # IS the original image
+                stab_slices.append(np.asarray(
+                    stability_score(ms, cfg.mask_threshold, cfg.stability_offset)
+                ))
+                mask_slices.append(np.asarray(ms > cfg.mask_threshold))
+            masks_np = np.concatenate(mask_slices, axis=0)
+            stab_np = np.concatenate(stab_slices, axis=0)
             iou_np = np.asarray(iou)
-            stab_np = np.asarray(stab)
 
             for i in range(len(pts)):
                 # multimask channels 1..3 = subpart/part/whole; channel of
