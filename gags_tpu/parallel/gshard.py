@@ -122,7 +122,7 @@ def _render_strip(
         ],
         axis=1,
     )  # (n_l, 9)
-    rows = jax.lax.all_gather(local_rows, axis, tiled=True)  # (N, 8)
+    rows = jax.lax.all_gather(local_rows, axis, tiled=True)  # (N, 9)
     colors = jax.lax.all_gather(feats_l, axis, tiled=True)  # (N, C) — differentiable
 
     y_off = (d * strip_h).astype(jnp.float32)
