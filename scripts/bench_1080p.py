@@ -1,0 +1,36 @@
+"""1080p / 1M-Gaussian inference benchmark (BASELINE config 4), drain-timed.
+
+Round-2: 161 ms (6.2 FPS) via the two-key wide sort. Round-3 changes that
+land here: shift-packed single-int32 keys (2040 tiles x 2^20 fits),
+streaming fast kernel, bf16 colour rows, anisotropic bbox rects.
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp
+from gags_tpu.splat.rasterizer import RasterizeConfig, rasterize
+from gags_tpu.utils.synthetic import make_scene, make_camera
+from gags_tpu.utils.timing import device_time_drain
+
+N, W, H = 1_000_000, 1920, 1080
+raw = make_scene(N, seed=0, extent=3.0)
+means, quats, scales, opac = (
+    jnp.asarray(raw[k]) for k in ("means", "quats", "scales", "opacities")
+)
+feats = jnp.asarray(raw["features"])
+cam = make_camera(W, H)
+bg = jnp.zeros((16,), jnp.float32)
+for v in [dict(budget_factor=3, fast_color_rows=True), dict(budget_factor=4)]:
+    cfg = RasterizeConfig(tile_h=32, tile_w=32, aligned=False, **v)
+
+    @jax.jit
+    def render(f):
+        return rasterize(means, quats, scales, opac, f, cam.viewmat, cam.K,
+                         W, H, background=bg, config=cfg).image
+
+    res = rasterize(means, quats, scales, opac, feats, cam.viewmat, cam.K,
+                    W, H, background=bg, config=cfg)
+    ovf = int(res.overflow)
+    dt = device_time_drain(render, feats, k=10, warmup=2)
+    print(f"1080p/1M {v}: {dt*1e3:7.2f} ms ({1/dt:5.2f} FPS) overflow={ovf}",
+          flush=True)
