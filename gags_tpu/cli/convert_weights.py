@@ -106,7 +106,12 @@ def check_sam(path: str, forward: bool) -> bool:
         print(f"[sam] forward ok: image embedding {emb.shape}, "
               f"|emb| mean {float(jnp.abs(emb).mean()):.4f}")
         try:
-            sys.path.insert(0, "/root/repo")
+            import os
+
+            repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+            if repo_root not in sys.path:
+                sys.path.insert(0, repo_root)
             from tests.test_sam_tower_parity import _hf_model  # type: ignore
 
             hf = _hf_model({k: np.asarray(v, np.float32) for k, v in sd.items()}, cfg)

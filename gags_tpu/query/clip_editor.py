@@ -106,17 +106,19 @@ class CLIPEditor:
         self.model = CLIP(cfg)
         self.params = params
         self.tokenizer = tokenizer
+        # params passed per call: closing over them would bake the whole
+        # tower into the jaxpr as constants and freeze later param updates
         self._enc_img = jax.jit(
-            lambda imgs: self.model.apply(params, imgs, method="encode_image")
+            lambda p, imgs: self.model.apply(p, imgs, method="encode_image")
         )
         self._enc_txt = jax.jit(
-            lambda toks: self.model.apply(params, toks, method="encode_text")
+            lambda p, toks: self.model.apply(p, toks, method="encode_text")
         )
 
     def encode_text(self, texts: Sequence[str]) -> jnp.ndarray:
         assert self.tokenizer is not None, "tokenizer required for raw text"
         toks = jnp.asarray([self.tokenizer(t) for t in texts])
-        emb = self._enc_txt(toks)
+        emb = self._enc_txt(self.params, toks)
         return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
 
     def encode_image(
@@ -136,5 +138,5 @@ class CLIPEditor:
         else:
             views = jax.image.resize(image, (size, size, 3), "cubic")[None]
         views = (views - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
-        emb = self._enc_img(views)
+        emb = self._enc_img(self.params, views)
         return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)

@@ -23,8 +23,7 @@ for th, tw, chunk in [(32, 32, 128), (32, 32, 256), (32, 32, 512),
                       (16, 32, 256), (16, 32, 512), (32, 64, 256)]:
     cfg = RasterizeConfig(tile_h=th, tile_w=tw, aligned=False, chunk=chunk,
                           budget_factor=8)
-    tiles_x, tiles_y = -(-W // tw), -(-th and -(-H // th))
-    tiles_y = -(-H // th)
+    tiles_x, tiles_y = -(-W // tw), -(-H // th)
     p = project_gaussians(means, quats, scales, cam.viewmat, cam.K, W, H)
     b = tiles.bin_gaussians(p.means2d, p.radii, p.depths, W, H, tw, th,
                             budget=cfg.instance_budget(N), chunk=chunk,

@@ -89,7 +89,6 @@ def gather_blend(f):
 t_gb = stage("gather+blend", gather_blend, feats)
 
 # blend only (pre-gathered instance data)
-inst_data = jax.block_until_ready(gather_fn := None) if False else None
 @jax.jit
 def make_inst(f):
     fp = jnp.concatenate([f, jnp.zeros((1, 16))], 0)[perm]

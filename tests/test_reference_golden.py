@@ -41,6 +41,10 @@ def _stub(name, **attrs):
 @pytest.fixture(scope="module")
 def ref():
     """Import the reference modules with unavailable deps stubbed."""
+    import os
+
+    if not os.path.isdir(REF):
+        pytest.skip(f"reference checkout not present at {REF}")
     _stub("simple_knn")
     _stub("simple_knn._C", distCUDA2=lambda *a, **k: None)
     _stub("plyfile", PlyData=object, PlyElement=object)
