@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from gags_tpu.scene.dataset import detect_and_load, camera_from_info
 from gags_tpu.scene.gaussian_data import GaussianScene
 from gags_tpu.splat.render import render
+from gags_tpu.splat.rasterizer import auto_config
 from gags_tpu.utils.colormaps import apply_depth_colormap, apply_pca_colormap
 
 
@@ -51,6 +52,8 @@ def render_set(
     renders_dir = os.path.join(base, "renders")
     pca_proj = None
     bg = jnp.zeros((3,), jnp.float32)
+    # forward-only rendering: unaligned inference binning + streaming kernel
+    cfg = auto_config(aligned=False)
 
     for info in cam_infos:
         cam = camera_from_info(info, resolution)
@@ -65,6 +68,7 @@ def render_set(
                 semantic_features=scene.semantic_features,
                 feature_mode=True,
                 bg_color=jnp.zeros((3,)),
+                config=cfg,
             )
             fmap = np.asarray(out.render)
             if feature_npy:
@@ -90,6 +94,7 @@ def render_set(
                 feature_mode=False,
                 render_mode=render_mode,
                 bg_color=bg,
+                config=cfg,
             )
             img = np.asarray(out.render)
             if render_mode == "RGB+ED":
