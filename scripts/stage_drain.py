@@ -27,7 +27,8 @@ means, quats, scales, opac = (
 )
 feats = jnp.asarray(raw["features"])
 cam = make_camera(W, H)
-cfg = RasterizeConfig(tile_h=th, tile_w=tw, aligned=False)
+cfg = RasterizeConfig(tile_h=th, tile_w=tw, aligned=False,
+                      fast_color_rows=True, budget_factor=3)
 bg = jnp.zeros((16,), jnp.float32)
 tiles_x, tiles_y = -(-W // tw), -(-H // th)
 budget = cfg.instance_budget(N)
