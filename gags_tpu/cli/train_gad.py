@@ -56,6 +56,10 @@ class RunConfig:
     seed: int = 0
     eval_split: bool = False     # reference --eval: hold out every 8th camera
     resume: bool = False
+    # reference-style warm start: a torch chkpnt<N>.pth (12/13-tuple). A
+    # 13-tuple also restores decoder_chkpnt<N>/scale_decoder_chkpnt<N>.pth
+    # when present beside it and resumes at iteration N (train.py:81-94)
+    start_checkpoint: str = ""
     profile: bool = False        # capture a jax.profiler trace of steps 50-60
     # SIBR remote viewer (reference network_gui). The CLI defaults to the
     # reference's port 6009; programmatic runs (tests) default off.
@@ -130,7 +134,19 @@ def run(rc: RunConfig, gad_cfg: GadConfig = None) -> TrainState:
         json.dump(
             [camera_to_json(i, ci) for i, ci in enumerate(scene_info.train_cameras)], f
         )
-    geometry = GaussianScene.from_ply(rc.ply_path)
+    if not rc.start_checkpoint and not rc.ply_path:
+        raise SystemExit("one of --ply / --start_checkpoint is required")
+    torch_start_iter = 0
+    if rc.start_checkpoint:
+        from gags_tpu.gad.interop import load_reference_checkpoint
+
+        geometry, torch_start_iter, _feats = load_reference_checkpoint(
+            rc.start_checkpoint
+        )
+        print(f"torch checkpoint {rc.start_checkpoint}: "
+              f"iteration {torch_start_iter}")
+    else:
+        geometry = GaussianScene.from_ply(rc.ply_path)
     print(f"{geometry.num_gaussians} gaussians; {len(scene_info.train_cameras)} train cams")
 
     dataset = GadDataset(scene_info.train_cameras, resolution=rc.resolution)
@@ -138,6 +154,29 @@ def run(rc: RunConfig, gad_cfg: GadConfig = None) -> TrainState:
 
     state, statics = create_train_state(geometry, jax.random.PRNGKey(rc.seed), gad_cfg)
     first_iter = 0
+    if rc.start_checkpoint and torch_start_iter > 0:
+        # 13-tuple resume: also restore the decoder heads saved beside it
+        import dataclasses as _dc
+        import re as _re
+
+        from gags_tpu.gad.interop import (
+            load_reference_decoder, load_reference_scale_decoder,
+        )
+
+        d = os.path.dirname(rc.start_checkpoint)
+        m = _re.search(r"(\d+)", os.path.basename(rc.start_checkpoint))
+        n = m.group(1) if m else str(torch_start_iter)
+        dec_p = os.path.join(d, f"decoder_chkpnt{n}.pth")
+        scl_p = os.path.join(d, f"scale_decoder_chkpnt{n}.pth")
+        if os.path.exists(dec_p):
+            state = _dc.replace(state, decoder_params=jax.tree.map(
+                jnp.asarray, load_reference_decoder(dec_p)))
+            print(f"restored {dec_p}")
+        if os.path.exists(scl_p):
+            state = _dc.replace(state, scale_params=jax.tree.map(
+                jnp.asarray, load_reference_scale_decoder(scl_p)))
+            print(f"restored {scl_p}")
+        first_iter = torch_start_iter
     if rc.resume:
         step0 = latest_checkpoint_step(rc.model_path)
         if step0 is not None:
@@ -310,7 +349,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("-s", "--source_path", required=True)
     p.add_argument("-m", "--model_path", required=True)
-    p.add_argument("--ply", dest="ply_path", required=True)
+    p.add_argument("--ply", dest="ply_path", default="")
+    p.add_argument("--start_checkpoint", default="",
+                   help="reference torch chkpnt<N>.pth to warm-start from")
     p.add_argument("-r", "--resolution", type=int, default=2)
     p.add_argument("--iterations", type=int, default=30000)
     p.add_argument("--save_iterations", default="15000,30000")

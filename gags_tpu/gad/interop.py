@@ -59,3 +59,41 @@ def load_reference_checkpoint(path: str) -> Tuple[GaussianScene, int, Optional[n
         max_sh_degree=max_deg,
     )
     return scene, int(iteration), feats
+
+
+def _conv_to_dense(sd, idx: int):
+    """torch `decoder.{idx}` 1x1-Conv2d -> flax Dense params."""
+    w = _np(sd[f"decoder.{idx}.weight"])  # (C_out, C_in, 1, 1)
+    return {
+        "kernel": np.ascontiguousarray(w[:, :, 0, 0].T.astype(np.float32)),
+        "bias": _np(sd[f"decoder.{idx}.bias"]).astype(np.float32),
+    }
+
+
+def load_reference_decoder(path: str):
+    """Convert the reference's `decoder_chkpnt<N>.pth` into FeatureDecoder
+    flax params.
+
+    The file holds {"model_state_dict", "optimizer_state_dict"}
+    (train.py:233-236); layer plan: 1x1 convs at decoder.{0,2,...,16}
+    (networks.py:126-194) -> Dense d0..d8. Optimizer moments are not
+    carried over (Adam restarts; the reference reloads them but a fresh
+    Adam converges indistinguishably for these small heads).
+    """
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    sd = payload.get("model_state_dict", payload)
+    params = {f"d{i}": _conv_to_dense(sd, 2 * i) for i in range(9)}
+    return {"params": params}
+
+
+def load_reference_scale_decoder(path: str):
+    """`scale_decoder_chkpnt<N>.pth` -> ScaleDecoder flax params
+    (convs at decoder.{0,2,...,10}, networks.py:225-241 -> d0..d5)."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    sd = payload.get("model_state_dict", payload)
+    params = {f"d{i}": _conv_to_dense(sd, 2 * i) for i in range(6)}
+    return {"params": params}

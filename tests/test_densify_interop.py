@@ -1,6 +1,7 @@
 """Densification ops + reference checkpoint interop tests."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from gags_tpu.scene.densify import (
@@ -94,3 +95,85 @@ def test_reference_checkpoint_roundtrip(tmp_path):
     torch.save((tup12, 30000), p2)
     scene2, it2, feats2 = load_reference_checkpoint(p2)
     assert it2 == 0 and feats2 is None  # RGB-only → restart feature training
+
+
+def test_reference_decoder_checkpoint_roundtrip(tmp_path):
+    """decoder_chkpnt / scale_decoder_chkpnt torch layouts convert into our
+    flax decoders and produce identical outputs to the conv stack."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+    from gags_tpu.gad.interop import (
+        load_reference_decoder, load_reference_scale_decoder,
+    )
+    from gags_tpu.models.decoders import FeatureDecoder, ScaleDecoder
+
+    rng = np.random.default_rng(0)
+
+    def conv_sd(dims_in, dims_out):
+        sd = {}
+        for i, (ci, co) in enumerate(zip(dims_in, dims_out)):
+            sd[f"decoder.{2*i}.weight"] = torch.from_numpy(
+                rng.normal(scale=0.2, size=(co, ci, 1, 1)).astype(np.float32))
+            sd[f"decoder.{2*i}.bias"] = torch.from_numpy(
+                rng.normal(scale=0.1, size=(co,)).astype(np.float32))
+        return sd
+
+    # reference layer plans (networks.py:128-129, 226)
+    f_in = [16, 256, 256, 256, 256, 256, 256, 256, 256]
+    f_out = [256, 256, 256, 256, 256, 256, 256, 256, 512]
+    s_dims = [64, 128, 64, 32, 16, 3]
+    f_sd = conv_sd(f_in, f_out)
+    s_sd = conv_sd([16] + s_dims[:-1], s_dims)
+    torch.save({"model_state_dict": f_sd, "optimizer_state_dict": {}},
+               tmp_path / "decoder_chkpnt30000.pth")
+    torch.save({"model_state_dict": s_sd, "optimizer_state_dict": {}},
+               tmp_path / "scale_decoder_chkpnt30000.pth")
+
+    fp = load_reference_decoder(str(tmp_path / "decoder_chkpnt30000.pth"))
+    sp = load_reference_scale_decoder(
+        str(tmp_path / "scale_decoder_chkpnt30000.pth"))
+
+    # converted params must match the model's own init structure
+    x = jnp.asarray(rng.normal(size=(4, 6, 16)).astype(np.float32))
+    ref_f = jax.eval_shape(FeatureDecoder().init, jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(fp) == jax.tree_util.tree_structure(
+        jax.tree.map(lambda v: np.zeros(v.shape, np.float32), ref_f))
+
+    # outputs match a direct numpy conv-stack evaluation
+    def np_stack(x, sd, n, final):
+        h = np.asarray(x)
+        for i in range(n):
+            w = sd[f"decoder.{2*i}.weight"].numpy()[:, :, 0, 0]
+            b = sd[f"decoder.{2*i}.bias"].numpy()
+            h = h @ w.T + b
+            if i < n - 1:
+                h = np.maximum(h, 0)
+        return final(h)
+
+    out_f = np.asarray(FeatureDecoder().apply(fp, x))
+    want_f = np_stack(x, f_sd, 9, lambda h: None)  # replicate skips below
+
+    # FeatureDecoder has skip connections — evaluate exactly like the ref
+    def ref_feature(x):
+        h = np.asarray(x)
+        def conv(i, v):
+            w = f_sd[f"decoder.{i}.weight"].numpy()[:, :, 0, 0]
+            b = f_sd[f"decoder.{i}.bias"].numpy()
+            return v @ w.T + b
+        relu = lambda v: np.maximum(v, 0)
+        x1 = relu(conv(0, h))
+        x2 = relu(conv(4, relu(conv(2, x1))))
+        x3 = relu(conv(6, x1 + x2))
+        x4 = relu(conv(10, relu(conv(8, x3))))
+        x5 = relu(conv(14, relu(conv(12, x3 + x4))))
+        x5 = conv(16, x5)
+        n = np.sqrt(np.maximum((x5 * x5).sum(-1, keepdims=True), 1e-24))
+        return x5 / n
+
+    np.testing.assert_allclose(out_f, ref_feature(x), atol=2e-5)
+
+    out_s = np.asarray(ScaleDecoder().apply(sp, x))
+    logits = np_stack(x, s_sd, 6, lambda h: h)
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    np.testing.assert_allclose(out_s, e / e.sum(-1, keepdims=True), atol=2e-5)

@@ -106,3 +106,59 @@ def test_full_training_cli(tmp_path):
     assert float(jnp.abs(back.semantic_features).max()) > 0
     assert os.path.exists(os.path.join(model, "cfg.json"))
     assert os.path.exists(os.path.join(model, "metrics.jsonl"))
+
+
+@pytest.mark.slow
+def test_warm_start_from_reference_torch_checkpoint(tmp_path):
+    """--start_checkpoint: 13-tuple chkpnt<N>.pth + decoder checkpoints
+    warm-start training at iteration N (reference train.py:81-94)."""
+    torch = pytest.importorskip("torch")
+    from gags_tpu.cli.train_gad import RunConfig, run
+    from gags_tpu.gad.train import GadConfig
+    from gags_tpu.splat.rasterizer import RasterizeConfig
+    from gags_tpu.utils.synthetic import make_scene
+
+    root = str(tmp_path / "scene")
+    model = str(tmp_path / "model")
+    _build_fixture(root)
+
+    raw = make_scene(60, seed=3)
+    n = 60
+    rng = np.random.default_rng(0)
+    t = lambda a: torch.from_numpy(np.asarray(a, np.float32))
+    args13 = (
+        3, t(raw["means"]), t(raw["sh"][:, :1]), t(raw["sh"][:, 1:]),
+        t(np.log(raw["scales"])), t(raw["quats"]),
+        t(np.log(raw["opacities"] / (1 - raw["opacities"]))[:, None]),
+        t(np.zeros(n)), t(np.zeros(n)), t(np.zeros(n)), {}, 1.0,
+        t(rng.normal(size=(n, 8)) * 0.01),
+    )
+    os.makedirs(model, exist_ok=True)
+    ck = os.path.join(model, "chkpnt6.pth")
+    torch.save((args13, 6), ck)
+
+    def conv_sd(dims_in, dims_out):
+        sd = {}
+        for i, (ci, co) in enumerate(zip(dims_in, dims_out)):
+            sd[f"decoder.{2*i}.weight"] = t(
+                rng.normal(scale=0.1, size=(co, ci, 1, 1)))
+            sd[f"decoder.{2*i}.bias"] = t(np.zeros(co))
+        return sd
+
+    torch.save({"model_state_dict": conv_sd([8] + [256] * 8, [256] * 8 + [24])},
+               os.path.join(model, "decoder_chkpnt6.pth"))
+    torch.save(
+        {"model_state_dict": conv_sd([8, 64, 128, 64, 32, 16],
+                                     [64, 128, 64, 32, 16, 3])},
+        os.path.join(model, "scale_decoder_chkpnt6.pth"))
+
+    rc = RunConfig(source_path=root, model_path=model, start_checkpoint=ck,
+                   resolution=1, iterations=8, save_iterations="8")
+    cfg = GadConfig(
+        feature_dim=8, clip_dim=24, max_segments=16,
+        raster=RasterizeConfig(tile_h=8, tile_w=16, chunk=8, interpret=True))
+    state = run(rc, cfg)
+    # warm start at iter 6, trained to 8 → 2 new optimizer steps
+    assert int(state.step) == 2
+    out_ply = os.path.join(model, "point_cloud", "iteration_8", "point_cloud.ply")
+    assert os.path.exists(out_ply)
