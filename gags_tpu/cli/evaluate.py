@@ -111,7 +111,9 @@ def main():
             feature_mode=True,
             bg_color=jnp.zeros((3,)),
         )
-        decoded = np.asarray(dec.apply(state.decoder_params, out.render))
+        from gags_tpu.query.grounding import decode_map_rows
+
+        decoded = decode_map_rows(dec.apply, state.decoder_params, out.render)
 
         labels = list(ann.keys())
         pos, neg = load_text_embeds(args, labels)

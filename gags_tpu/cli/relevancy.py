@@ -28,6 +28,7 @@ from gags_tpu.gad.checkpoints import latest_checkpoint_step, load_checkpoint
 from gags_tpu.query.relevancy import heatmap_to_mask, max_across_levels, majority_smooth
 from gags_tpu.query.grounding import (
     decode_features_chunked,
+    decode_map_rows,
     point_relevancy,
     select_gaussians,
 )
@@ -67,7 +68,9 @@ def image_mode(args, scene, state, statics, info):
             opacities=scene.opacities, semantic_features=state.features,
             feature_mode=True, bg_color=jnp.zeros((3,)),
         )
-        decoded = dec.apply(state.decoder_params, out.render)
+        decoded = jnp.asarray(
+            decode_map_rows(dec.apply, state.decoder_params, out.render)
+        )
         rel = max_across_levels(decoded[None], jnp.asarray(pos), jnp.asarray(neg))[0]
         for k, label in enumerate(labels):
             mask, vm = heatmap_to_mask(rel[k], args.thresh)

@@ -122,3 +122,25 @@ def select_gaussians(
     if smooth and xyz is not None:
         mask = smooth_point_mask(xyz, mask)
     return mask
+
+
+def decode_map_rows(
+    decoder_apply,
+    dec_params,
+    feat_map: jnp.ndarray,  # (H, W, F)
+    rows_per_chunk: int = 96,
+) -> np.ndarray:
+    """Decode an (H, W, F) feature map to CLIP space in ROW chunks.
+
+    A whole-image 512-dim decode at 1080p is a (1080, 1920, 512) f32
+    output (~4.2 GB) plus ~(H, W, 256) hidden activations per layer —
+    past the v5e HBM envelope (SURVEY §7.3.6). Row chunking bounds the
+    device footprint; the result is assembled on host.
+    """
+    h = feat_map.shape[0]
+    fn = jax.jit(lambda f: decoder_apply(dec_params, f))
+    outs = [
+        np.asarray(fn(feat_map[i : i + rows_per_chunk]))
+        for i in range(0, h, rows_per_chunk)
+    ]
+    return np.concatenate(outs, axis=0)
