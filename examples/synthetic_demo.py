@@ -18,11 +18,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(out_root: str):
     # CPU demo: force the platform BEFORE backend init (probing the default
-    # backend would initialise — and potentially hang on — a remote TPU)
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # backend would initialise — and potentially hang on — a remote TPU;
+    # this environment exports JAX_PLATFORMS=axon, so override, don't defer)
+    platform = os.environ.get("GAGS_DEMO_PLATFORM", "cpu")
+    os.environ["JAX_PLATFORMS"] = platform
     import jax
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_platforms", platform)
     import jax.numpy as jnp  # noqa: F401
 
     from tests.test_e2e_gad import _build_fixture
