@@ -74,8 +74,8 @@ def load_reference_decoder(path: str):
     """Convert the reference's `decoder_chkpnt<N>.pth` into FeatureDecoder
     flax params.
 
-    The file holds {"model_state_dict", "optimizer_state_dict"}
-    (train.py:233-236); layer plan: 1x1 convs at decoder.{0,2,...,16}
+    The file holds {"module_state_dict", "optimizer_state_dict"}
+    (train.py:235-238); layer plan: 1x1 convs at decoder.{0,2,...,16}
     (networks.py:126-194) -> Dense d0..d8. Optimizer moments are not
     carried over (Adam restarts; the reference reloads them but a fresh
     Adam converges indistinguishably for these small heads).
@@ -83,7 +83,7 @@ def load_reference_decoder(path: str):
     import torch
 
     payload = torch.load(path, map_location="cpu", weights_only=False)
-    sd = payload.get("model_state_dict", payload)
+    sd = payload.get("module_state_dict", payload) if isinstance(payload, dict) else payload
     params = {f"d{i}": _conv_to_dense(sd, 2 * i) for i in range(9)}
     return {"params": params}
 
@@ -94,6 +94,6 @@ def load_reference_scale_decoder(path: str):
     import torch
 
     payload = torch.load(path, map_location="cpu", weights_only=False)
-    sd = payload.get("model_state_dict", payload)
+    sd = payload.get("module_state_dict", payload) if isinstance(payload, dict) else payload
     params = {f"d{i}": _conv_to_dense(sd, 2 * i) for i in range(6)}
     return {"params": params}

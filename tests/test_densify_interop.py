@@ -125,9 +125,9 @@ def test_reference_decoder_checkpoint_roundtrip(tmp_path):
     s_dims = [64, 128, 64, 32, 16, 3]
     f_sd = conv_sd(f_in, f_out)
     s_sd = conv_sd([16] + s_dims[:-1], s_dims)
-    torch.save({"model_state_dict": f_sd, "optimizer_state_dict": {}},
+    torch.save({"module_state_dict": f_sd, "optimizer_state_dict": {}},
                tmp_path / "decoder_chkpnt30000.pth")
-    torch.save({"model_state_dict": s_sd, "optimizer_state_dict": {}},
+    torch.save({"module_state_dict": s_sd, "optimizer_state_dict": {}},
                tmp_path / "scale_decoder_chkpnt30000.pth")
 
     fp = load_reference_decoder(str(tmp_path / "decoder_chkpnt30000.pth"))

@@ -145,10 +145,10 @@ def test_warm_start_from_reference_torch_checkpoint(tmp_path):
             sd[f"decoder.{2*i}.bias"] = t(np.zeros(co))
         return sd
 
-    torch.save({"model_state_dict": conv_sd([8] + [256] * 8, [256] * 8 + [24])},
+    torch.save({"module_state_dict": conv_sd([8] + [256] * 8, [256] * 8 + [24])},
                os.path.join(model, "decoder_chkpnt6.pth"))
     torch.save(
-        {"model_state_dict": conv_sd([8, 64, 128, 64, 32, 16],
+        {"module_state_dict": conv_sd([8, 64, 128, 64, 32, 16],
                                      [64, 128, 64, 32, 16, 3])},
         os.path.join(model, "scale_decoder_chkpnt6.pth"))
 
