@@ -297,6 +297,7 @@ def _forward_fast_kernel(
     tile_w: int,
     g: int,
     p_block: int,
+    mxu_sigma: bool,
 ):
     """Inference-only forward blend (unaligned ranges), VMEM-traffic-dieted.
 
@@ -326,6 +327,25 @@ def _forward_fast_kernel(
 
     # per-tile pixel coordinates, per p-block (static python loop)
     px_full, py_full = _pixel_coords(t, tiles_x, tile_h, tile_w, p)
+
+    if mxu_sigma:
+        # sigma as ONE (P, 8) @ (8, G) MXU matmul per chunk: expand the
+        # quadratic form in TILE-CENTRED pixel coords (u, v) so every term
+        # stays O(conic * tile_radius^2) and f32 cancellation error lands
+        # ~1e-4 in log2-sigma (~7e-5 relative alpha — an order below the
+        # bf16 colour-row error this path already accepts). Replaces ~9
+        # materialised (P, G) VPU ops with per-lane coefficient prep.
+        ty = t // tiles_x
+        tx = t - ty * tiles_x
+        ox = (tx * tile_w).astype(jnp.float32) + 0.5 * (tile_w - 1) + 0.5
+        oy = (ty * tile_h).astype(jnp.float32) + 0.5 * (tile_h - 1) + 0.5
+        u = px_full - ox  # (P, 1), in [-(tw-1)/2, (tw-1)/2]
+        v = py_full - oy
+        ones = jnp.ones_like(u)
+        zeros = jnp.zeros_like(u)
+        x_feat = jnp.concatenate(
+            [u * u, u * v, v * v, u, v, ones, zeros, zeros], axis=1
+        )  # (P, 8)
 
     lead = jax.lax.rem(start, g)
     base = start - lead
@@ -384,12 +404,11 @@ def _forward_fast_kernel(
         def chunk_body(carry):
             # log_t: NAIVE cumulative log2 T (monotone decreasing — drives
             # the include test, so a pixel stays stopped after its first
-            # crossing); rep: log2 T after the last INCLUDED splat (the
-            # residual the background blends against)
-            k, log_t, rep = carry
+            # crossing); aw: accumulated blend weight of INCLUDED splats;
+            # since the included set is a prefix, sum(w) telescopes to
+            # 1 - T_after_last_included exactly — no min-tracking needed
+            k, log_t, aw = carry
             rows = gbuf[slot, :, pl.ds(k * g, g)]  # (8, G) f32
-            mx = rows[0:1, :]
-            my = rows[1:2, :]
             # constants folded into the per-lane conic rows: sigma2 =
             # sigma * log2(e) so alpha = op * exp2(-sigma2); 0.5 absorbed
             ca = rows[2:3, :] * (0.5 * INV_LN2)
@@ -401,20 +420,54 @@ def _forward_fast_kernel(
                 (j >= lead) & (j < lead + count), rows[5:6, :], 0.0
             )
             colors = cbuf[slot, :, pl.ds(k * g, g)].astype(jnp.float32)
+            if mxu_sigma:
+                # polynomial coefficients of sigma2 in tile-centred (u, v):
+                # all per-lane (1, G) work
+                du = rows[0:1, :] - ox
+                dv = rows[1:2, :] - oy
+                a2du = 2.0 * (ca * du)
+                bdv = cb * dv
+                coef = jnp.concatenate(
+                    [
+                        ca,
+                        cb,
+                        cc,
+                        -(a2du + bdv),
+                        -(2.0 * (cc * dv) + cb * du),
+                        0.5 * (a2du * du) + dv * (cb * du + cc * dv),
+                        jnp.zeros_like(ca),
+                        jnp.zeros_like(ca),
+                    ],
+                    axis=0,
+                )  # (8, G)
+            else:
+                mx = rows[0:1, :]
+                my = rows[1:2, :]
 
-            new_log_t, new_rep = [], []
+            new_log_t, new_aw = [], []
             for b in range(nb):
                 sl = slice(b * p_block, (b + 1) * p_block)
-                px = px_full[sl]
-                py = py_full[sl]
                 lt = log_t[sl]
-                dx = px - mx  # (Pb, G)
-                dy = py - my
-                s2 = (ca * dx) * dx + (cb * dx + cc * dy) * dy
+                if mxu_sigma:
+                    s2 = jax.lax.dot_general(
+                        x_feat[sl], coef,  # (Pb, 8) x (8, G)
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    # exact sigma >= 0 (PSD conic): negatives are pure fp
+                    # noise at the centre — clamp (reference keeps these
+                    # splats; masking would wrongly skip them)
+                    s2 = jnp.maximum(s2, 0.0)
+                else:
+                    dx = px_full[sl] - mx  # (Pb, G)
+                    dy = py_full[sl] - my
+                    s2 = (ca * dx) * dx + (cb * dx + cc * dy) * dy
                 alpha = jnp.minimum(ALPHA_CLAMP, opm * jnp.exp2(-s2))
-                alpha = jnp.where(
-                    (s2 >= 0.0) & (alpha >= ALPHA_FLOOR), alpha, 0.0
+                live = (alpha >= ALPHA_FLOOR) if mxu_sigma else (
+                    (s2 >= 0.0) & (alpha >= ALPHA_FLOOR)
                 )
+                alpha = jnp.where(live, alpha, 0.0)
                 l1m = jnp.log1p(-alpha) * INV_LN2  # log2(1 - alpha)
                 cum = _cumsum_lanes(l1m, g)
                 lt_incl = lt + cum
@@ -428,16 +481,14 @@ def _forward_fast_kernel(
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
-                chunk_min = jnp.min(
-                    jnp.where(include & (lt_incl < 0.0), lt_incl, 0.0),
-                    axis=1, keepdims=True,
+                new_aw.append(
+                    aw[sl] + jnp.sum(w, axis=1, keepdims=True)
                 )
-                new_rep.append(jnp.minimum(rep[sl], chunk_min))
                 new_log_t.append(lt + cum[:, g - 1 : g])
             return (
                 k + 1,
                 jnp.concatenate(new_log_t, axis=0),
-                jnp.concatenate(new_rep, axis=0),
+                jnp.concatenate(new_aw, axis=0),
             )
 
         _, log_t1, rep1 = jax.lax.while_loop(
@@ -450,14 +501,16 @@ def _forward_fast_kernel(
         jnp.zeros((p, 1), jnp.float32),
         jnp.zeros((p, 1), jnp.float32),
     )
-    s_done, _, log_t = jax.lax.while_loop(seg_cond, seg_body, init)
+    s_done, _, aw_fin = jax.lax.while_loop(seg_cond, seg_body, init)
 
     # early exit leaves the prefetched segment in flight — drain it
     @pl.when(jnp.logical_and(s_done < nseg, s_done > 0))
     def _():
         seg_wait(s_done, jax.lax.rem(s_done, 2))
 
-    t_fin = jnp.exp2(log_t)
+    # T after the last included splat = 1 - sum of included blend weights
+    # (exact telescoping; clamp shields the ~1-ulp fp overshoot)
+    t_fin = jnp.maximum(1.0 - aw_fin, 0.0)
     out_ref[0, :, :c] = acc_ref[:, :] + t_fin * bg_ref[0:1, :]
     out_ref[0, :, c : c + 1] = 1.0 - t_fin
 
@@ -469,7 +522,7 @@ SEG_CHUNKS = 8  # chunks streamed per segment DMA in the fast kernel
     jax.jit,
     static_argnames=(
         "tiles_x", "tiles_y", "tile_h", "tile_w", "chunk", "p_block",
-        "seg_chunks", "interpret",
+        "seg_chunks", "mxu_sigma", "interpret",
     ),
 )
 def tile_blend_forward_fast(
@@ -486,6 +539,7 @@ def tile_blend_forward_fast(
     chunk: int = 128,
     p_block: int = 1024,
     seg_chunks: int = SEG_CHUNKS,
+    mxu_sigma: bool = True,
     interpret: bool = False,
 ):
     """Inference forward blend over unaligned ranges. Returns (T, P, C+1).
@@ -526,7 +580,7 @@ def tile_blend_forward_fast(
     )
     kernel = functools.partial(
         _forward_fast_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
-        g=chunk, p_block=p_block,
+        g=chunk, p_block=p_block, mxu_sigma=mxu_sigma,
     )
     (out,) = pl.pallas_call(
         kernel,

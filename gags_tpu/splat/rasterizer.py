@@ -52,6 +52,11 @@ class RasterizeConfig:
     # bytes; feature output error ~1e-3 relative, geometry math unaffected)
     p_block: int = 1024
     fast_color_rows: bool = False
+    # sigma as a (P, 8) @ (8, G) MXU bilinear form in tile-centred coords
+    # instead of ~9 materialised (P, G) VPU ops; polynomial-expansion
+    # cancellation adds ~1e-4 log2-sigma error (an order below the bf16
+    # colour-row error). Inference fast path only.
+    mxu_sigma: bool = True
 
     def instance_budget(self, n: int) -> int:
         if self.budget is not None:
@@ -258,6 +263,7 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, 
             tile_w=cfg.tile_w,
             chunk=cfg.chunk,
             p_block=cfg.p_block,
+            mxu_sigma=cfg.mxu_sigma,
             interpret=cfg.interpret,
         )
         return out[..., :c_true], out[..., -1:]

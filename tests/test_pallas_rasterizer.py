@@ -148,10 +148,14 @@ def test_budget_overflow_flagged():
     assert int(res.overflow) > 0
 
 
-@pytest.mark.parametrize("n,cdim,seed", [(200, 3, 1), (120, 16, 2)])
-def test_unaligned_forward_matches_reference(n, cdim, seed):
+@pytest.mark.parametrize(
+    "n,cdim,seed,mxu_sigma",
+    [(200, 3, 1, True), (120, 16, 2, True), (120, 16, 2, False)],
+)
+def test_unaligned_forward_matches_reference(n, cdim, seed, mxu_sigma):
     """aligned=False (inference binning: no dummies, searchsorted ranges,
-    in-kernel head/tail masking) must match the oracle exactly."""
+    in-kernel head/tail masking) must match the oracle exactly — in both
+    the MXU-bilinear-sigma and elementwise-sigma kernel variants."""
     means, quats, scales, op, col, vm, K = _scene(n, seed, cdim)
     p = project_gaussians(means, quats, scales, vm, K, W, H)
     ref_img, ref_alpha = rasterize_reference(
@@ -159,7 +163,7 @@ def test_unaligned_forward_matches_reference(n, cdim, seed):
     )
     cfg = RasterizeConfig(
         tile_h=8, tile_w=16, chunk=8, budget_factor=6, interpret=True,
-        aligned=False,
+        aligned=False, mxu_sigma=mxu_sigma,
     )
     res = rasterize(means, quats, scales, op, col, vm, K, W, H, config=cfg)
     np.testing.assert_allclose(
