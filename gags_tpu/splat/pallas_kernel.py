@@ -320,7 +320,7 @@ def _forward_fast_kernel(
     start = tile_starts_ref[t]
     count = tile_counts_ref[t]
     p = tile_h * tile_w
-    c = acc_ref.shape[1]
+    c = acc_ref.shape[1] - 1  # last acc column accumulates sum(w)
     nb = p // p_block
     seg_w = gbuf.shape[2]  # segment width (chunks per DMA * g)
     cpseg = seg_w // g
@@ -383,11 +383,11 @@ def _forward_fast_kernel(
         seg_start(0, 0)
 
     def seg_cond(carry):
-        s, log_t, _ = carry
+        s, log_t = carry
         return jnp.logical_and(s < nseg, jnp.max(log_t) >= LOG2_T_EPS)
 
     def seg_body(carry):
-        s, log_t0, rep0 = carry
+        s, log_t0 = carry
         slot = jax.lax.rem(s, 2)
 
         @pl.when(s + 1 < nseg)
@@ -398,16 +398,17 @@ def _forward_fast_kernel(
         nc_here = jnp.minimum(nchunks - s * cpseg, cpseg)
 
         def chunk_cond(carry):
-            k, log_t, _ = carry
+            k, log_t = carry
             return jnp.logical_and(k < nc_here, jnp.max(log_t) >= LOG2_T_EPS)
 
         def chunk_body(carry):
             # log_t: NAIVE cumulative log2 T (monotone decreasing — drives
             # the include test, so a pixel stays stopped after its first
-            # crossing); aw: accumulated blend weight of INCLUDED splats;
-            # since the included set is a prefix, sum(w) telescopes to
-            # 1 - T_after_last_included exactly — no min-tracking needed
-            k, log_t, aw = carry
+            # crossing). The accumulated blend weight of INCLUDED splats
+            # rides the colour matmul as an appended ones-row (acc column
+            # c); since the included set is a prefix, sum(w) telescopes to
+            # 1 - T_after_last_included exactly — no min-tracking needed.
+            k, log_t = carry
             rows = gbuf[slot, :, pl.ds(k * g, g)]  # (8, G) f32
             # constants folded into the per-lane conic rows: sigma2 =
             # sigma * log2(e) so alpha = op * exp2(-sigma2); 0.5 absorbed
@@ -419,7 +420,13 @@ def _forward_fast_kernel(
             opm = jnp.where(
                 (j >= lead) & (j < lead + count), rows[5:6, :], 0.0
             )
-            colors = cbuf[slot, :, pl.ds(k * g, g)].astype(jnp.float32)
+            colors = jnp.concatenate(
+                [
+                    cbuf[slot, :, pl.ds(k * g, g)].astype(jnp.float32),
+                    jnp.ones((1, g), jnp.float32),  # sum(w) fold row
+                ],
+                axis=0,
+            )  # (C + 1, G)
             if mxu_sigma:
                 # polynomial coefficients of sigma2 in tile-centred (u, v):
                 # all per-lane (1, G) work
@@ -444,7 +451,7 @@ def _forward_fast_kernel(
                 mx = rows[0:1, :]
                 my = rows[1:2, :]
 
-            new_log_t, new_aw = [], []
+            new_log_t = []
             for b in range(nb):
                 sl = slice(b * p_block, (b + 1) * p_block)
                 lt = log_t[sl]
@@ -476,32 +483,22 @@ def _forward_fast_kernel(
                     include, alpha * jnp.exp2(lt_incl - l1m), 0.0
                 )
                 acc_ref[sl, :] += jax.lax.dot_general(
-                    w, colors,  # (Pb, G) x (C, G) -> (Pb, C)
+                    w, colors,  # (Pb, G) x (C+1, G) -> (Pb, C+1)
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
-                new_aw.append(
-                    aw[sl] + jnp.sum(w, axis=1, keepdims=True)
-                )
                 new_log_t.append(lt + cum[:, g - 1 : g])
-            return (
-                k + 1,
-                jnp.concatenate(new_log_t, axis=0),
-                jnp.concatenate(new_aw, axis=0),
-            )
+            return (k + 1, jnp.concatenate(new_log_t, axis=0))
 
-        _, log_t1, rep1 = jax.lax.while_loop(
-            chunk_cond, chunk_body, (jnp.zeros((), jnp.int32), log_t0, rep0)
+        _, log_t1 = jax.lax.while_loop(
+            chunk_cond, chunk_body, (jnp.zeros((), jnp.int32), log_t0)
         )
-        return s + 1, log_t1, rep1
+        return s + 1, log_t1
 
-    init = (
-        jnp.zeros((), jnp.int32),
-        jnp.zeros((p, 1), jnp.float32),
-        jnp.zeros((p, 1), jnp.float32),
-    )
-    s_done, _, aw_fin = jax.lax.while_loop(seg_cond, seg_body, init)
+    init = (jnp.zeros((), jnp.int32), jnp.zeros((p, 1), jnp.float32))
+    s_done, _ = jax.lax.while_loop(seg_cond, seg_body, init)
+    aw_fin = acc_ref[:, c : c + 1]
 
     # early exit leaves the prefetched segment in flight — drain it
     @pl.when(jnp.logical_and(s_done < nseg, s_done > 0))
@@ -511,7 +508,7 @@ def _forward_fast_kernel(
     # T after the last included splat = 1 - sum of included blend weights
     # (exact telescoping; clamp shields the ~1-ulp fp overshoot)
     t_fin = jnp.maximum(1.0 - aw_fin, 0.0)
-    out_ref[0, :, :c] = acc_ref[:, :] + t_fin * bg_ref[0:1, :]
+    out_ref[0, :, :c] = acc_ref[:, :c] + t_fin * bg_ref[0:1, :]
     out_ref[0, :, c : c + 1] = 1.0 - t_fin
 
 
@@ -574,7 +571,7 @@ def tile_blend_forward_fast(
         scratch_shapes=[
             pltpu.VMEM((2, GEOM_ROWS, seg_chunks * chunk), jnp.float32),
             pltpu.VMEM((2, c, seg_chunks * chunk), color_inst.dtype),
-            pltpu.VMEM((p, c), jnp.float32),
+            pltpu.VMEM((p, c + 1), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
