@@ -420,6 +420,14 @@ def _forward_fast_kernel(
             opm = jnp.where(
                 (j >= lead) & (j < lead + count), rows[5:6, :], 0.0
             )
+            if mxu_sigma:
+                # opacity folded into the sigma matmul: alpha =
+                # exp2(log2(op) - s2), so the (P, G) `op *` multiply
+                # disappears; masked/sentinel lanes (op = 0) get a large
+                # finite offset that underflows exp2 to exactly 0. The
+                # geometric max(s2, 0) clamp becomes max(s2', mlog) —
+                # same semantics, shifted by the fold.
+                mlog = jnp.where(opm > 0.0, -jnp.log2(opm), jnp.float32(1e4))
             colors = jnp.concatenate(
                 [
                     cbuf[slot, :, pl.ds(k * g, g)].astype(jnp.float32),
@@ -441,7 +449,7 @@ def _forward_fast_kernel(
                         cc,
                         -(a2du + bdv),
                         -(2.0 * (cc * dv) + cb * du),
-                        0.5 * (a2du * du) + dv * (cb * du + cc * dv),
+                        0.5 * (a2du * du) + dv * (cb * du + cc * dv) + mlog,
                         jnp.zeros_like(ca),
                         jnp.zeros_like(ca),
                     ],
@@ -463,17 +471,19 @@ def _forward_fast_kernel(
                         precision=jax.lax.Precision.HIGHEST,
                     )
                     # exact sigma >= 0 (PSD conic): negatives are pure fp
-                    # noise at the centre — clamp (reference keeps these
-                    # splats; masking would wrongly skip them)
-                    s2 = jnp.maximum(s2, 0.0)
+                    # noise at the centre — clamp against the folded
+                    # opacity floor (= mlog + max(geom_sigma, 0);
+                    # reference keeps these splats, masking would
+                    # wrongly skip them)
+                    s2 = jnp.maximum(s2, mlog)
+                    alpha = jnp.minimum(ALPHA_CLAMP, jnp.exp2(-s2))
+                    live = alpha >= ALPHA_FLOOR
                 else:
                     dx = px_full[sl] - mx  # (Pb, G)
                     dy = py_full[sl] - my
                     s2 = (ca * dx) * dx + (cb * dx + cc * dy) * dy
-                alpha = jnp.minimum(ALPHA_CLAMP, opm * jnp.exp2(-s2))
-                live = (alpha >= ALPHA_FLOOR) if mxu_sigma else (
-                    (s2 >= 0.0) & (alpha >= ALPHA_FLOOR)
-                )
+                    alpha = jnp.minimum(ALPHA_CLAMP, opm * jnp.exp2(-s2))
+                    live = (s2 >= 0.0) & (alpha >= ALPHA_FLOOR)
                 alpha = jnp.where(live, alpha, 0.0)
                 l1m = jnp.log1p(-alpha) * INV_LN2  # log2(1 - alpha)
                 cum = _cumsum_lanes(l1m, g)
