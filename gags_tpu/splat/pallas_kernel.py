@@ -137,6 +137,25 @@ def _cumsum_lanes(x, g: int):
     return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=1)
 
 
+def _cumsum_lanes_bf16(x, g: int):
+    """Inclusive lane prefix sum, bf16 in/out: one DEFAULT-precision pass
+    against the exact 0/1 triangular matrix with a bf16-emitting MXU dot
+    (f32 internal accumulation). Half the VMEM stream of the f32 scan."""
+    b = min(SCAN_BLOCK, g)
+    tri = _tri_incl(b).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    blocks = []
+    carry = jnp.zeros((x.shape[0], 1), jnp.bfloat16)
+    for s in range(g // b):
+        cum_s = carry + jax.lax.dot_general(
+            x[:, s * b : (s + 1) * b], tri, dimension_numbers=dn,
+            preferred_element_type=jnp.bfloat16,
+        )
+        carry = cum_s[:, b - 1 : b]
+        blocks.append(cum_s)
+    return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=1)
+
+
 def _blend_weights(alpha, log_t, g: int):
     """Per-splat blend weights + updated log transmittance for one chunk.
 
@@ -298,6 +317,7 @@ def _forward_fast_kernel(
     g: int,
     p_block: int,
     mxu_sigma: bool,
+    blend_bf16: bool,
 ):
     """Inference-only forward blend (unaligned ranges), VMEM-traffic-dieted.
 
@@ -321,6 +341,9 @@ def _forward_fast_kernel(
     count = tile_counts_ref[t]
     p = tile_h * tile_w
     c = acc_ref.shape[1] - 1  # last acc column accumulates sum(w)
+    # bf16 transmittance path runs in LN units (natural-log tri matmul
+    # stays an exact 0/1 matrix; no INV_LN2 constants to round to bf16)
+    t_eps = jnp.float32(LOG_T_EPS if blend_bf16 else LOG2_T_EPS)
     nb = p // p_block
     seg_w = gbuf.shape[2]  # segment width (chunks per DMA * g)
     cpseg = seg_w // g
@@ -384,7 +407,7 @@ def _forward_fast_kernel(
 
     def seg_cond(carry):
         s, log_t = carry
-        return jnp.logical_and(s < nseg, jnp.max(log_t) >= LOG2_T_EPS)
+        return jnp.logical_and(s < nseg, jnp.max(log_t) >= t_eps)
 
     def seg_body(carry):
         s, log_t0 = carry
@@ -399,7 +422,7 @@ def _forward_fast_kernel(
 
         def chunk_cond(carry):
             k, log_t = carry
-            return jnp.logical_and(k < nc_here, jnp.max(log_t) >= LOG2_T_EPS)
+            return jnp.logical_and(k < nc_here, jnp.max(log_t) >= t_eps)
 
         def chunk_body(carry):
             # log_t: NAIVE cumulative log2 T (monotone decreasing — drives
@@ -428,10 +451,11 @@ def _forward_fast_kernel(
                 # geometric max(s2, 0) clamp becomes max(s2', mlog) —
                 # same semantics, shifted by the fold.
                 mlog = jnp.where(opm > 0.0, -jnp.log2(opm), jnp.float32(1e4))
+            cdt = jnp.bfloat16 if blend_bf16 else jnp.float32
             colors = jnp.concatenate(
                 [
-                    cbuf[slot, :, pl.ds(k * g, g)].astype(jnp.float32),
-                    jnp.ones((1, g), jnp.float32),  # sum(w) fold row
+                    cbuf[slot, :, pl.ds(k * g, g)].astype(cdt),
+                    jnp.ones((1, g), cdt),  # sum(w) fold row
                 ],
                 axis=0,
             )  # (C + 1, G)
@@ -476,6 +500,38 @@ def _forward_fast_kernel(
                     # reference keeps these splats, masking would
                     # wrongly skip them)
                     s2 = jnp.maximum(s2, mlog)
+                    if blend_bf16:
+                        # precision-for-bandwidth mode: every (Pb, G) temp
+                        # past the sigma matmul is bf16 (half the VMEM
+                        # stream), transmittance runs in LN units on an
+                        # exact 0/1 tri matmul with a bf16-out MXU pass,
+                        # and only the (P, 1) log-T carry stays f32.
+                        # Measured image error vs the f32 path ~1e-2
+                        # relative (tests/test_pallas_rasterizer.py).
+                        sb = s2.astype(jnp.bfloat16)
+                        alpha = jnp.minimum(
+                            jnp.bfloat16(ALPHA_CLAMP), jnp.exp2(-sb)
+                        )
+                        live = alpha >= jnp.bfloat16(ALPHA_FLOOR)
+                        alpha = jnp.where(live, alpha, jnp.bfloat16(0))
+                        l1m = jnp.log1p(-alpha)  # ln(1 - alpha), bf16
+                        cum = _cumsum_lanes_bf16(l1m, g)
+                        lt_incl = lt.astype(jnp.bfloat16) + cum
+                        include = lt_incl >= jnp.bfloat16(LOG_T_EPS)
+                        w = jnp.where(
+                            include,
+                            alpha * jnp.exp(lt_incl - l1m),
+                            jnp.bfloat16(0),
+                        )
+                        acc_ref[sl, :] += jax.lax.dot_general(
+                            w, colors,  # bf16 x bf16 -> f32 acc
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        new_log_t.append(
+                            lt + cum[:, g - 1 : g].astype(jnp.float32)
+                        )
+                        continue
                     alpha = jnp.minimum(ALPHA_CLAMP, jnp.exp2(-s2))
                     live = alpha >= ALPHA_FLOOR
                 else:
@@ -529,7 +585,7 @@ SEG_CHUNKS = 8  # chunks streamed per segment DMA in the fast kernel
     jax.jit,
     static_argnames=(
         "tiles_x", "tiles_y", "tile_h", "tile_w", "chunk", "p_block",
-        "seg_chunks", "mxu_sigma", "interpret",
+        "seg_chunks", "mxu_sigma", "blend_bf16", "interpret",
     ),
 )
 def tile_blend_forward_fast(
@@ -547,6 +603,7 @@ def tile_blend_forward_fast(
     p_block: int = 1024,
     seg_chunks: int = SEG_CHUNKS,
     mxu_sigma: bool = True,
+    blend_bf16: bool = False,
     interpret: bool = False,
 ):
     """Inference forward blend over unaligned ranges. Returns (T, P, C+1).
@@ -585,9 +642,11 @@ def tile_blend_forward_fast(
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
+    if blend_bf16 and not mxu_sigma:
+        raise ValueError("blend_bf16 requires mxu_sigma")
     kernel = functools.partial(
         _forward_fast_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
-        g=chunk, p_block=p_block, mxu_sigma=mxu_sigma,
+        g=chunk, p_block=p_block, mxu_sigma=mxu_sigma, blend_bf16=blend_bf16,
     )
     (out,) = pl.pallas_call(
         kernel,

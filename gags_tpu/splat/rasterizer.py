@@ -57,6 +57,12 @@ class RasterizeConfig:
     # cancellation adds ~1e-4 log2-sigma error (an order below the bf16
     # colour-row error). Inference fast path only.
     mxu_sigma: bool = True
+    # bf16 blend pipeline (inference fast path): every (P, G) temp past
+    # the sigma matmul is bf16 — half the VPU/VMEM stream. Image error
+    # ~1e-2 relative vs the f32 path; use for throughput-bound feature
+    # rendering where downstream consumers (decoder + softmax relevancy)
+    # are insensitive at that scale. Requires mxu_sigma.
+    blend_bf16: bool = False
 
     def instance_budget(self, n: int) -> int:
         if self.budget is not None:
@@ -264,6 +270,7 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, 
             chunk=cfg.chunk,
             p_block=cfg.p_block,
             mxu_sigma=cfg.mxu_sigma,
+            blend_bf16=cfg.blend_bf16,
             interpret=cfg.interpret,
         )
         return out[..., :c_true], out[..., -1:]

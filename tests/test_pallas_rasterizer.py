@@ -175,6 +175,31 @@ def test_unaligned_forward_matches_reference(n, cdim, seed, mxu_sigma):
     assert int(res.overflow) == 0
 
 
+def test_blend_bf16_close_to_f32():
+    """blend_bf16 (bf16 alpha/transmittance pipeline, LN-unit scan) stays
+    within ~1e-2 of the f32 oracle — the documented precision contract of
+    the bandwidth-diet inference mode."""
+    means, quats, scales, op, col, vm, K = _scene(150, 3, 16)
+    p = project_gaussians(means, quats, scales, vm, K, W, H)
+    ref_img, ref_alpha = rasterize_reference(
+        p.means2d, p.conics, p.depths, p.radii, op, col, W, H
+    )
+    cfg = RasterizeConfig(
+        tile_h=8, tile_w=16, chunk=8, budget_factor=6, interpret=True,
+        aligned=False, blend_bf16=True,
+    )
+    res = rasterize(means, quats, scales, op, col, vm, K, W, H, config=cfg)
+    ref = np.asarray(ref_img)
+    img = np.asarray(res.image)
+    scale = np.abs(ref).max()
+    assert np.abs(img - ref).max() <= 0.05 * scale
+    assert np.abs(img - ref).mean() <= 0.005 * scale
+    np.testing.assert_allclose(
+        np.asarray(res.alpha), np.asarray(ref_alpha), atol=0.03
+    )
+    assert int(res.overflow) == 0
+
+
 def test_unaligned_binning_ranges():
     """Unaligned ranges are dense (no padding) and tile-major sorted."""
     means, quats, scales, op, col, vm, K = _scene(200)
