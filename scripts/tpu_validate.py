@@ -39,6 +39,15 @@ err_b = float(jnp.max(jnp.abs(img_b - jnp.asarray(np.asarray(ref)))))
 print(f"bf16-colour-rows max err: {err_b:.2e} {'OK' if err_b < 3e-2 else 'FAIL'} "
       "(expected ~1e-3 relative: colour rows quantised)", flush=True)
 
+cfg_16 = RasterizeConfig(aligned=False, fast_color_rows=True, blend_bf16=True)
+img_16 = jax.jit(
+    lambda *a: rasterize(*a, cam.viewmat, cam.K, 128, 128, config=cfg_16).image
+)(m, q, s, o, c)
+scale16 = float(jnp.max(jnp.abs(jnp.asarray(np.asarray(ref))))) + 1e-8
+err_16 = float(jnp.max(jnp.abs(img_16 - jnp.asarray(np.asarray(ref))))) / scale16
+print(f"blend_bf16 rel max err: {err_16:.2e} {'OK' if err_16 < 5e-2 else 'FAIL'} "
+      "(contract ~1e-2 relative: bf16 alpha/transmittance pipeline)", flush=True)
+
 # ---- 2. full-VJP parity (geometry grads) --------------------------------
 cfg_g = RasterizeConfig(geometry_grads=True, budget_factor=8)
 raw2 = make_scene(400, seed=2)
