@@ -200,8 +200,9 @@ def run(rc: RunConfig, gad_cfg: GadConfig = None) -> TrainState:
             gad_cfg.raster, budget=budget
         )
         return jax.jit(
-            lambda m, q, s2, vm, K: prepare_binning(
-                m, q, s2, vm, K, dataset.width, dataset.height, rcfg
+            lambda m, q, s2, vm, K, op: prepare_binning(
+                m, q, s2, vm, K, dataset.width, dataset.height, rcfg,
+                opacities=op,
             )
         )
 
@@ -217,7 +218,8 @@ def run(rc: RunConfig, gad_cfg: GadConfig = None) -> TrainState:
         budget = None
         for attempt in range(4):
             b = _prep_fn(budget)(geom["means"], geom["quats"], geom["scales"],
-                                 jnp.asarray(ex.viewmat), jnp.asarray(ex.K))
+                                 jnp.asarray(ex.viewmat), jnp.asarray(ex.K),
+                                 geom["opacities"])
             if int(b.overflow) == 0:
                 break
             cur = budget if budget is not None else base_budget

@@ -103,7 +103,8 @@ def _render_strip(
     h_pad = strip_h * n_dev
 
     proj = project_gaussians(
-        geom_l["means"], geom_l["quats"], geom_l["scales"], viewmat, K, width, h_pad
+        geom_l["means"], geom_l["quats"], geom_l["scales"], viewmat, K, width, h_pad,
+        opacities=geom_l["opacities"] if cfg.opacity_extents else None,
     )
     rx = (proj.radii_x.astype(jnp.float32) * geom_l["valid"]).astype(jnp.int32)
     ry = (proj.radii_y.astype(jnp.float32) * geom_l["valid"]).astype(jnp.int32)

@@ -52,6 +52,7 @@ def project_gaussians(
     near_plane: float = NEAR_PLANE,
     far_plane: float = FAR_PLANE,
     antialiased: bool = False,
+    opacities: jnp.ndarray | None = None,
 ) -> ProjectedGaussians:
     """Project N Gaussians into one camera.
 
@@ -62,6 +63,8 @@ def project_gaussians(
       viewmat: (4, 4) world→camera.
       K: (3, 3) intrinsics.
       width/height: image size in px (static).
+      opacities: optional (N,) — shrink radii_x/radii_y to the alpha-floor
+        contour (image-exact; see the extent comment below).
 
     Returns ProjectedGaussians; culled Gaussians have radii == 0.
     """
@@ -163,15 +166,37 @@ def project_gaussians(
     bmid = 0.5 * (a_b + c_b)
     v1 = bmid + jnp.sqrt(jnp.maximum(0.01, bmid * bmid - det))
     radius = jnp.ceil(3.0 * jnp.sqrt(v1))
-    # tight per-axis 3-sigma extents (bbox of the 3-sigma ellipse)
-    rx = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(a_b, 0.0)))
-    ry = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(c_b, 0.0)))
+    # tight per-axis extents (bbox of the k-sigma ellipse). k = 3 matches
+    # the reference's fixed 3-sigma rect (gsplat my_radius, consumed via
+    # gaussian_renderer/__init__.py:56-70); with opacities given, k shrinks
+    # to the alpha-floor contour sqrt(2*ln(255*o_eff)) — every pixel
+    # outside it has alpha < 1/255 and is dropped by the blend kernels'
+    # floor anyway, so the image is unchanged while low-opacity splats
+    # bin fewer (or zero) instances. Capped at 3 so extents never exceed
+    # the reference's. radii (isotropic) stays geometric: visibility /
+    # densification pruning consumers expect the 3-sigma screen radius.
+    if opacities is None:
+        k = 3.0
+    else:
+        o_eff = opacities * compensations  # the kernels floor o_eff*exp(-sigma)
+        k = jnp.sqrt(
+            2.0 * jnp.maximum(jnp.log(255.0 * jnp.maximum(o_eff, 1e-12)), 0.0)
+        )
+        k = jax.lax.stop_gradient(jnp.minimum(k, 3.0))
+    sx = jnp.sqrt(jnp.maximum(a_b, 0.0))
+    sy = jnp.sqrt(jnp.maximum(c_b, 0.0))
+    rx = jnp.ceil(k * sx)
+    ry = jnp.ceil(k * sy)
 
+    # border culling stays on the geometric 3-sigma bbox: shrunken extents
+    # must not flip `valid` (and with it `radii`, the visibility signal)
+    rx3 = jnp.ceil(3.0 * sx)
+    ry3 = jnp.ceil(3.0 * sy)
     inside = (
-        (mx + rx > 0)
-        & (mx - rx < width)
-        & (my + ry > 0)
-        & (my - ry < height)
+        (mx + rx3 > 0)
+        & (mx - rx3 < width)
+        & (my + ry3 > 0)
+        & (my - ry3 < height)
     )
     valid = in_depth & valid_det & (radius > RADIUS_CLIP) & inside
     radii = jnp.where(valid, radius, 0.0).astype(jnp.int32)

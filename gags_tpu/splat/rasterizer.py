@@ -63,6 +63,11 @@ class RasterizeConfig:
     # rendering where downstream consumers (decoder + softmax relevancy)
     # are insensitive at that scale. Requires mxu_sigma.
     blend_bf16: bool = False
+    # shrink binning rects to each splat's alpha-floor contour
+    # sqrt(2*ln(255*opacity)) when < 3 sigma — image-exact (those pairs
+    # fail the kernels' 1/255 floor anyway), sheds instances on
+    # opacity-sparse (i.e. trained) scenes. See projection.py.
+    opacity_extents: bool = True
 
     def instance_budget(self, n: int) -> int:
         if self.budget is not None:
@@ -170,7 +175,10 @@ def order_ext(order: jnp.ndarray) -> jnp.ndarray:
 def _prepare(means, quats, scales, opacities, viewmat, K, width, height, cfg):
     """Project + bin + build the geometry table. No colour dependence."""
     n = means.shape[0]
-    proj = project_gaussians(means, quats, scales, viewmat, K, width, height)
+    proj = project_gaussians(
+        means, quats, scales, viewmat, K, width, height,
+        opacities=opacities if cfg.opacity_extents else None,
+    )
     tiles_x = -(-width // cfg.tile_w)
     tiles_y = -(-height // cfg.tile_h)
     binned = tiles.bin_gaussians(
@@ -477,6 +485,7 @@ def _project_geom_table(means, quats, scales, opacities, viewmat, K, width,
 def prepare_binning(
     means, quats, scales, viewmat, K,
     width: int, height: int, config: RasterizeConfig = RasterizeConfig(),
+    opacities=None,
 ) -> tiles.BinnedInstances:
     """Camera-invariant-geometry fast path, stage 1: the sorted instance
     list for one (frozen geometry, camera) pair.
@@ -486,7 +495,10 @@ def prepare_binning(
     camera by the data pipeline and reused for all 30k iterations. The
     reference re-runs the CUDA projection + radix sort every iteration.
     """
-    proj = project_gaussians(means, quats, scales, viewmat, K, width, height)
+    proj = project_gaussians(
+        means, quats, scales, viewmat, K, width, height,
+        opacities=opacities if config.opacity_extents else None,
+    )
     n = means.shape[0]
     return tiles.bin_gaussians(
         proj.means2d, proj.radii_x, proj.depths, width, height,

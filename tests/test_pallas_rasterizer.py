@@ -200,6 +200,34 @@ def test_blend_bf16_close_to_f32():
     assert int(res.overflow) == 0
 
 
+def test_opacity_extents_image_exact():
+    """Opacity-aware rects (alpha-floor contour, projection.py) shed
+    instances on low-opacity splats while leaving the image bit-identical
+    up to float boundary hair: every dropped pair fails the kernel's
+    1/255 alpha floor anyway."""
+    means, quats, scales, op, col, vm, K = _scene(200, 3, 8)
+    op = op * 0.15  # opacity-sparse: most splats below the 0.353 knee
+    base = dict(tile_h=8, tile_w=16, chunk=8, budget_factor=8, interpret=True)
+    cfg_on = RasterizeConfig(**base, opacity_extents=True)
+    cfg_off = RasterizeConfig(**base, opacity_extents=False)
+    r_on = rasterize(means, quats, scales, op, col, vm, K, W, H, config=cfg_on)
+    r_off = rasterize(means, quats, scales, op, col, vm, K, W, H, config=cfg_off)
+    assert int(r_on.overflow) == 0 and int(r_off.overflow) == 0
+    np.testing.assert_allclose(
+        np.asarray(r_on.image), np.asarray(r_off.image), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_on.alpha), np.asarray(r_off.alpha), atol=1e-5
+    )
+    from gags_tpu.splat.rasterizer import prepare_binning
+
+    b_on = prepare_binning(means, quats, scales, vm, K, W, H, cfg_on, opacities=op)
+    b_off = prepare_binning(means, quats, scales, vm, K, W, H, cfg_off)
+    assert int(b_on.num_valid) < int(b_off.num_valid)  # instances shed
+    # visibility semantics unchanged: geometric radii identical
+    np.testing.assert_array_equal(np.asarray(r_on.radii), np.asarray(r_off.radii))
+
+
 def test_unaligned_binning_ranges():
     """Unaligned ranges are dense (no padding) and tile-major sorted."""
     means, quats, scales, op, col, vm, K = _scene(200)
