@@ -68,6 +68,11 @@ class RasterizeConfig:
     # fail the kernels' 1/255 floor anyway), sheds instances on
     # opacity-sparse (i.e. trained) scenes. See projection.py.
     opacity_extents: bool = True
+    # exact ellipse-tile cull on the unaligned (inference) binning paths:
+    # drop instances whose tile has no pixel above the alpha floor
+    # (tiles.ellipse_tile_keep) — sheds the corner tiles of each splat's
+    # bbox, image-exact. Ignored on aligned (training) binnings.
+    tile_cull: bool = True
 
     def instance_budget(self, n: int) -> int:
         if self.budget is not None:
@@ -194,9 +199,27 @@ def _prepare(means, quats, scales, opacities, viewmat, K, width, height, cfg):
         aligned=cfg.aligned,
         interpret=cfg.interpret,
         radii_y=proj.radii_y,
+        cull_rows=_cull_rows(proj, opacities) if _wants_cull(cfg) else None,
     )
     geom, _ = _geom_table(proj, opacities)
     return proj, binned, geom, tiles_x, tiles_y
+
+
+def _wants_cull(cfg) -> bool:
+    return cfg.tile_cull and not cfg.aligned
+
+
+def _cull_rows(proj, opacities):
+    """(N, 6) [mx, my, conic_a, conic_b, conic_c, L] for the exact
+    ellipse-tile cull (tiles.ellipse_tile_keep). L = ln(255*o_eff): the
+    alpha-floor level set in the kernels' sigma units."""
+    o_eff = opacities * proj.compensations
+    L = jnp.log(255.0 * jnp.maximum(o_eff, 1e-12))
+    return jax.lax.stop_gradient(
+        jnp.concatenate(
+            [proj.means2d, proj.conics, L[:, None]], axis=1
+        ).astype(jnp.float32)
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
@@ -506,6 +529,8 @@ def prepare_binning(
         budget=config.instance_budget(n), chunk=config.chunk,
         aligned=config.aligned, interpret=config.interpret,
         radii_y=proj.radii_y,
+        cull_rows=_cull_rows(proj, opacities)
+        if (_wants_cull(config) and opacities is not None) else None,
     )
 
 

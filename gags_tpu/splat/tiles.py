@@ -157,6 +157,45 @@ def reduction_layout(
     )
 
 
+def ellipse_tile_keep(
+    tile_x, tile_y, tile_w: int, tile_h: int, cull, half_px: float = 0.5
+):
+    """Exact alpha-floor tile test: keep a (gaussian, tile) instance iff
+    some pixel centre of the tile has sigma <= L = ln(255*o_eff), i.e.
+    blend alpha >= 1/255. Pixels of tile (tx, ty) span
+    [tx*tw + 0.5, tx*tw + tw - 0.5] x [...] in the kernel's convention
+    (pallas_kernel._pixel_coords); the continuous min over that rect
+    lower-bounds the discrete min, so dropping on `min > L` is
+    conservative-exact (never drops a contributing pixel).
+
+    The min of the PD quadratic sigma(u, v) = 0.5(a u^2 + c v^2) + b u v
+    over an axis-aligned rect is 0 if the centre is inside, else attained
+    on an edge, where the 1-D minimiser has closed form. cull: (M, 6)
+    rows [mx, my, conic_a, conic_b, conic_c, L].
+    """
+    mx, my = cull[:, 0], cull[:, 1]
+    a, b, c, L = cull[:, 2], cull[:, 3], cull[:, 4], cull[:, 5]
+    u0 = tile_x.astype(jnp.float32) * tile_w + half_px - mx
+    u1 = u0 + (tile_w - 2 * half_px)
+    v0 = tile_y.astype(jnp.float32) * tile_h + half_px - my
+    v1 = v0 + (tile_h - 2 * half_px)
+    inside = (u0 <= 0) & (0 <= u1) & (v0 <= 0) & (0 <= v1)
+
+    def edge_u(ub):  # u fixed at a vertical edge, minimise over v
+        vs = jnp.clip(-b * ub / c, v0, v1)
+        return (0.5 * a * ub + b * vs) * ub + 0.5 * c * vs * vs
+
+    def edge_v(vb):  # v fixed at a horizontal edge, minimise over u
+        us = jnp.clip(-b * vb / a, u0, u1)
+        return (0.5 * c * vb + b * us) * vb + 0.5 * a * us * us
+
+    smin = jnp.minimum(
+        jnp.minimum(edge_u(u0), edge_u(u1)),
+        jnp.minimum(edge_v(v0), edge_v(v1)),
+    )
+    return inside | (smin <= L)
+
+
 def aligned_budget(budget: int, num_tiles: int, chunk: int) -> int:
     """Static output size: budget (rounded to chunk) + per-tile pad room."""
     b = ((budget + chunk - 1) // chunk) * chunk
@@ -202,6 +241,7 @@ def bin_gaussians(
     interpret: bool = False,
     _force_wide_keys: bool = False,
     radii_y: jnp.ndarray | None = None,
+    cull_rows: jnp.ndarray | None = None,
 ) -> BinnedInstances:
     """Build the sorted (tile-major, front-to-back) instance list.
 
@@ -220,6 +260,11 @@ def bin_gaussians(
         SAT pass, ~2/3 the binning cost; tile starts/counts fall out of
         the sorted keys by searchsorted and the blend kernel masks the
         unaligned head/tail lanes of each range.
+      cull_rows: optional (N, 6) f32 [mx, my, conic_a, conic_b, conic_c,
+        L=ln(255*o_eff)] enabling the exact ellipse-tile cull on the
+        unaligned paths (see ellipse_tile_keep): instances whose tile has
+        no pixel above the alpha floor are masked out of the sorted list.
+        Ignored when aligned (the SAT dummy counts must match the rects).
     """
     n = means2d.shape[0]
     tiles_x = -(-width // tile_w)
@@ -250,7 +295,15 @@ def bin_gaussians(
     order = jnp.argsort(jnp.where(counts > 0, depths, jnp.inf))
     # rects bit-packed so the per-instance gather below reads ONE int32
     packed = x0 | (y0 << 10) | (jnp.maximum(w, 1) << 20)
-    tblp = jnp.stack([packed, counts, x0 + w, y0 + h], axis=1)[order]  # (N, 4)
+    do_cull = cull_rows is not None and not aligned
+    tbl = jnp.stack([packed, counts, x0 + w, y0 + h], axis=1)
+    if do_cull:
+        # ride the existing N-row permutation gather (per-row bound:
+        # widening its columns is ~free) with the cull rows, bitcast int32
+        tbl = jnp.concatenate(
+            [tbl, jax.lax.bitcast_convert_type(cull_rows, jnp.int32)], axis=1
+        )
+    tblp = tbl[order]  # (N, 4 [+6])
     packed_p, counts_p = tblp[:, 0], tblp[:, 1]
 
     inc = jnp.cumsum(counts_p).astype(jnp.int32)  # inclusive
@@ -324,7 +377,9 @@ def bin_gaussians(
         )
         idx = jnp.arange(mk, dtype=jnp.int32)
         per_rank = jnp.stack([packed_p, offsets], axis=1)  # (N, 2)
-        got = fast_gather_rows(per_rank, gid)  # (Mk, 2)
+        if do_cull:
+            per_rank = jnp.concatenate([per_rank, tblp[:, 4:10]], axis=1)
+        got = fast_gather_rows(per_rank, gid)  # (Mk, 2 [+6])
         pk_f = got[:, 0]
         slot = idx - got[:, 1]
         px0 = pk_f & 1023
@@ -334,6 +389,12 @@ def bin_gaussians(
         dx = slot - dy * pw
         tile = (py0 + dy) * tiles_x + (px0 + dx)
         valid = idx < num_valid
+        if do_cull:
+            cull = jax.lax.bitcast_convert_type(got[:, 2:8], jnp.float32)
+            valid = valid & ellipse_tile_keep(
+                px0 + dx, py0 + dy, tile_w, tile_h, cull
+            )
+            num_valid = jnp.sum(valid).astype(jnp.int32)
         keys = jnp.where(valid, (tile << shift) | gid, INT32_MAX)
         (sorted_keys,) = jax.lax.sort((keys,), num_keys=1, is_stable=False)
         inst_rank = jnp.minimum(
@@ -353,7 +414,9 @@ def bin_gaussians(
 
         gid = jnp.clip(spread(rank), 0, n - 1)  # owning RANK
         per_rank = jnp.stack([packed_p, offsets], axis=1)  # (N, 2)
-        got = fast_gather_rows(per_rank, gid)  # (M, 2)
+        if do_cull:
+            per_rank = jnp.concatenate([per_rank, tblp[:, 4:10]], axis=1)
+        got = fast_gather_rows(per_rank, gid)  # (M, 2 [+6])
         pk = got[:, 0]
         slot = idx - got[:, 1]
         px0 = pk & 1023
@@ -363,6 +426,12 @@ def bin_gaussians(
         dx = slot - dy * pw
         tile = (py0 + dy) * tiles_x + (px0 + dx)
         valid = idx < num_valid
+        if do_cull:
+            cull = jax.lax.bitcast_convert_type(got[:, 2:8], jnp.float32)
+            valid = valid & ellipse_tile_keep(
+                px0 + dx, py0 + dy, tile_w, tile_h, cull
+            )
+            num_valid = jnp.sum(valid).astype(jnp.int32)
 
         # --- keys: real instances (+ per-tile alignment dummies if aligned) --
         if aligned:

@@ -228,6 +228,57 @@ def test_opacity_extents_image_exact():
     np.testing.assert_array_equal(np.asarray(r_on.radii), np.asarray(r_off.radii))
 
 
+def test_tile_cull_image_exact():
+    """The ellipse-tile cull (tiles.ellipse_tile_keep) drops corner tiles
+    of each splat's bbox whose pixels all fall below the alpha floor —
+    the unaligned image must be identical with it on or off."""
+    means, quats, scales, op, col, vm, K = _scene(200, 3, 8)
+    base = dict(
+        tile_h=8, tile_w=16, chunk=8, budget_factor=8, interpret=True,
+        aligned=False,
+    )
+    r_on = rasterize(
+        means, quats, scales, op, col, vm, K, W, H,
+        config=RasterizeConfig(**base, tile_cull=True),
+    )
+    r_off = rasterize(
+        means, quats, scales, op, col, vm, K, W, H,
+        config=RasterizeConfig(**base, tile_cull=False),
+    )
+    assert int(r_on.overflow) == 0 and int(r_off.overflow) == 0
+    np.testing.assert_allclose(
+        np.asarray(r_on.image), np.asarray(r_off.image), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_on.alpha), np.asarray(r_off.alpha), atol=1e-5
+    )
+    # instances shed: bin directly with and without cull rows
+    from gags_tpu.splat.projection import project_gaussians
+    from gags_tpu.splat import tiles as _tiles
+    from gags_tpu.splat.rasterizer import _cull_rows
+
+    p = project_gaussians(means, quats, scales, vm, K, W, H, opacities=op)
+    kw = dict(
+        width=W, height=H, tile_w=16, tile_h=8, budget=8 * means.shape[0],
+        chunk=8, aligned=False, radii_y=p.radii_y, interpret=True,
+    )
+    b_on = _tiles.bin_gaussians(
+        p.means2d, p.radii_x, p.depths, cull_rows=_cull_rows(p, op), **kw
+    )
+    b_off = _tiles.bin_gaussians(p.means2d, p.radii_x, p.depths, **kw)
+    assert int(b_on.num_valid) < int(b_off.num_valid)
+    assert int(jnp.sum(b_on.tile_counts)) == int(b_on.num_valid)
+    # the wide-key (general) path culls identically
+    b_wide = _tiles.bin_gaussians(
+        p.means2d, p.radii_x, p.depths, cull_rows=_cull_rows(p, op),
+        _force_wide_keys=True, **kw
+    )
+    assert int(b_wide.num_valid) == int(b_on.num_valid)
+    np.testing.assert_array_equal(
+        np.asarray(b_wide.tile_counts), np.asarray(b_on.tile_counts)
+    )
+
+
 def test_unaligned_binning_ranges():
     """Unaligned ranges are dense (no padding) and tile-major sorted."""
     means, quats, scales, op, col, vm, K = _scene(200)
