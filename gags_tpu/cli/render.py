@@ -55,7 +55,10 @@ def render_set(
     # forward-only rendering: unaligned inference binning + streaming kernel
     cfg = auto_config(aligned=False)
 
-    for info in cam_infos:
+    def dispatch(info):
+        """Enqueue one camera's render (async — JAX dispatch returns
+        immediately), so host-side PNG/PCA/npy work on frame i overlaps
+        device rendering of frame i+1."""
         cam = camera_from_info(info, resolution)
         name = os.path.splitext(info.name)[0]
         if feature_mode:
@@ -70,18 +73,6 @@ def render_set(
                 bg_color=jnp.zeros((3,)),
                 config=cfg,
             )
-            fmap = np.asarray(out.render)
-            if feature_npy:
-                npy_dir = os.path.join(base, "saved_feature")
-                os.makedirs(npy_dir, exist_ok=True)
-                # reference saves (C, H, W)
-                np.save(os.path.join(npy_dir, name + "_fmap_CxHxW.npy"),
-                        fmap.transpose(2, 0, 1))
-            rgb, pca_proj = apply_pca_colormap(fmap, pca_proj)
-            _save_png(os.path.join(base, "feature_pca", name + ".png"), rgb)
-            if scale_decoder is not None:
-                smap = np.asarray(scale_decoder.apply(scale_params, jnp.asarray(fmap)))
-                _save_png(os.path.join(base, "scale_map", name + ".png"), smap)
         else:
             out = render(
                 cam,
@@ -96,6 +87,24 @@ def render_set(
                 bg_color=bg,
                 config=cfg,
             )
+        return name, out
+
+    def consume(name, out):
+        nonlocal pca_proj
+        if feature_mode:
+            fmap = np.asarray(out.render)
+            if feature_npy:
+                npy_dir = os.path.join(base, "saved_feature")
+                os.makedirs(npy_dir, exist_ok=True)
+                # reference saves (C, H, W)
+                np.save(os.path.join(npy_dir, name + "_fmap_CxHxW.npy"),
+                        fmap.transpose(2, 0, 1))
+            rgb, pca_proj = apply_pca_colormap(fmap, pca_proj)
+            _save_png(os.path.join(base, "feature_pca", name + ".png"), rgb)
+            if scale_decoder is not None:
+                smap = np.asarray(scale_decoder.apply(scale_params, jnp.asarray(fmap)))
+                _save_png(os.path.join(base, "scale_map", name + ".png"), smap)
+        else:
             img = np.asarray(out.render)
             if render_mode == "RGB+ED":
                 depth = img[..., 3]
@@ -104,6 +113,15 @@ def render_set(
                 _save_png(os.path.join(base, "depth", name + "_depth.png"),
                           apply_depth_colormap(depth))
             _save_png(os.path.join(renders_dir, name + ".png"), img)
+
+    pending = None
+    for info in cam_infos:
+        nxt = dispatch(info)
+        if pending is not None:
+            consume(*pending)
+        pending = nxt
+    if pending is not None:
+        consume(*pending)
 
 
 def _ensure(path: str) -> str:

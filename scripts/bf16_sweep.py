@@ -24,11 +24,16 @@ c = jnp.asarray(raw["features"])
 cam = make_camera(W, H)
 bg = jnp.zeros((c.shape[1],), jnp.float32)
 
-SHAPES = [(32, 32), (16, 32), (16, 16)]
-for (th, tw) in SHAPES:
+SHAPES = [
+    # (tile_h, tile_w, p_block): p_block < tile pixels tests whether
+    # slab-sized temps let Mosaic keep the alpha chain in vregs
+    (32, 32, 1024), (32, 32, 256), (32, 32, 128), (32, 32, 64),
+    (16, 32, 512), (16, 32, 128), (16, 16, 256),
+]
+for (th, tw, pb) in SHAPES:
     for bf16 in (False, True):
         cfg = RasterizeConfig(
-            tile_h=th, tile_w=tw, chunk=128, aligned=False,
+            tile_h=th, tile_w=tw, chunk=128, aligned=False, p_block=pb,
             fast_color_rows=True, budget_factor=3, blend_bf16=bf16,
         )
 
@@ -50,7 +55,7 @@ for (th, tw) in SHAPES:
             lambda ff: render(m, q, s, o, ff), c, k=30, warmup=3
         )
         print(
-            f"tile {th}x{tw} bf16={int(bf16)}: {dt*1e3:7.2f} ms/frame "
+            f"tile {th}x{tw} pb={pb:4d} bf16={int(bf16)}: {dt*1e3:7.2f} ms/frame "
             f"= {1/dt:6.2f} FPS",
             flush=True,
         )
