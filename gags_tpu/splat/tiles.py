@@ -240,6 +240,7 @@ def bin_gaussians(
     aligned: bool = True,
     interpret: bool = False,
     _force_wide_keys: bool = False,
+    _force_u32_keys: bool = False,
     radii_y: jnp.ndarray | None = None,
     cull_rows: jnp.ndarray | None = None,
 ) -> BinnedInstances:
@@ -274,11 +275,16 @@ def bin_gaussians(
 
     # single int32 keys ((tile << shift) | rank, shift = bits(n)) until the
     # packing overflows; the shift form keeps rank recovery a mask (no
-    # M-sized division) and 1080p with 1M gaussians (2040 tiles x 2^20)
-    # still fits. Beyond that, sort (tile, rank) as a two-key
+    # M-sized division). Three key tiers: int32 while num_tiles << shift
+    # < 2^31; uint32 up to 2^32 (1080p with 1M gaussians = 2040 tiles x
+    # 2^20 ~ 2.1e9 lands here — one single-key sort, expand kernel
+    # eligible); beyond that, sort (tile, rank) as a two-key
     # lexicographic lax.sort — ~1.5x the sort cost, same layout.
     shift = max(1, int(n).bit_length())  # 2**shift > n, so rank n fits too
-    wide_keys = _force_wide_keys or num_tiles << shift >= 2**31
+    top = num_tiles << shift
+    wide_keys = _force_wide_keys or top >= 2**32
+    key_dtype = jnp.int32 if (top < 2**31 and not _force_u32_keys) else jnp.uint32
+    key_max = jnp.asarray(jnp.iinfo(key_dtype).max, key_dtype)
     if tiles_x > 1023 or tiles_y > 1023:
         raise ValueError("tile grid exceeds the 10-bit rect packing")
 
@@ -395,11 +401,18 @@ def bin_gaussians(
                 px0 + dx, py0 + dy, tile_w, tile_h, cull
             )
             num_valid = jnp.sum(valid).astype(jnp.int32)
-        keys = jnp.where(valid, (tile << shift) | gid, INT32_MAX)
+        keys = jnp.where(
+            valid,
+            (tile.astype(key_dtype) << shift) | gid.astype(key_dtype),
+            key_max,
+        )
         (sorted_keys,) = jax.lax.sort((keys,), num_keys=1, is_stable=False)
         inst_rank = jnp.minimum(
-            sorted_keys & ((1 << shift) - 1), n
-        ).astype(jnp.int32)
+            (sorted_keys & jnp.asarray((1 << shift) - 1, key_dtype)).astype(
+                jnp.int32
+            ),
+            n,
+        )
     if not use_expand_kernel:
         idx = jnp.arange(m_real, dtype=jnp.int32)
         rank = jnp.arange(n, dtype=jnp.int32)
@@ -442,20 +455,32 @@ def bin_gaussians(
             d_ok = d_within < pad_needed[d_tile]
 
         if not wide_keys:
-            key_real = jnp.where(valid, (tile << shift) | gid, INT32_MAX)
+            key_real = jnp.where(
+                valid,
+                (tile.astype(key_dtype) << shift) | gid.astype(key_dtype),
+                key_max,
+            )
             if aligned:
-                key_dummy = jnp.where(d_ok, (d_tile << shift) | n, INT32_MAX)
+                key_dummy = jnp.where(
+                    d_ok,
+                    (d_tile.astype(key_dtype) << shift)
+                    | jnp.asarray(n, key_dtype),
+                    key_max,
+                )
                 keys = jnp.concatenate([key_real, key_dummy])
             else:
                 keys = key_real
             # keys are unique (one instance per gaussian-tile pair) — an
             # unstable sort avoids XLA's implicit iota payload
             (sorted_keys,) = jax.lax.sort((keys,), num_keys=1, is_stable=False)
-            # rank recovery is a mask; INT32_MAX filler rows land past
+            # rank recovery is a mask; key_max filler rows land past
             # every tile range (never read, grads pre-zeroed)
             inst_rank = jnp.minimum(
-                sorted_keys & ((1 << shift) - 1), n
-            ).astype(jnp.int32)
+                (sorted_keys & jnp.asarray((1 << shift) - 1, key_dtype)).astype(
+                    jnp.int32
+                ),
+                n,
+            )
         else:
             k_tile = jnp.where(valid, tile, INT32_MAX)
             k_rank = jnp.where(valid, gid, n)
@@ -477,7 +502,7 @@ def bin_gaussians(
         # are tiny (T+1) and sorted, so this is O(T log M)
         tbounds = jnp.arange(num_tiles + 1, dtype=jnp.int32)
         if not wide_keys:
-            tbounds = tbounds << shift
+            tbounds = tbounds.astype(key_dtype) << shift
         edges = jnp.searchsorted(sorted_keys, tbounds, side="left").astype(jnp.int32)
         tile_starts = edges[:num_tiles]
         counts_t = edges[1:] - edges[:num_tiles]

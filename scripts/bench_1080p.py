@@ -1,8 +1,12 @@
 """1080p / 1M-Gaussian inference benchmark (BASELINE config 4), drain-timed.
 
 Round-2: 161 ms (6.2 FPS) via the two-key wide sort. Round-3 changes that
-land here: shift-packed single-int32 keys (2040 tiles x 2^20 fits),
-streaming fast kernel, bf16 colour rows, anisotropic bbox rects.
+land here: u32 single-key sort + Pallas expand kernel (2040 tiles x 2^20
+fits uint32), streaming fast kernel, bf16 colour rows, anisotropic bbox
+rects, opacity-aware extents + ellipse-tile cull, optional blend_bf16.
+
+Geometry is passed as jit ARGS (never closed over: XLA would
+constant-fold projection/binning and the probe would lie — NOTES.md).
 """
 import sys
 
@@ -20,17 +24,27 @@ means, quats, scales, opac = (
 feats = jnp.asarray(raw["features"])
 cam = make_camera(W, H)
 bg = jnp.zeros((16,), jnp.float32)
-for v in [dict(budget_factor=3, fast_color_rows=True), dict(budget_factor=4)]:
+VARIANTS = [
+    dict(budget_factor=3, fast_color_rows=True),
+    dict(budget_factor=3, fast_color_rows=True, blend_bf16=True),
+    dict(budget_factor=2, fast_color_rows=True, blend_bf16=True),
+]
+for v in VARIANTS:
     cfg = RasterizeConfig(tile_h=32, tile_w=32, aligned=False, **v)
 
     @jax.jit
-    def render(f):
-        return rasterize(means, quats, scales, opac, f, cam.viewmat, cam.K,
+    def render(m, q, s, o, f):
+        return rasterize(m, q, s, o, f, cam.viewmat, cam.K,
                          W, H, background=bg, config=cfg).image
 
     res = rasterize(means, quats, scales, opac, feats, cam.viewmat, cam.K,
                     W, H, background=bg, config=cfg)
     ovf = int(res.overflow)
-    dt = device_time_drain(render, feats, k=10, warmup=2)
+    if ovf:
+        print(f"1080p/1M {v}: OVERFLOW {ovf}, skipping", flush=True)
+        continue
+    dt = device_time_drain(
+        lambda f: render(means, quats, scales, opac, f), feats, k=10, warmup=2
+    )
     print(f"1080p/1M {v}: {dt*1e3:7.2f} ms ({1/dt:5.2f} FPS) overflow={ovf}",
           flush=True)

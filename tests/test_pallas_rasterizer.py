@@ -305,6 +305,39 @@ def test_unaligned_binning_ranges():
     assert (np.asarray(binned.inst_gid)[-chunk:] == 200).all()
 
 
+@pytest.mark.parametrize("aligned", [False, True])
+def test_key_tiers_equivalent(aligned):
+    """The three sort-key tiers (int32 packed, uint32 packed, two-key
+    lexicographic) produce identical instance layouts. The u32 tier is
+    what 1080p/1M-gaussian scenes use (2040 tiles x 2^20 ~ 2.1e9)."""
+    means, quats, scales, op, col, vm, K = _scene(300)
+    p = project_gaussians(means, quats, scales, vm, K, W, H)
+    kw = dict(
+        width=W, height=H, tile_w=CFG.tile_w, tile_h=CFG.tile_h,
+        budget=CFG.instance_budget(300), chunk=8, aligned=aligned,
+        interpret=True, radii_y=p.radii_y,
+    )
+    b32 = tiles.bin_gaussians(p.means2d, p.radii_x, p.depths, **kw)
+    bu32 = tiles.bin_gaussians(
+        p.means2d, p.radii_x, p.depths, _force_u32_keys=True, **kw
+    )
+    bwide = tiles.bin_gaussians(
+        p.means2d, p.radii_x, p.depths, _force_wide_keys=True, **kw
+    )
+    for b in (bu32, bwide):
+        np.testing.assert_array_equal(
+            np.asarray(b32.tile_starts), np.asarray(b.tile_starts)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(b32.tile_counts), np.asarray(b.tile_counts)
+        )
+        assert int(b32.num_valid) == int(b.num_valid)
+        m = min(b32.inst_gid.shape[0], b.inst_gid.shape[0])
+        np.testing.assert_array_equal(
+            np.asarray(b32.inst_gid)[:m], np.asarray(b.inst_gid)[:m]
+        )
+
+
 def test_sorted_segment_sum_matches_xla():
     """ReductionLayout + Pallas one-hot reduction == jax.ops.segment_sum."""
     from gags_tpu.splat.pallas_kernel import sorted_segment_sum
