@@ -1,10 +1,13 @@
 #!/bin/bash
 # Serialized round-3 measurement battery — ONE TPU client at a time.
+# Order: correctness gates first, then the decision sweeps, then benches.
 set -x
 cd /root/repo
+python scripts/tpu_validate.py 2>&1 | grep -v WARNING
+python scripts/slab_probe.py 2>&1 | grep -v WARNING
+python scripts/bf16_sweep.py 2>&1 | grep -v WARNING
 python bench.py 2>&1 | grep -v WARNING
 python scripts/stage_drain.py 2>&1 | grep -v WARNING
 python scripts/bench_1080p.py 2>&1 | grep -v WARNING
-python scripts/tpu_validate.py 2>&1 | grep -v WARNING
 python scripts/sam_bench.py 1 2>&1 | grep -v WARNING | tail -3
 python scripts/sam_bench.py 4 bf16 2>&1 | grep -v WARNING | tail -3
