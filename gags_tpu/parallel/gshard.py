@@ -33,7 +33,7 @@ from gags_tpu.gad import losses
 from gags_tpu.gad.supervision import blend_gt_feature_map
 from gags_tpu.gad.train import GadConfig, TrainState
 from gags_tpu.splat import tiles
-from gags_tpu.splat.projection import project_gaussians
+from gags_tpu.splat.projection import effective_opacity, project_gaussians
 from gags_tpu.splat.rasterizer import (
     RasterizeConfig,
     _blend,
@@ -108,7 +108,7 @@ def _render_strip(
     )
     rx = (proj.radii_x.astype(jnp.float32) * geom_l["valid"]).astype(jnp.int32)
     ry = (proj.radii_y.astype(jnp.float32) * geom_l["valid"]).astype(jnp.int32)
-    opac = geom_l["opacities"] * proj.compensations
+    opac = effective_opacity(geom_l["opacities"], proj.compensations)
     n_l = geom_l["means"].shape[0]
     # [mx, my, ca, cb, cc, opac, rx, ry, depth] — geometry rows + bin info
     # (rx/ry: the tight anisotropic 3-sigma bbox half-extents)

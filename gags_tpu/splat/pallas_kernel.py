@@ -100,13 +100,23 @@ def _cumsum_lanes(x, g: int):
     One (P, B) @ (B, B) per 128-lane block with a scalar-column carry — so a
     G=256/512 chunk costs the same MACs per splat as G=128, but the kernel's
     per-iteration overhead (DMA issue, loop bookkeeping) is amortised over
-    more splats.
+    more splats. Dtype-dispatched: f32 input follows TRI_MODE (split2 by
+    default); bf16 input (the blend_bf16 pipeline) runs one DEFAULT-
+    precision pass with a bf16-emitting MXU dot (f32 internal
+    accumulation) — tri is an exact 0/1 matrix in both dtypes, so only
+    the input stream's precision differs.
     """
+    bf16 = x.dtype == jnp.bfloat16
     b = min(SCAN_BLOCK, g)
-    tri = _tri_incl(b)
+    tri = _tri_incl(b).astype(x.dtype) if bf16 else _tri_incl(b)
+    dn = (((1,), (0,)), ((), ()))
 
     def tri_dot(xs):
-        dn = (((1,), (0,)), ((), ()))
+        if bf16:
+            return jax.lax.dot_general(
+                xs, tri, dimension_numbers=dn,
+                preferred_element_type=jnp.bfloat16,
+            )
         if TRI_MODE == "default":
             return jax.lax.dot_general(
                 xs, tri, dimension_numbers=dn,
@@ -129,28 +139,9 @@ def _cumsum_lanes(x, g: int):
         )
 
     blocks = []
-    carry = jnp.zeros((x.shape[0], 1), jnp.float32)
+    carry = jnp.zeros((x.shape[0], 1), x.dtype)
     for s in range(g // b):
         cum_s = carry + tri_dot(x[:, s * b : (s + 1) * b])
-        carry = cum_s[:, b - 1 : b]
-        blocks.append(cum_s)
-    return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=1)
-
-
-def _cumsum_lanes_bf16(x, g: int):
-    """Inclusive lane prefix sum, bf16 in/out: one DEFAULT-precision pass
-    against the exact 0/1 triangular matrix with a bf16-emitting MXU dot
-    (f32 internal accumulation). Half the VMEM stream of the f32 scan."""
-    b = min(SCAN_BLOCK, g)
-    tri = _tri_incl(b).astype(jnp.bfloat16)
-    dn = (((1,), (0,)), ((), ()))
-    blocks = []
-    carry = jnp.zeros((x.shape[0], 1), jnp.bfloat16)
-    for s in range(g // b):
-        cum_s = carry + jax.lax.dot_general(
-            x[:, s * b : (s + 1) * b], tri, dimension_numbers=dn,
-            preferred_element_type=jnp.bfloat16,
-        )
         carry = cum_s[:, b - 1 : b]
         blocks.append(cum_s)
     return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=1)
@@ -515,7 +506,7 @@ def _forward_fast_kernel(
                         live = alpha >= jnp.bfloat16(ALPHA_FLOOR)
                         alpha = jnp.where(live, alpha, jnp.bfloat16(0))
                         l1m = jnp.log1p(-alpha)  # ln(1 - alpha), bf16
-                        cum = _cumsum_lanes_bf16(l1m, g)
+                        cum = _cumsum_lanes(l1m, g)
                         lt_incl = lt.astype(jnp.bfloat16) + cum
                         include = lt_incl >= jnp.bfloat16(LOG_T_EPS)
                         w = jnp.where(

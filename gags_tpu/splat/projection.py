@@ -40,6 +40,14 @@ class ProjectedGaussians(NamedTuple):
     radii_y: jnp.ndarray = None  # (N,) int32
 
 
+def effective_opacity(opacities: jnp.ndarray, compensations: jnp.ndarray) -> jnp.ndarray:
+    """The opacity the blend kernels floor against: raw opacity times the
+    EWA antialiasing compensation. Single definition — the geometry table,
+    the tile cull's L threshold, the extent shrink below and gshard's
+    gathered rows must all agree on this convention."""
+    return opacities * compensations
+
+
 def project_gaussians(
     means: jnp.ndarray,
     quats: jnp.ndarray,
@@ -178,7 +186,7 @@ def project_gaussians(
     if opacities is None:
         k = 3.0
     else:
-        o_eff = opacities * compensations  # the kernels floor o_eff*exp(-sigma)
+        o_eff = effective_opacity(opacities, compensations)  # kernels floor o_eff*exp(-sigma)
         k = jnp.sqrt(
             2.0 * jnp.maximum(jnp.log(255.0 * jnp.maximum(o_eff, 1e-12)), 0.0)
         )

@@ -26,7 +26,7 @@ import numpy as np
 
 from gags_tpu.splat import tiles
 from gags_tpu.splat import pallas_kernel as pk
-from gags_tpu.splat.projection import project_gaussians
+from gags_tpu.splat.projection import effective_opacity, project_gaussians
 
 
 @dataclasses.dataclass(frozen=True)
@@ -127,7 +127,10 @@ def _geom_table(proj, opacities):
         [
             jnp.pad(proj.means2d, ((0, 1), (0, 0))),
             jnp.pad(proj.conics, ((0, 1), (0, 0))),
-            jnp.pad((opacities * proj.compensations)[:, None], ((0, 1), (0, 0))),
+            jnp.pad(
+                effective_opacity(opacities, proj.compensations)[:, None],
+                ((0, 1), (0, 0)),
+            ),
             pad1,
             pad1,
         ],
@@ -213,8 +216,9 @@ def _cull_rows(proj, opacities):
     """(N, 6) [mx, my, conic_a, conic_b, conic_c, L] for the exact
     ellipse-tile cull (tiles.ellipse_tile_keep). L = ln(255*o_eff): the
     alpha-floor level set in the kernels' sigma units."""
-    o_eff = opacities * proj.compensations
-    L = jnp.log(255.0 * jnp.maximum(o_eff, 1e-12))
+    L = jnp.log(
+        255.0 * jnp.maximum(effective_opacity(opacities, proj.compensations), 1e-12)
+    )
     return jax.lax.stop_gradient(
         jnp.concatenate(
             [proj.means2d, proj.conics, L[:, None]], axis=1

@@ -12,7 +12,7 @@ means, quats, scales, opac = (jnp.asarray(raw[k]) for k in ("means","quats","sca
 feats = jnp.asarray(np.zeros((N,16), np.float32))
 cam = make_camera(W, H)
 cfg = RasterizeConfig()
-b = prepare_binning(means, quats, scales, cam.viewmat, cam.K, W, H, cfg)
+b = prepare_binning(means, quats, scales, cam.viewmat, cam.K, W, H, cfg, opacities=opac)
 proj = project_gaussians(means, quats, scales, cam.viewmat, cam.K, W, H)
 geom, _ = _geom_table(proj, opac)
 tiles_x, tiles_y = -(-W//cfg.tile_w), -(-H//cfg.tile_h)

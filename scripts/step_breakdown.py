@@ -21,7 +21,7 @@ cfg = GadConfig(max_segments=1024)
 state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)
 geom = jax.device_put(frozen_geometry(scene))
 cam = make_camera(W, H)
-b = prepare_binning(geom["means"], geom["quats"], geom["scales"], cam.viewmat, cam.K, W, H, cfg.raster)
+b = prepare_binning(geom["means"], geom["quats"], geom["scales"], cam.viewmat, cam.K, W, H, cfg.raster, opacities=geom["opacities"])
 rng = np.random.default_rng(1)
 emb = jnp.asarray((rng.normal(size=(M_MASKS,512))/np.sqrt(512)).astype(np.float32))
 seg = jnp.asarray(rng.integers(-1, M_MASKS, size=(H, W, 4)).astype(np.int32))

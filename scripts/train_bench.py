@@ -27,7 +27,7 @@ geom = jax.device_put(frozen_geometry(scene))
 cam = make_camera(W, H)
 
 t0 = time.time()
-b = prepare_binning(geom["means"], geom["quats"], geom["scales"], cam.viewmat, cam.K, W, H, cfg.raster)
+b = prepare_binning(geom["means"], geom["quats"], geom["scales"], cam.viewmat, cam.K, W, H, cfg.raster, opacities=geom["opacities"])
 jax.block_until_ready(b)
 print(f"prepare_binning: {time.time()-t0:.1f}s (incl compile), overflow={int(b.overflow)}", flush=True)
 

@@ -18,7 +18,7 @@ cfg = RasterizeConfig(
     budget_factor=int(os.environ.get("BF", 4)),
     chunk=int(os.environ.get("CHUNK", 128)),
 )
-b = prepare_binning(means, quats, scales, cam.viewmat, cam.K, W, H, cfg)
+b = prepare_binning(means, quats, scales, cam.viewmat, cam.K, W, H, cfg, opacities=opac)
 proj = project_gaussians(means, quats, scales, cam.viewmat, cam.K, W, H)
 geom, _ = _geom_table(proj, opac)
 tiles_x, tiles_y = -(-W//cfg.tile_w), -(-H//cfg.tile_h)

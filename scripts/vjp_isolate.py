@@ -11,7 +11,7 @@ m, q, s, o = (jnp.asarray(raw[k]) for k in ("means","quats","scales","opacities"
 feats = jnp.zeros((N,16))
 cam = make_camera(W, H)
 cfg = RasterizeConfig()
-b = prepare_binning(m, q, s, cam.viewmat, cam.K, W, H, cfg)
+b = prepare_binning(m, q, s, cam.viewmat, cam.K, W, H, cfg, opacities=o)
 proj = project_gaussians(m, q, s, cam.viewmat, cam.K, W, H)
 geom, _ = _geom_table(proj, o)
 tx, ty = -(-W//cfg.tile_w), -(-H//cfg.tile_h)
