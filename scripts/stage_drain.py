@@ -1,25 +1,30 @@
 """Drain-timed stage breakdown of one inference frame at 720p/250k/C16.
 
-Each stage is jitted standalone and timed with device_time_drain (enqueue K,
-one readback) — the same method bench.py uses, so numbers decompose the
-bench FPS honestly. Usage: python scripts/stage_drain.py [tile_h tile_w]
+Stages mirror the PRODUCTION unaligned pipeline exactly (opacity-aware
+extents + ellipse-tile cull + fast streaming kernel), decomposing the
+bench FPS honestly: full = prepare (project+bin+geom) + permutes +
+blend impl + tiles->image. Geometry is always a jit ARG (never closed
+over — XLA constant-folds closures and the probe lies).
+
+Usage: python scripts/stage_drain.py [tile_h tile_w] [bf16]
 """
 import sys
 
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp
 from gags_tpu.splat.rasterizer import (
-    RasterizeConfig, rasterize, _geom_table, order_ext,
+    RasterizeConfig, rasterize, _blend_fwd_impl, _cull_rows, _geom_table,
+    _prepare, _tiles_to_image, order_ext, permute_rows,
 )
-from gags_tpu.splat import tiles
-from gags_tpu.splat import pallas_kernel as pk
 from gags_tpu.splat.projection import project_gaussians
-from gags_tpu.splat.tiles import fast_gather_rows
 from gags_tpu.utils.synthetic import make_scene, make_camera
 from gags_tpu.utils.timing import device_time_drain
 
-th = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-tw = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+args = [a for a in sys.argv[1:]]
+bf16 = "bf16" in args
+dims = [int(a) for a in args if a.isdigit()]
+th = dims[0] if dims else 32
+tw = dims[1] if len(dims) > 1 else 32
 N, W, H = 250_000, 1280, 720
 raw = make_scene(N, seed=0, extent=3.0)
 means, quats, scales, opac = (
@@ -28,10 +33,10 @@ means, quats, scales, opac = (
 feats = jnp.asarray(raw["features"])
 cam = make_camera(W, H)
 cfg = RasterizeConfig(tile_h=th, tile_w=tw, aligned=False,
-                      fast_color_rows=True, budget_factor=3)
+                      fast_color_rows=True, budget_factor=3,
+                      blend_bf16=bf16)
 bg = jnp.zeros((16,), jnp.float32)
 tiles_x, tiles_y = -(-W // tw), -(-H // th)
-budget = cfg.instance_budget(N)
 
 
 def stage(name, fn, arg, k=20):
@@ -40,74 +45,53 @@ def stage(name, fn, arg, k=20):
     return dt
 
 
-# full frame
 @jax.jit
-def full(f):
-    return rasterize(means, quats, scales, opac, f, cam.viewmat, cam.K,
+def full(m, q, s, o, f):
+    return rasterize(m, q, s, o, f, cam.viewmat, cam.K,
                      W, H, background=bg, config=cfg).image
 
-t_full = stage("full rasterize", full, feats)
+t_full = stage("full rasterize", lambda f: full(means, quats, scales, opac, f), feats)
 
-# projection only
 @jax.jit
-def proj_only(m):
-    p = project_gaussians(m, quats, scales, cam.viewmat, cam.K, W, H)
-    return p.means2d, p.radii, p.depths, p.conics
+def proj_only(m, q, s, o):
+    p = project_gaussians(m, q, s, cam.viewmat, cam.K, W, H, opacities=o)
+    return p.means2d, p.radii_x, p.depths, p.conics
 
-t_proj = stage("project", proj_only, means)
+t_proj = stage("project", lambda m: proj_only(m, quats, scales, opac), means)
 
-# project + bin
 @jax.jit
-def proj_bin(m):
-    p = project_gaussians(m, quats, scales, cam.viewmat, cam.K, W, H)
-    b = tiles.bin_gaussians(p.means2d, p.radii, p.depths, W, H, tw, th,
-                            budget=budget, chunk=cfg.chunk, aligned=False)
-    return b.inst_gid, b.tile_starts
+def prep(m, q, s, o):
+    _, binned, geom, _, _ = _prepare(m, q, s, o, cam.viewmat, cam.K, W, H, cfg)
+    return binned.inst_gid, binned.tile_starts, binned.tile_counts, geom
 
-t_pb = stage("project+bin", proj_bin, means)
+t_prep = stage("prepare (proj+bin+geom)", lambda m: prep(m, quats, scales, opac), means)
 
-# precompute binning for blend-only stages
-p = project_gaussians(means, quats, scales, cam.viewmat, cam.K, W, H)
-b = tiles.bin_gaussians(p.means2d, p.radii, p.depths, W, H, tw, th,
-                        budget=budget, chunk=cfg.chunk, aligned=False)
-geom, _ = _geom_table(p, opac)
+# production blend stage with precomputed binning (all passed as args)
+_, b, geom, _, _ = jax.jit(
+    lambda m, q, s, o: _prepare(m, q, s, o, cam.viewmat, cam.K, W, H, cfg)
+)(means, quats, scales, opac)
 perm = order_ext(b.order)
-geom_r = geom[perm]
-inst_gid = jax.block_until_ready(b.inst_gid)
-print(f"  [M={inst_gid.shape[0]} valid={int(b.num_valid)} tiles={tiles_x*tiles_y}]")
-
-# gather + blend (per-frame work given a cached binning)
-@jax.jit
-def gather_blend(f):
-    fp = jnp.concatenate([f, jnp.zeros((1, 16))], 0)[perm]
-    table = jnp.concatenate([geom_r, fp], axis=1)
-    inst = fast_gather_rows(table, inst_gid).T
-    return pk.tile_blend_forward(
-        inst, b.tile_starts, b.tile_counts, bg,
-        tiles_x=tiles_x, tiles_y=tiles_y, tile_h=th, tile_w=tw,
-        chunk=cfg.chunk, aligned=False)
-
-t_gb = stage("gather+blend", gather_blend, feats)
-
-# blend only (pre-gathered instance data)
-@jax.jit
-def make_inst(f):
-    fp = jnp.concatenate([f, jnp.zeros((1, 16))], 0)[perm]
-    table = jnp.concatenate([geom_r, fp], axis=1)
-    return fast_gather_rows(table, inst_gid).T
-
-inst_data = jax.block_until_ready(make_inst(feats))
+inv_perm = jnp.argsort(perm).astype(jnp.int32)
+print(f"  [M={b.inst_gid.shape[0]} valid={int(b.num_valid)} "
+      f"tiles={tiles_x * tiles_y} overflow={int(b.overflow)}]")
 
 @jax.jit
-def blend_only(inst):
-    return pk.tile_blend_forward(
-        inst, b.tile_starts, b.tile_counts, bg,
-        tiles_x=tiles_x, tiles_y=tiles_y, tile_h=th, tile_w=tw,
-        chunk=cfg.chunk, aligned=False)
+def blend_stage(f, geom_t, order, invo, gid, starts, counts):
+    ti, ta = _blend_fwd_impl(
+        permute_rows(f, order, invo[: order.shape[0]]),
+        permute_rows(geom_t, order_ext(order), invo),
+        gid, starts, counts, bg, (tiles_x, tiles_y), cfg,
+    )
+    return _tiles_to_image(ti, tiles_x, tiles_y, th, tw, H, W)
 
-t_bl = stage("blend only", blend_only, inst_data)
+t_blend = stage(
+    "permute+blend+to_image",
+    lambda f: blend_stage(f, geom, b.order, inv_perm, b.inst_gid,
+                          b.tile_starts, b.tile_counts),
+    feats,
+)
 
-print(f"\nderived: bin = {1000*(t_pb - t_proj):.3f} ms, "
-      f"gather = {1000*(t_gb - t_bl):.3f} ms, "
-      f"tail (tiles->img etc) = {1000*(t_full - t_pb - t_gb):.3f} ms")
+print(f"\nderived: bin = {1000*(t_prep - t_proj):.3f} ms, "
+      f"fixed-binning frame = {1000*t_blend:.3f} ms, "
+      f"residual (full - prep - blend) = {1000*(t_full - t_prep - t_blend):.3f} ms")
 print(f"fps(full) = {1.0/t_full:.1f}")
