@@ -1,4 +1,4 @@
-from gags_tpu.parallel.sharding import make_mesh, make_dp_train_step
+from gags_tpu.parallel.sharding import make_mesh, make_dp_render, make_dp_train_step
 from gags_tpu.parallel.gshard import (
     GShardState,
     gshard_state,
@@ -10,6 +10,7 @@ from gags_tpu.parallel.gshard import (
 
 __all__ = [
     "make_mesh",
+    "make_dp_render",
     "make_dp_train_step",
     "GShardState",
     "gshard_state",
