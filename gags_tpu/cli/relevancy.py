@@ -61,17 +61,21 @@ def image_mode(args, scene, state, statics, info):
 
     out_dir = os.path.join(args.model_path, "relevancy")
     video_frames = {label: [] for label in labels} if args.video else None
-    for cam in cams:
+    pos_j, neg_j = jnp.asarray(pos), jnp.asarray(neg)
+
+    def dispatch(cam):
+        """Enqueue one camera's render→decode→relevancy (async), so the
+        per-label host work of frame i overlaps device work of i+1."""
         out = render(
             cam,
             means=scene.means, quats=scene.quats, scales=scene.scales,
             opacities=scene.opacities, semantic_features=state.features,
             feature_mode=True, bg_color=jnp.zeros((3,)),
         )
-        decoded = jnp.asarray(
-            decode_map_rows(dec.apply, state.decoder_params, out.render)
-        )
-        rel = max_across_levels(decoded[None], jnp.asarray(pos), jnp.asarray(neg))[0]
+        decoded = decode_map_rows(dec.apply, state.decoder_params, out.render)
+        return cam, max_across_levels(decoded[None], pos_j, neg_j)[0]
+
+    def consume(cam, rel):
         for k, label in enumerate(labels):
             mask, vm = heatmap_to_mask(rel[k], args.thresh)
             mask = np.asarray(majority_smooth(mask))
@@ -83,6 +87,15 @@ def image_mode(args, scene, state, statics, info):
             _save(os.path.join(out_dir, "composited", label, cam.name + ".png"), comp)
             if video_frames is not None:
                 video_frames[label].append(np.asarray(comp))
+
+    pending = None
+    for cam in cams:
+        nxt = dispatch(cam)
+        if pending is not None:
+            consume(*pending)
+        pending = nxt
+    if pending is not None:
+        consume(*pending)
     if video_frames is not None:
         from gags_tpu.utils.video import write_video
 
