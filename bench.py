@@ -62,31 +62,40 @@ def main():
     )
     bg = jnp.zeros((feats.shape[1],), jnp.float32)
 
+    # bf16 self-validation ON THE HARDWARE being benched: the bf16 blend
+    # must COMPILE and stay within its documented ~1e-2 contract of the
+    # f32 pipeline on this exact scene, else fall back to f32 so the
+    # recorded number is never missing or from a silently-broken
+    # low-precision path
+    if cfg.blend_bf16:
+        import dataclasses
+
+        cfg_f32 = dataclasses.replace(cfg, blend_bf16=False)
+        try:
+            img16 = rasterize(
+                means, quats, scales, opac, feats, cam.viewmat, cam.K, w, h,
+                background=bg, config=cfg,
+            ).image
+            ref = rasterize(
+                means, quats, scales, opac, feats, cam.viewmat, cam.K, w, h,
+                background=bg, config=cfg_f32,
+            ).image
+            scale = float(jnp.max(jnp.abs(ref))) + 1e-8
+            rel = float(jnp.max(jnp.abs(img16 - ref))) / scale
+            ok = np.isfinite(rel) and rel <= 0.05
+            why = f"parity {rel:.3e} out of contract"
+        except Exception as exc:  # Mosaic/bf16 lowering failure etc.
+            ok, why = False, f"bf16 path failed: {exc!r:.200}"
+        if not ok:
+            print(f"# blend_bf16 {why} — f32 fallback", file=sys.stderr)
+            cfg = cfg_f32
+
     # honesty check: the trimmed instance budget must not drop anything
     res = rasterize(
         means, quats, scales, opac, feats, cam.viewmat, cam.K, w, h,
         background=bg, config=cfg,
     )
     assert int(res.overflow) == 0, f"instance budget overflow: {int(res.overflow)}"
-
-    # bf16 self-validation ON THE HARDWARE being benched: the bf16 blend
-    # must stay within its documented ~1e-2 contract of the f32 pipeline
-    # on this exact scene, else fall back to f32 so the recorded number
-    # is never from a silently-broken low-precision path
-    if cfg.blend_bf16:
-        import dataclasses
-
-        cfg_f32 = dataclasses.replace(cfg, blend_bf16=False)
-        ref = rasterize(
-            means, quats, scales, opac, feats, cam.viewmat, cam.K, w, h,
-            background=bg, config=cfg_f32,
-        ).image
-        scale = float(jnp.max(jnp.abs(ref))) + 1e-8
-        rel = float(jnp.max(jnp.abs(res.image - ref))) / scale
-        if not np.isfinite(rel) or rel > 0.05:
-            print(f"# blend_bf16 parity {rel:.3e} out of contract — f32 fallback",
-                  file=sys.stderr)
-            cfg = cfg_f32
 
     @jax.jit
     def render(means_, quats_, scales_, opac_, f):
