@@ -201,7 +201,11 @@ class AutomaticMaskGenerator:
 
         buckets: Dict[str, List[dict]] = {"default": [], "s": [], "m": [], "l": []}
         level_names = ["s", "m", "l"]
-        for start in range(0, n_pts, pb):
+
+        def dispatch(start):
+            """Enqueue one prompt batch's mask decode (async), so the host
+            fetch + record-building of batch k overlaps the device decode
+            of batch k+1."""
             pts = coords[start : start + pb]
             pad = pb - len(pts)
             pts_p = np.pad(pts, ((0, pad), (0, 0)))
@@ -211,21 +215,36 @@ class AutomaticMaskGenerator:
                 jnp.asarray(pts_p[:, None, :], jnp.float32),
                 jnp.asarray(lbl[:, None], jnp.int32),
             )
+            return pts, masks_lr, iou
+
+        def consume(pts, masks_lr, iou):
             # upscale low-res logits to the original frame in slices (the
-            # full (B, 4, S, S) f32 upscale is ~4.3 GB at B=256, S=1024)
+            # full (B, 4, S, S) f32 upscale is ~4.3 GB at B=256, S=1024),
+            # software-pipelined one slice deep: fetch slice j while the
+            # device upscales j+1 (peak HBM = 2 slices' results + temps)
             mask_slices, stab_slices = [], []
-            for s0 in range(0, masks_lr.shape[0], cfg.upscale_slice):
-                ms = self._upscale(masks_lr[s0 : s0 + cfg.upscale_slice], nh, nw, h, w)
+
+            def fetch(pair):
                 # stability on the fully-upscaled (h, w) logits — the same
                 # frame stock AMG uses: its predict_torch returns
                 # postprocess_masks output (256 -> model size -> crop ->
                 # original) BEFORE calculate_stability_score runs, and
                 # with crop_n_layers=0 (preprocess.py:234) the crop frame
                 # IS the original image
-                stab_slices.append(np.asarray(
-                    stability_score(ms, cfg.mask_threshold, cfg.stability_offset)
-                ))
-                mask_slices.append(np.asarray(ms > cfg.mask_threshold))
+                stab_slices.append(np.asarray(pair[0]))
+                mask_slices.append(np.asarray(pair[1]))
+
+            pend = None
+            for s0 in range(0, masks_lr.shape[0], cfg.upscale_slice):
+                ms = self._upscale(masks_lr[s0 : s0 + cfg.upscale_slice], nh, nw, h, w)
+                cur = (
+                    stability_score(ms, cfg.mask_threshold, cfg.stability_offset),
+                    ms > cfg.mask_threshold,
+                )
+                if pend is not None:
+                    fetch(pend)
+                pend = cur
+            fetch(pend)
             masks_np = np.concatenate(mask_slices, axis=0)
             stab_np = np.concatenate(stab_slices, axis=0)
             iou_np = np.asarray(iou)
@@ -246,6 +265,15 @@ class AutomaticMaskGenerator:
                     best = max(cand, key=lambda cr: cr[1]["predicted_iou"])[1]
                     if self._passes(best):
                         buckets["default"].append(best)
+
+        pending = None
+        for start in range(0, n_pts, pb):
+            nxt = dispatch(start)
+            if pending is not None:
+                consume(*pending)
+            pending = nxt
+        if pending is not None:
+            consume(*pending)
 
         out = []
         for k in ["default", "s", "m", "l"]:
