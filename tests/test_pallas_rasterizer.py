@@ -200,6 +200,32 @@ def test_blend_bf16_close_to_f32():
     assert int(res.overflow) == 0
 
 
+def test_blend_bf16_saturated_rgb():
+    """bf16 pipeline under saturation (early-exit while-loop) and with RGB
+    channel padding (C=3 -> 8): dense high-opacity stack drives most
+    pixels to alpha ~ 1; the bf16 carry/exit logic must match the oracle
+    within contract, and padded channels must not leak."""
+    means, quats, scales, op, col, vm, K = _scene(400, 7, 3)
+    op = jnp.minimum(op * 4.0, 0.98)  # near-opaque: exercises T < eps exit
+    p = project_gaussians(means, quats, scales, vm, K, W, H)
+    ref_img, ref_alpha = rasterize_reference(
+        p.means2d, p.conics, p.depths, p.radii, op, col, W, H
+    )
+    cfg = RasterizeConfig(
+        tile_h=8, tile_w=16, chunk=8, budget_factor=8, interpret=True,
+        aligned=False, blend_bf16=True,
+    )
+    res = rasterize(means, quats, scales, op, col, vm, K, W, H, config=cfg)
+    ref = np.asarray(ref_img)
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(res.image) - ref).max() <= 0.05 * scale
+    # saturated pixels: alpha within bf16 tolerance of 1
+    np.testing.assert_allclose(
+        np.asarray(res.alpha), np.asarray(ref_alpha), atol=0.03
+    )
+    assert int(res.overflow) == 0
+
+
 def test_opacity_extents_image_exact():
     """Opacity-aware rects (alpha-floor contour, projection.py) shed
     instances on low-opacity splats while leaving the image bit-identical
