@@ -142,6 +142,15 @@ def _render_strip(
         # paying the full replicated budget per device
         budget=max(int(cfg.instance_budget(n) * budget_slack) // n_dev, 4 * cfg.chunk),
         chunk=cfg.chunk,
+        aligned=cfg.aligned,
+        interpret=cfg.interpret,
+        # forward-only strips (make_gshard_render) take the unaligned fast
+        # path incl. the exact ellipse-tile cull; rows[:, 5] is already the
+        # effective (compensation-folded) opacity
+        cull_rows=jnp.concatenate(
+            [m2, rows[:, 2:5],
+             jnp.log(255.0 * jnp.maximum(rows[:, 5:6], 1e-12))], axis=1
+        ) if (cfg.tile_cull and not cfg.aligned) else None,
     )
     # geometry table in strip coordinates, with the zero sentinel row;
     # binned.inst_gid holds depth ranks → permute tables to rank order
@@ -153,15 +162,23 @@ def _render_strip(
     bg = background if background is not None else jnp.zeros(
         (colors.shape[1],), jnp.float32
     )
+    if binned.red is not None:
+        red = binned.red
+    else:  # unaligned forward-only strips carry no reduction layout
+        red = tiles.ReductionLayout(
+            slot_to_pos=jnp.zeros((128,), jnp.int32),
+            slot_rank=jnp.full((128,), -1, jnp.int32),
+            chunk_block=jnp.zeros((1,), jnp.int32),
+        )
     tile_img, tile_alpha = _blend(
         permute_rows(colors, binned.order, inv_order),
         geom_table[order_ext(binned.order)],
         binned.inst_gid,
         binned.tile_starts,
         binned.tile_counts,
-        binned.red.slot_to_pos,
-        binned.red.slot_rank,
-        binned.red.chunk_block,
+        red.slot_to_pos,
+        red.slot_rank,
+        red.chunk_block,
         bg,
         (tiles_x, tiles_y_local),
         cfg,
@@ -187,7 +204,14 @@ def make_gshard_render(
 
     fn(geom_sharded, features_sharded, viewmat, K) → (image (H, W, C),
     alpha (H, W), overflow ()). geom/features from `shard_gaussians`.
+
+    Forward-only, so the strips render through the unaligned fast path
+    (streaming kernel, no SAT/dummy binning, ellipse-tile cull) whatever
+    the caller's training config says.
     """
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, aligned=False)
     axis = mesh.axis_names[0]
     bg = jnp.zeros((channels,), jnp.float32)
 

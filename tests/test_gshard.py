@@ -54,8 +54,11 @@ def test_gshard_render_matches_single_chip():
     render = make_gshard_render(mesh, W, H, 8, RCFG)
     img, alpha, ovf = render(geom_s, feats_s, cam.viewmat, cam.K)
     assert int(ovf) == 0
-    np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref.alpha), atol=1e-5)
+    # 2e-4: make_gshard_render now takes the unaligned fast path, whose
+    # MXU-bilinear sigma carries ~1e-4 log2-sigma error vs the aligned
+    # reference path (see RasterizeConfig.mxu_sigma)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref.alpha), atol=2e-4)
 
 
 def test_gshard_render_uneven_n():
@@ -74,7 +77,7 @@ def test_gshard_render_uneven_n():
     render = make_gshard_render(mesh, W, H, 8, RasterizeConfig(
         tile_h=4, tile_w=16, chunk=8, interpret=True))
     img, _, _ = render(geom_s, feats_s, cam.viewmat, cam.K)
-    np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image), atol=2e-4)
 
 
 def test_gshard_train_step_matches_single_chip():
