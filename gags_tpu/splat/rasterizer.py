@@ -28,6 +28,14 @@ from gags_tpu.splat import tiles
 from gags_tpu.splat import pallas_kernel as pk
 from gags_tpu.splat.projection import effective_opacity, project_gaussians
 
+# A/B experiment flag (GAGS_T16=1): do the inference instance-table
+# relayout as ONE u16 transpose + lane-major reassembly instead of two
+# f32/bf16 transposes. Bit-exact either way; drain-time on hardware
+# decides (see NOTES.md backlog).
+import os as _os
+
+_TRANSPOSE_U16 = _os.environ.get("GAGS_T16", "0") == "1"
+
 
 @dataclasses.dataclass(frozen=True)
 class RasterizeConfig:
@@ -278,20 +286,39 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, 
         else:
             col_u16 = tiles.u16_halves(colors_pad)  # (N+1, 2Cp)
         got = jnp.concatenate([geom_u16, col_u16], axis=1)[inst_gid]
-        gg = got[:, :16]
-        geom_inst = jax.lax.bitcast_convert_type(
-            (gg[:, :8].astype(jnp.uint32) << 16) | gg[:, 8:16].astype(jnp.uint32),
-            jnp.float32,
-        ).T  # (8, M)
-        gc = got[:, 16:]
-        if cfg.fast_color_rows:
-            color_inst = jax.lax.bitcast_convert_type(gc, jnp.bfloat16).T
-        else:
-            color_inst = jax.lax.bitcast_convert_type(
-                (gc[:, :cp].astype(jnp.uint32) << 16)
-                | gc[:, cp:].astype(jnp.uint32),
+        if _TRANSPOSE_U16:
+            # A/B experiment (GAGS_T16=1): ONE u16 transpose of the whole
+            # gathered table (half the relayout bytes of the two f32/bf16
+            # transposes below), reassembly lane-major. Bit-exact.
+            gt = got.T  # (16+Cc, M) u16
+            geom_inst = jax.lax.bitcast_convert_type(
+                (gt[:8].astype(jnp.uint32) << 16) | gt[8:16].astype(jnp.uint32),
                 jnp.float32,
-            ).T  # (Cp, M)
+            )  # (8, M)
+            gc_t = gt[16:]
+            if cfg.fast_color_rows:
+                color_inst = jax.lax.bitcast_convert_type(gc_t, jnp.bfloat16)
+            else:
+                color_inst = jax.lax.bitcast_convert_type(
+                    (gc_t[:cp].astype(jnp.uint32) << 16)
+                    | gc_t[cp:].astype(jnp.uint32),
+                    jnp.float32,
+                )  # (Cp, M)
+        else:
+            gg = got[:, :16]
+            geom_inst = jax.lax.bitcast_convert_type(
+                (gg[:, :8].astype(jnp.uint32) << 16) | gg[:, 8:16].astype(jnp.uint32),
+                jnp.float32,
+            ).T  # (8, M)
+            gc = got[:, 16:]
+            if cfg.fast_color_rows:
+                color_inst = jax.lax.bitcast_convert_type(gc, jnp.bfloat16).T
+            else:
+                color_inst = jax.lax.bitcast_convert_type(
+                    (gc[:, :cp].astype(jnp.uint32) << 16)
+                    | gc[:, cp:].astype(jnp.uint32),
+                    jnp.float32,
+                ).T  # (Cp, M)
         out = pk.tile_blend_forward_fast(
             geom_inst,
             color_inst,

@@ -7,7 +7,9 @@ python scripts/tpu_validate.py 2>&1 | grep -v WARNING
 python scripts/slab_probe.py 2>&1 | grep -v WARNING
 python scripts/bf16_sweep.py 2>&1 | grep -v WARNING
 python bench.py 2>&1 | grep -v WARNING
+GAGS_T16=1 python bench.py 2>&1 | grep -v WARNING
 python scripts/stage_drain.py 2>&1 | grep -v WARNING
+python scripts/stage_drain.py 32 32 bf16 2>&1 | grep -v WARNING
 python scripts/bench_1080p.py 2>&1 | grep -v WARNING
 python scripts/sam_bench.py 1 2>&1 | grep -v WARNING | tail -3
 python scripts/sam_bench.py 4 bf16 2>&1 | grep -v WARNING | tail -3
