@@ -226,6 +226,18 @@ def test_blend_bf16_saturated_rgb():
     assert int(res.overflow) == 0
 
 
+def test_blend_bf16_requires_mxu_sigma():
+    means, quats, scales, op, col, vm, K = _scene(20)
+    cfg = RasterizeConfig(
+        tile_h=8, tile_w=16, chunk=8, interpret=True, aligned=False,
+        blend_bf16=True, mxu_sigma=False,
+    )
+    with pytest.raises(ValueError, match="mxu_sigma"):
+        jax.block_until_ready(
+            rasterize(means, quats, scales, op, col, vm, K, W, H, config=cfg).image
+        )
+
+
 def test_opacity_extents_image_exact():
     """Opacity-aware rects (alpha-floor contour, projection.py) shed
     instances on low-opacity splats while leaving the image bit-identical
