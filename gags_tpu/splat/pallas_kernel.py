@@ -91,6 +91,30 @@ def _tri_incl(g: int) -> jnp.ndarray:
     return (r <= c).astype(jnp.float32)
 
 
+def _eye(g: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(G, G) 0/1 identity for exact MXU transposes: dot_general(x_T (G, D),
+    I (G, G)) contracting dim 0 with dim 0 equals x (D, G) exactly — each
+    output is one 1.0*x product plus zeros (order-independent)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+    return (r == c).astype(dtype)
+
+
+def _mxu_t(x_t: jnp.ndarray) -> jnp.ndarray:
+    """Exact (G, D) -> (D, G) transpose as one tiny identity matmul (the MXU
+    is idle in the VPU-bound blend; Mosaic lacks cheap skinny transposes).
+    f32 uses HIGHEST (error-free 3-way bf16 splits reconstruct each value
+    through the 0/1 identity); bf16 is exact in one DEFAULT pass."""
+    g = x_t.shape[0]
+    f32 = x_t.dtype == jnp.float32
+    return jax.lax.dot_general(
+        x_t, _eye(g, x_t.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=x_t.dtype,
+        precision=jax.lax.Precision.HIGHEST if f32 else None,
+    )
+
+
 SCAN_BLOCK = 128  # tri-matmul width; cumsum cost stays LINEAR in chunk size
 
 
@@ -290,18 +314,8 @@ def _forward_fast_kernel(
     # scalar prefetch
     tile_starts_ref,
     tile_counts_ref,
-    # inputs
-    geom_hbm,   # (8, M) f32 geometry rows
-    col_hbm,    # (C, M) colour rows (f32 or bf16)
-    bg_ref,     # (1, C) VMEM
-    # output
-    out_ref,    # (1, P, C+1)
-    # scratch
-    gbuf,       # (2, 8, G) f32
-    cbuf,       # (2, C, G) colour dtype
-    acc_ref,    # (P, C) f32
-    sems,       # DMA (4,): 2 geom + 2 colour slots
-    *,
+    # inputs + output + scratch (layout depends on rows_k, see below)
+    *refs,
     tiles_x: int,
     tile_h: int,
     tile_w: int,
@@ -309,6 +323,8 @@ def _forward_fast_kernel(
     p_block: int,
     mxu_sigma: bool,
     blend_bf16: bool,
+    rows_k: int = 0,
+    col_f32: bool = False,
 ):
     """Inference-only forward blend (unaligned ranges), VMEM-traffic-dieted.
 
@@ -326,7 +342,28 @@ def _forward_fast_kernel(
     floor/clamp/early-stop semantics); colour rows may be bf16
     (fast_color_rows) — colour matmul error ~1e-3 relative, geometry math
     unaffected.
+
+    Two input layouts:
+      * rows_k == 0 (classic): refs = (geom_hbm (8, M) f32, col_hbm (C, M),
+        bg, out, gbuf (2, 8, SEG), cbuf (2, C, SEG), acc, sems (4,)) — the
+        XLA side reassembled the gathered u16 rows and transposed them
+        lane-major (~2 ms of relayout copies per frame at 768k instances).
+      * rows_k == K (in-kernel relayout): refs = (rows_hbm (M, K) u16, bg,
+        out, rbuf (2, SEG, K) u16, acc, sems (2,)) — the kernel DMAs the
+        gathered rows untouched, reassembles the u16 halves in-register,
+        and recovers the lane-major layout with EXACT 0/1 identity
+        matmuls on the (otherwise idle) MXU: transposition is not a
+        contraction, but dot_general(x_T (G, D), I (G, G)) contracting
+        dim 0 with dim 0 IS x (D, G), and with a 0/1 identity each output
+        element is one 1.0*x product plus exact zeros (HIGHEST-precision
+        f32 splits reconstruct x error-free). K = 16 geometry u16 halves
+        + colour columns (C bf16 bit-halves, or 2C u16 halves when
+        col_f32). Deletes the XLA transposes/reassembly from the frame.
     """
+    if rows_k:
+        rows_hbm, bg_ref, out_ref, rbuf, acc_ref, sems = refs
+    else:
+        geom_hbm, col_hbm, bg_ref, out_ref, gbuf, cbuf, acc_ref, sems = refs
     t = pl.program_id(0)
     start = tile_starts_ref[t]
     count = tile_counts_ref[t]
@@ -336,7 +373,8 @@ def _forward_fast_kernel(
     # stays an exact 0/1 matrix; no INV_LN2 constants to round to bf16)
     t_eps = jnp.float32(LOG_T_EPS if blend_bf16 else LOG2_T_EPS)
     nb = p // p_block
-    seg_w = gbuf.shape[2]  # segment width (chunks per DMA * g)
+    # segment width (chunks per DMA * g)
+    seg_w = rbuf.shape[1] if rows_k else gbuf.shape[2]
     cpseg = seg_w // g
 
     # per-tile pixel coordinates, per p-block (static python loop)
@@ -374,6 +412,13 @@ def _forward_fast_kernel(
         # `cpseg` chunks — per-chunk (24, 128) DMAs left the loop latency-
         # bound (~3 us/chunk measured with compute ~1 us; see fast_sweep)
         off = pl.multiple_of(base + s * seg_w, g)
+        if rows_k:
+            return (
+                pltpu.make_async_copy(
+                    rows_hbm.at[pl.ds(off, seg_w), :], rbuf.at[slot],
+                    sems.at[slot],
+                ),
+            )
         a = pltpu.make_async_copy(
             geom_hbm.at[:, pl.ds(off, seg_w)], gbuf.at[slot], sems.at[slot]
         )
@@ -383,14 +428,12 @@ def _forward_fast_kernel(
         return a, b
 
     def seg_start(s, slot):
-        a, b = dma_seg(s, slot)
-        a.start()
-        b.start()
+        for d in dma_seg(s, slot):
+            d.start()
 
     def seg_wait(s, slot):
-        a, b = dma_seg(s, slot)
-        a.wait()
-        b.wait()
+        for d in dma_seg(s, slot):
+            d.wait()
 
     @pl.when(nseg > 0)
     def _():
@@ -423,7 +466,19 @@ def _forward_fast_kernel(
             # c); since the included set is a prefix, sum(w) telescopes to
             # 1 - T_after_last_included exactly — no min-tracking needed.
             k, log_t = carry
-            rows = gbuf[slot, :, pl.ds(k * g, g)]  # (8, G) f32
+            if rows_k:
+                # in-kernel relayout: reassemble the chunk's u16 halves in-
+                # register and recover lane-major rows with one exact
+                # identity matmul (see _mxu_t)
+                hw = rbuf[slot, pl.ds(k * g, g), :]  # (G, K) u16
+                geom_t = jax.lax.bitcast_convert_type(
+                    (hw[:, :GEOM_ROWS].astype(jnp.uint32) << 16)
+                    | hw[:, GEOM_ROWS : 2 * GEOM_ROWS].astype(jnp.uint32),
+                    jnp.float32,
+                )  # (G, 8)
+                rows = _mxu_t(geom_t)  # (8, G) f32, exact
+            else:
+                rows = gbuf[slot, :, pl.ds(k * g, g)]  # (8, G) f32
             # constants folded into the per-lane conic rows: sigma2 =
             # sigma * log2(e) so alpha = op * exp2(-sigma2); 0.5 absorbed
             ca = rows[2:3, :] * (0.5 * INV_LN2)
@@ -443,9 +498,23 @@ def _forward_fast_kernel(
                 # same semantics, shifted by the fold.
                 mlog = jnp.where(opm > 0.0, -jnp.log2(opm), jnp.float32(1e4))
             cdt = jnp.bfloat16 if blend_bf16 else jnp.float32
+            if rows_k:
+                cw = hw[:, 2 * GEOM_ROWS :]  # (G, C) bf16 bits or (G, 2C) u16
+                if col_f32:
+                    cc2 = cw.shape[1] // 2
+                    col_t = jax.lax.bitcast_convert_type(
+                        (cw[:, :cc2].astype(jnp.uint32) << 16)
+                        | cw[:, cc2:].astype(jnp.uint32),
+                        jnp.float32,
+                    )  # (G, C) f32
+                else:
+                    col_t = jax.lax.bitcast_convert_type(cw, jnp.bfloat16)
+                col_rows = _mxu_t(col_t.astype(cdt))  # (C, G), exact
+            else:
+                col_rows = cbuf[slot, :, pl.ds(k * g, g)].astype(cdt)
             colors = jnp.concatenate(
                 [
-                    cbuf[slot, :, pl.ds(k * g, g)].astype(cdt),
+                    col_rows,
                     jnp.ones((1, g), cdt),  # sum(w) fold row
                 ],
                 axis=0,
@@ -646,6 +715,84 @@ def tile_blend_forward_fast(
         cost_estimate=_fwd_cost(num_tiles, p, chunk, c, m),
         interpret=interpret,
     )(tile_starts, tile_counts, geom_inst, color_inst, bg2d)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "col_f32", "tiles_x", "tiles_y", "tile_h", "tile_w", "chunk",
+        "p_block", "seg_chunks", "mxu_sigma", "blend_bf16", "interpret",
+    ),
+)
+def tile_blend_forward_fast_rows(
+    rows_inst: jnp.ndarray,  # (M', 16 + Cc) u16 gathered instance rows
+    tile_starts: jnp.ndarray,
+    tile_counts: jnp.ndarray,
+    bg: jnp.ndarray | None = None,
+    *,
+    col_f32: bool,
+    tiles_x: int,
+    tiles_y: int,
+    tile_h: int,
+    tile_w: int,
+    chunk: int = 128,
+    p_block: int = 1024,
+    seg_chunks: int = SEG_CHUNKS,
+    mxu_sigma: bool = True,
+    blend_bf16: bool = False,
+    interpret: bool = False,
+):
+    """In-kernel-relayout variant of `tile_blend_forward_fast`: consumes the
+    gathered u16 instance rows UNTRANSPOSED ((M', K): 16 geometry bit-half
+    columns then colour columns — C bf16 bit columns, or 2C u16 halves when
+    col_f32) and performs reassembly + lane-major transposition inside the
+    kernel (exact identity matmuls on the idle MXU), deleting the XLA-side
+    relayout copies (~2 ms/frame at 768k instances). Same sentinel-slack
+    contract as the classic entry; returns (T, P, C+1)."""
+    num_tiles = tiles_x * tiles_y
+    p = tile_h * tile_w
+    k_cols = rows_inst.shape[1]
+    c = (k_cols - 2 * GEOM_ROWS) // (2 if col_f32 else 1)
+    m = rows_inst.shape[0]
+    p_block = min(p_block, p)
+    assert p % p_block == 0
+    if bg is None:
+        bg = jnp.zeros((c,), jnp.float32)
+    bg2d = bg.reshape(1, c).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, c), lambda t, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, p, c + 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, seg_chunks * chunk, k_cols), jnp.uint16),
+            pltpu.VMEM((p, c + 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    if blend_bf16 and not mxu_sigma:
+        raise ValueError("blend_bf16 requires mxu_sigma")
+    kernel = functools.partial(
+        _forward_fast_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
+        g=chunk, p_block=p_block, mxu_sigma=mxu_sigma, blend_bf16=blend_bf16,
+        rows_k=k_cols, col_f32=col_f32,
+    )
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((num_tiles, p, c + 1), jnp.float32)],
+        cost_estimate=_fwd_cost(num_tiles, p, chunk, c, m),
+        interpret=interpret,
+    )(tile_starts, tile_counts, rows_inst, bg2d)
     return out
 
 

@@ -35,6 +35,10 @@ from gags_tpu.splat.projection import effective_opacity, project_gaussians
 import os as _os
 
 _TRANSPOSE_U16 = _os.environ.get("GAGS_T16", "0") == "1"
+# A/B experiment flag (GAGS_KREL=1): skip the XLA relayout entirely and let
+# the fast kernel reassemble + transpose the gathered u16 rows in-register
+# (RasterizeConfig.kernel_relayout). Numerics identical; drain-time decides.
+_KERNEL_RELAYOUT = _os.environ.get("GAGS_KREL", "0") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,6 +85,12 @@ class RasterizeConfig:
     # (tiles.ellipse_tile_keep) — sheds the corner tiles of each splat's
     # bbox, image-exact. Ignored on aligned (training) binnings.
     tile_cull: bool = True
+    # feed the gathered u16 instance rows straight into the fast kernel,
+    # which reassembles + transposes them in-register (exact identity
+    # matmuls on the idle MXU) — deletes the XLA relayout copies (~2 ms
+    # per frame at 768k instances). Inference fast path only; numerics
+    # identical to the XLA relayout (both exact).
+    kernel_relayout: bool = False
 
     def instance_budget(self, n: int) -> int:
         if self.budget is not None:
@@ -286,6 +296,26 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, 
         else:
             col_u16 = tiles.u16_halves(colors_pad)  # (N+1, 2Cp)
         got = jnp.concatenate([geom_u16, col_u16], axis=1)[inst_gid]
+        if cfg.kernel_relayout or _KERNEL_RELAYOUT:
+            # no XLA relayout at all: the kernel reassembles the u16 rows
+            # and recovers the lane-major layout in-register
+            out = pk.tile_blend_forward_fast_rows(
+                got,
+                tile_starts,
+                tile_counts,
+                bg,
+                col_f32=not cfg.fast_color_rows,
+                tiles_x=tiles_x,
+                tiles_y=tiles_y,
+                tile_h=cfg.tile_h,
+                tile_w=cfg.tile_w,
+                chunk=cfg.chunk,
+                p_block=cfg.p_block,
+                mxu_sigma=cfg.mxu_sigma,
+                blend_bf16=cfg.blend_bf16,
+                interpret=cfg.interpret,
+            )
+            return out[..., :c_true], out[..., -1:]
         if _TRANSPOSE_U16:
             # A/B experiment (GAGS_T16=1): ONE u16 transpose of the whole
             # gathered table (half the relayout bytes of the two f32/bf16

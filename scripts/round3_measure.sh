@@ -8,6 +8,7 @@ python scripts/slab_probe.py 2>&1 | grep -v WARNING
 python scripts/bf16_sweep.py 2>&1 | grep -v WARNING
 python bench.py 2>&1 | grep -v WARNING
 GAGS_T16=1 python bench.py 2>&1 | grep -v WARNING
+GAGS_KREL=1 python bench.py 2>&1 | grep -v WARNING
 python scripts/stage_drain.py 2>&1 | grep -v WARNING
 python scripts/stage_drain.py 32 32 bf16 2>&1 | grep -v WARNING
 python scripts/bench_1080p.py 2>&1 | grep -v WARNING

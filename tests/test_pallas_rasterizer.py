@@ -226,6 +226,41 @@ def test_blend_bf16_saturated_rgb():
     assert int(res.overflow) == 0
 
 
+@pytest.mark.parametrize(
+    "cdim,fast_rows,bf16,mxu_sigma",
+    [
+        (16, True, False, True),
+        (16, True, True, True),
+        (16, False, False, True),
+        (16, False, False, False),
+        (3, True, True, True),
+        (3, False, False, True),
+    ],
+)
+def test_kernel_relayout_matches_xla_relayout(cdim, fast_rows, bf16, mxu_sigma):
+    """kernel_relayout (gathered u16 rows reassembled + transposed inside
+    the fast kernel via exact identity matmuls) must reproduce the XLA
+    relayout path bit-for-bit: both pipelines feed the same bits into the
+    same blend math."""
+    means, quats, scales, op, col, vm, K = _scene(160, 5, cdim)
+    base = dict(
+        tile_h=8, tile_w=16, chunk=8, budget_factor=8, interpret=True,
+        aligned=False, fast_color_rows=fast_rows, blend_bf16=bf16,
+        mxu_sigma=mxu_sigma,
+    )
+    ref = rasterize(
+        means, quats, scales, op, col, vm, K, W, H,
+        config=RasterizeConfig(**base),
+    )
+    res = rasterize(
+        means, quats, scales, op, col, vm, K, W, H,
+        config=RasterizeConfig(**base, kernel_relayout=True),
+    )
+    np.testing.assert_array_equal(np.asarray(res.image), np.asarray(ref.image))
+    np.testing.assert_array_equal(np.asarray(res.alpha), np.asarray(ref.alpha))
+    assert int(res.overflow) == 0
+
+
 def test_blend_bf16_requires_mxu_sigma():
     means, quats, scales, op, col, vm, K = _scene(20)
     cfg = RasterizeConfig(
