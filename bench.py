@@ -97,22 +97,50 @@ def main():
     )
     assert int(res.overflow) == 0, f"instance budget overflow: {int(res.overflow)}"
 
-    @jax.jit
-    def render(means_, quats_, scales_, opac_, f):
-        return rasterize(
-            means_, quats_, scales_, opac_, f, cam.viewmat, cam.K, w, h,
-            background=bg, config=cfg,
-        ).image
-
-    def render_call(f):
-        return render(means, quats, scales, opac, f)
-
-    # drain timing: enqueue ITERS frames (dispatch ~0.04 ms/frame), one
+    # drain timing: enqueue K frames (dispatch ~0.04 ms/frame), one
     # readback at the end; matches profiler module timelines, unlike the
     # slope method which overestimated ~30% on this backend
     from gags_tpu.utils.timing import device_time_drain
 
-    dt = device_time_drain(render_call, feats, k=ITERS, warmup=3)
+    def timed(cfg_, k):
+        @jax.jit
+        def render(means_, quats_, scales_, opac_, f):
+            return rasterize(
+                means_, quats_, scales_, opac_, f, cam.viewmat, cam.K, w, h,
+                background=bg, config=cfg_,
+            ).image
+
+        return device_time_drain(
+            lambda f: render(means, quats, scales, opac, f), feats,
+            k=k, warmup=3,
+        )
+
+    # in-kernel-relayout candidate: numerically identical (exact identity-
+    # matmul transposes) but unproven on every Mosaic version — compile +
+    # parity-guard it, then keep whichever variant drains faster. Any
+    # failure falls back to the XLA-relayout config silently.
+    if not on_cpu:
+        import dataclasses
+
+        try:
+            cfg_krel = dataclasses.replace(cfg, kernel_relayout=True)
+            img_k = rasterize(
+                means, quats, scales, opac, feats, cam.viewmat, cam.K, w, h,
+                background=bg, config=cfg_krel,
+            ).image
+            scale = float(jnp.max(jnp.abs(res.image))) + 1e-8
+            rel = float(jnp.max(jnp.abs(img_k - res.image))) / scale
+            if np.isfinite(rel) and rel <= 1e-5:
+                if timed(cfg_krel, 8) < timed(cfg, 8):
+                    cfg = cfg_krel
+            else:
+                print(f"# kernel_relayout parity {rel:.3e} — skipped",
+                      file=sys.stderr)
+        except Exception as exc:
+            print(f"# kernel_relayout failed: {exc!r:.200} — skipped",
+                  file=sys.stderr)
+
+    dt = timed(cfg, ITERS)
     fps = 1.0 / dt
 
     print(

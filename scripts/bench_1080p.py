@@ -28,6 +28,8 @@ VARIANTS = [
     dict(budget_factor=3, fast_color_rows=True),
     dict(budget_factor=3, fast_color_rows=True, blend_bf16=True),
     dict(budget_factor=2, fast_color_rows=True, blend_bf16=True),
+    dict(budget_factor=2, fast_color_rows=True, blend_bf16=True,
+         kernel_relayout=True),
 ]
 for v in VARIANTS:
     cfg = RasterizeConfig(tile_h=32, tile_w=32, aligned=False, **v)
