@@ -115,30 +115,43 @@ def main():
             k=k, warmup=3,
         )
 
-    # in-kernel-relayout candidate: numerically identical (exact identity-
-    # matmul transposes) but unproven on every Mosaic version — compile +
-    # parity-guard it, then keep whichever variant drains faster. Any
-    # failure falls back to the XLA-relayout config silently.
+    # staged-kernel candidates: numerically identical (exact identity-
+    # matmul transposes / exact fused key construction) but unproven on
+    # every Mosaic version — compile + parity-guard each, then keep the
+    # fastest drained variant. Any failure falls back silently, so the
+    # recorded number is never missing.
     if not on_cpu:
         import dataclasses
 
-        try:
-            cfg_krel = dataclasses.replace(cfg, kernel_relayout=True)
-            img_k = rasterize(
-                means, quats, scales, opac, feats, cam.viewmat, cam.K, w, h,
-                background=bg, config=cfg_krel,
-            ).image
-            scale = float(jnp.max(jnp.abs(res.image))) + 1e-8
-            rel = float(jnp.max(jnp.abs(img_k - res.image))) / scale
-            if np.isfinite(rel) and rel <= 1e-5:
-                if timed(cfg_krel, 8) < timed(cfg, 8):
-                    cfg = cfg_krel
-            else:
-                print(f"# kernel_relayout parity {rel:.3e} — skipped",
+        def try_candidate(cfg_best, t_best, **flags):
+            cand = dataclasses.replace(cfg_best, **flags)
+            try:
+                img_k = rasterize(
+                    means, quats, scales, opac, feats, cam.viewmat, cam.K,
+                    w, h, background=bg, config=cand,
+                ).image
+                scale = float(jnp.max(jnp.abs(res.image))) + 1e-8
+                rel = float(jnp.max(jnp.abs(img_k - res.image))) / scale
+                if not (np.isfinite(rel) and rel <= 1e-5):
+                    print(f"# {flags} parity {rel:.3e} — skipped",
+                          file=sys.stderr)
+                    return cfg_best, t_best
+                t = timed(cand, 8)
+                return (cand, t) if t < t_best else (cfg_best, t_best)
+            except Exception as exc:
+                print(f"# {flags} failed: {exc!r:.200} — skipped",
                       file=sys.stderr)
-        except Exception as exc:
-            print(f"# kernel_relayout failed: {exc!r:.200} — skipped",
-                  file=sys.stderr)
+                return cfg_best, t_best
+
+        t0 = timed(cfg, 8)
+        cfg, t0 = try_candidate(cfg, t0, kernel_relayout=True)
+        cfg, t0 = try_candidate(cfg, t0, fused_keys=True)
+        print(
+            f"# autotune: blend_bf16={cfg.blend_bf16} "
+            f"kernel_relayout={cfg.kernel_relayout} "
+            f"fused_keys={cfg.fused_keys}",
+            file=sys.stderr,
+        )
 
     dt = timed(cfg, ITERS)
     fps = 1.0 / dt

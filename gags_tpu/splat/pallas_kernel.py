@@ -1437,6 +1437,200 @@ def expand_gid(
     return gid.reshape(-1)
 
 
+EXPAND_SB = 256  # key-kernel sub-block: bounds (SB, W) temps to ~1.2 MB
+
+
+def _expand_keys_kernel(
+    glo_ref,   # scalar prefetch (nc,): first gaussian rank owning slot c*K
+    nv_ref,    # scalar prefetch (1,): pre-cull valid instance count
+    tbl_hbm,   # (16, n_pad) f32 per-rank table:
+               #   rows [off_clamped, x0, y0, pw, mx, my, ca, cb, cc, L, 0..]
+    keys_ref,  # (1, 1, K) int32/uint32 out: final sort keys
+    cnt_ref,   # (1, 1, 128) int32 out: per-chunk valid count (broadcast row)
+    buf,       # (2, 16, W) f32 window double buffer
+    sems,      # DMA (2,)
+    *,
+    nc: int,
+    shift: int,
+    tiles_x: int,
+    tile_w: int,
+    tile_h: int,
+    has_cull: bool,
+    key_u32: bool,
+    half_px: float = 0.5,
+):
+    """Fused ragged->dense expansion + sort-key construction (+ optional
+    exact ellipse-tile cull) for the unaligned inference binning.
+
+    Replaces, in ONE windowed pass: expand_gid, the (M,)-row u16 gather of
+    per-rank data (per-row bound, ~1.7 ms at 768k instances), the XLA
+    dy/dx/tile/key elementwise chain, and the cull evaluation. Exploits the
+    same invariant as expand_gid (alive-first depth order => a K-slot chunk
+    is owned by <= K+1 consecutive ranks, all inside a W-wide aligned
+    window): the owner one-hot is the lane-difference of the monotone
+    step mask, so the per-slot rank attributes come from one EXACT
+    (SB, W) @ (W, 16) HIGHEST matmul against the windowed table (0/1
+    one-hot x f32-exact integer values — error-free; see _mxu_t note).
+    All integer arithmetic runs in f32 (every operand < 2^24, exact);
+    dy = slot // pw uses one correctly-rounded division plus a +-1 fixup
+    (|fl(q) - q| <= q*2^-23 < 1 at q < 2^20).
+    """
+    k = EXPAND_K
+    w = EXPAND_W
+    sb = EXPAND_SB
+    c = pl.program_id(0)
+    kdt = jnp.uint32 if key_u32 else jnp.int32
+    key_max = jnp.asarray(jnp.iinfo(kdt).max, kdt)
+
+    def dma(cc, slot):
+        g = glo_ref[cc]
+        base = pl.multiple_of(g - jax.lax.rem(g, 128), 128)
+        return pltpu.make_async_copy(
+            tbl_hbm.at[:, pl.ds(base, w)], buf.at[slot], sems.at[slot]
+        )
+
+    @pl.when(c == 0)
+    def _():
+        dma(0, 0).start()
+
+    slot = jax.lax.rem(c, 2)
+
+    @pl.when(c + 1 < nc)
+    def _():
+        dma(c + 1, 1 - slot).start()
+
+    dma(c, slot).wait()
+    g = glo_ref[c]
+    base_f = (g - jax.lax.rem(g, 128)).astype(jnp.float32)
+    nv_f = nv_ref[0].astype(jnp.float32)
+    win = buf[slot]  # (16, W) f32
+    off = win[0:1, :]  # (1, W)
+    total = jnp.zeros((1, 1), jnp.float32)
+
+    for s in range(k // sb):
+        i_f = (
+            (c * k + s * sb).astype(jnp.float32)
+            + jax.lax.broadcasted_iota(jnp.float32, (sb, 1), 0)
+        )  # (SB, 1) global slot ids, f32-exact (< 2^24 by the tier guard)
+        mask = (i_f >= off).astype(jnp.float32)  # (SB, W) monotone step
+        cnt = jnp.sum(mask, axis=1, keepdims=True)  # (SB, 1)
+        gid_f = base_f + cnt - 1.0
+        # owner one-hot = lane-difference of the step mask (exactly one 1)
+        onehot = mask - jnp.concatenate(
+            [mask[:, 1:], jnp.zeros((sb, 1), jnp.float32)], axis=1
+        )
+        cols = jax.lax.dot_general(
+            onehot, win,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (SB, 16) exact per-slot rank attributes
+        off_g = cols[:, 0:1]
+        x0 = cols[:, 1:2]
+        y0 = cols[:, 2:3]
+        pw = jnp.maximum(cols[:, 3:4], 1.0)
+        slot_f = i_f - off_g  # in [0, pw*ph), f32-exact
+        dyc = jnp.floor(slot_f / pw)
+        r = slot_f - dyc * pw  # exact (products < 2^24)
+        dy = jnp.where(r >= pw, dyc + 1.0, jnp.where(r < 0.0, dyc - 1.0, dyc))
+        dx = slot_f - dy * pw
+        tx = x0 + dx
+        ty = y0 + dy
+        tile_f = ty * tiles_x + tx
+        valid = i_f < nv_f
+        if has_cull:
+            # exact alpha-floor tile test (tiles.ellipse_tile_keep, column
+            # layout): keep iff some pixel centre of the tile can reach
+            # sigma <= L — min of the PD quadratic over the pixel rect
+            mx = cols[:, 4:5]
+            my = cols[:, 5:6]
+            ca = cols[:, 6:7]
+            cb = cols[:, 7:8]
+            cc2 = cols[:, 8:9]
+            lvl = cols[:, 9:10]
+            u0 = tx * tile_w + half_px - mx
+            u1 = u0 + (tile_w - 2 * half_px)
+            v0 = ty * tile_h + half_px - my
+            v1 = v0 + (tile_h - 2 * half_px)
+            inside = (u0 <= 0) & (0 <= u1) & (v0 <= 0) & (0 <= v1)
+
+            def edge_u(ub):
+                vs = jnp.clip(-cb * ub / cc2, v0, v1)
+                return (0.5 * ca * ub + cb * vs) * ub + 0.5 * cc2 * vs * vs
+
+            def edge_v(vb):
+                us = jnp.clip(-cb * vb / ca, u0, u1)
+                return (0.5 * cc2 * vb + cb * us) * vb + 0.5 * ca * us * us
+
+            smin = jnp.minimum(
+                jnp.minimum(edge_u(u0), edge_u(u1)),
+                jnp.minimum(edge_v(v0), edge_v(v1)),
+            )
+            valid = valid & (inside | (smin <= lvl))
+        key = (tile_f.astype(kdt) << shift) | gid_f.astype(kdt)
+        keys = jnp.where(valid, key, key_max)  # (SB, 1)
+        keys_ref[0, 0, pl.ds(s * sb, sb)] = keys[:, 0]
+        total = total + jnp.sum(valid.astype(jnp.float32), axis=0, keepdims=True)
+
+    cnt_ref[0, :, :] = total.astype(jnp.int32) * jnp.ones((1, 128), jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "shift", "tiles_x", "tile_w", "tile_h", "has_cull", "key_u32",
+        "interpret",
+    ),
+)
+def expand_keys(
+    tbl16: jnp.ndarray,  # (16, n_pad) f32 per-rank table (see kernel doc)
+    g_lo: jnp.ndarray,   # (nc,) int32 first owner rank per chunk
+    num_valid: jnp.ndarray,  # () int32 pre-cull valid instance count
+    *,
+    shift: int,
+    tiles_x: int,
+    tile_w: int,
+    tile_h: int,
+    has_cull: bool,
+    key_u32: bool,
+    interpret: bool = False,
+):
+    """Returns (keys (nc*K,) int32/uint32, valid_counts (nc,) int32)."""
+    nc = g_lo.shape[0]
+    kdt = jnp.uint32 if key_u32 else jnp.int32
+    keys, cnts = pl.pallas_call(
+        functools.partial(
+            _expand_keys_kernel, nc=nc, shift=shift, tiles_x=tiles_x,
+            tile_w=tile_w, tile_h=tile_h, has_cull=has_cull, key_u32=key_u32,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nc,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, EXPAND_K), lambda c, *_: (c, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, 128), lambda c, *_: (c, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, 16, EXPAND_W), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((nc, 1, EXPAND_K), kdt),
+            jax.ShapeDtypeStruct((nc, 1, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(g_lo, num_valid.reshape(1), tbl16)
+    return keys.reshape(-1), cnts[:, 0, 0]
+
+
 def _dense_segsum_kernel(
     vals_ref,  # (CHUNK, C) VMEM block
     ids_ref,  # (1, 1, CHUNK) int32 VMEM block; out-of-range ids drop out

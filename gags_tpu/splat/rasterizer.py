@@ -91,6 +91,11 @@ class RasterizeConfig:
     # per frame at 768k instances). Inference fast path only; numerics
     # identical to the XLA relayout (both exact).
     kernel_relayout: bool = False
+    # fused expansion+gather+cull+key Pallas kernel for the unaligned
+    # binning (tiles/pallas_kernel.expand_keys): deletes the (M,)-row
+    # gather and the XLA key chain. Exact same keys; unaligned narrow-key
+    # tiers only (no-op elsewhere).
+    fused_keys: bool = False
 
     def instance_budget(self, n: int) -> int:
         if self.budget is not None:
@@ -221,6 +226,7 @@ def _prepare(means, quats, scales, opacities, viewmat, K, width, height, cfg):
         interpret=cfg.interpret,
         radii_y=proj.radii_y,
         cull_rows=_cull_rows(proj, opacities) if _wants_cull(cfg) else None,
+        fused_keys=cfg.fused_keys,
     )
     geom, _ = _geom_table(proj, opacities)
     return proj, binned, geom, tiles_x, tiles_y

@@ -37,12 +37,18 @@ backward writes are race-free.
 
 from __future__ import annotations
 
+import os as _os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 INT32_MAX = jnp.int32(2**31 - 1)
+
+# A/B experiment flag (GAGS_FKEYS=1): fused expansion+key kernel on the
+# unaligned fast path (see pallas_kernel.expand_keys). Exact same keys;
+# drain-time on hardware decides the default.
+_FUSED_KEYS = _os.environ.get("GAGS_FKEYS", "0") == "1"
 
 
 def fast_gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -196,6 +202,34 @@ def ellipse_tile_keep(
     return inside | (smin <= L)
 
 
+def _finish_unaligned(
+    sorted_keys, inst_rank, *, num_tiles, shift, wide_keys,
+    key_dtype, chunk, n, num_valid, overflow, order,
+):
+    """Unaligned epilogue: per-tile ranges straight from the sorted keys
+    (tile t's range is [searchsorted(t << shift), searchsorted((t+1) <<
+    shift)) — T+1 sorted queries, O(T log M)) plus one sentinel chunk of
+    tail padding for the kernel's last masked DMA."""
+    tbounds = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    if not wide_keys:
+        tbounds = tbounds.astype(key_dtype) << shift
+    edges = jnp.searchsorted(sorted_keys, tbounds, side="left").astype(jnp.int32)
+    tile_starts = edges[:num_tiles]
+    counts_t = edges[1:] - edges[:num_tiles]
+    inst_rank = jnp.concatenate(
+        [inst_rank, jnp.full((chunk,), n, jnp.int32)]
+    )
+    return BinnedInstances(
+        inst_gid=inst_rank,
+        tile_starts=tile_starts,
+        tile_counts=counts_t.astype(jnp.int32),
+        num_valid=num_valid,
+        overflow=overflow,
+        order=order.astype(jnp.int32),
+        red=None,
+    )
+
+
 def aligned_budget(budget: int, num_tiles: int, chunk: int) -> int:
     """Static output size: budget (rounded to chunk) + per-tile pad room."""
     b = ((budget + chunk - 1) // chunk) * chunk
@@ -243,6 +277,7 @@ def bin_gaussians(
     _force_u32_keys: bool = False,
     radii_y: jnp.ndarray | None = None,
     cull_rows: jnp.ndarray | None = None,
+    fused_keys: bool = False,
 ) -> BinnedInstances:
     """Build the sorted (tile-major, front-to-back) instance list.
 
@@ -266,6 +301,10 @@ def bin_gaussians(
         unaligned paths (see ellipse_tile_keep): instances whose tile has
         no pixel above the alpha floor are masked out of the sorted list.
         Ignored when aligned (the SAT dummy counts must match the rects).
+      fused_keys: build the sort keys with the fused expansion+gather+cull
+        Pallas kernel (pallas_kernel.expand_keys) instead of expand_gid +
+        an (M,)-row gather + the XLA key chain — identical keys, fewer
+        M-sized passes. Unaligned narrow-key paths only.
     """
     n = means2d.shape[0]
     tiles_x = -(-width // tile_w)
@@ -373,11 +412,60 @@ def bin_gaussians(
         nc = -(-m_real // kk)
         mk = nc * kk
         n_pad = n + _pk.EXPAND_W + 128
-        off_tbl = jnp.zeros((8, n_pad), jnp.int32)
-        off_tbl = off_tbl.at[0, :n].set(offsets).at[0, n:].set(INT32_MAX)
         g_lo = jnp.searchsorted(
             inc, jnp.arange(nc, dtype=jnp.int32) * kk, side="right"
         ).astype(jnp.int32)
+        if (fused_keys or _FUSED_KEYS) and mk < 2**24 - 1:
+            # fused kernel: per-rank attributes as one f32 table (every
+            # value < 2^24 hence f32-exact); the kernel gathers them with
+            # exact one-hot matmuls and emits the final keys directly
+            pad_len = n_pad - n
+
+            def _row(vals, pad_val=0.0):
+                return jnp.concatenate(
+                    [
+                        vals.astype(jnp.float32),
+                        jnp.full((pad_len,), pad_val, jnp.float32),
+                    ]
+                )
+
+            rows16 = [
+                _row(jnp.minimum(offsets, m_real), float(m_real)),
+                _row(packed_p & 1023),
+                _row((packed_p >> 10) & 1023),
+                _row((packed_p >> 20) & 1023, 1.0),
+            ]
+            if do_cull:
+                cull_f = jax.lax.bitcast_convert_type(
+                    tblp[:, 4:10], jnp.float32
+                )
+                rows16 += [_row(cull_f[:, i]) for i in range(6)]
+            while len(rows16) < 16:
+                rows16.append(jnp.zeros((n_pad,), jnp.float32))
+            tbl16 = jnp.stack(rows16)
+            keys, vcnt = _pk.expand_keys(
+                tbl16, g_lo, num_valid,
+                shift=shift, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
+                has_cull=do_cull, key_u32=key_dtype == jnp.uint32,
+                interpret=interpret,
+            )
+            if do_cull:
+                num_valid = jnp.sum(vcnt).astype(jnp.int32)
+            (sorted_keys,) = jax.lax.sort((keys,), num_keys=1, is_stable=False)
+            inst_rank = jnp.minimum(
+                (sorted_keys & jnp.asarray((1 << shift) - 1, key_dtype)).astype(
+                    jnp.int32
+                ),
+                n,
+            )
+            return _finish_unaligned(
+                sorted_keys, inst_rank,
+                num_tiles=num_tiles, shift=shift, wide_keys=False,
+                key_dtype=key_dtype, chunk=chunk, n=n,
+                num_valid=num_valid, overflow=overflow, order=order,
+            )
+        off_tbl = jnp.zeros((8, n_pad), jnp.int32)
+        off_tbl = off_tbl.at[0, :n].set(offsets).at[0, n:].set(INT32_MAX)
         gid = jnp.clip(
             _pk.expand_gid(off_tbl, g_lo, interpret=interpret), 0, n - 1
         )
@@ -497,19 +585,11 @@ def bin_gaussians(
             inst_rank = jnp.minimum(inst_rank, n).astype(jnp.int32)
 
     if not aligned:
-        # starts/counts straight from the sorted keys: tile t's range is
-        # [searchsorted(t*(n+1)), searchsorted((t+1)*(n+1))) — the queries
-        # are tiny (T+1) and sorted, so this is O(T log M)
-        tbounds = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-        if not wide_keys:
-            tbounds = tbounds.astype(key_dtype) << shift
-        edges = jnp.searchsorted(sorted_keys, tbounds, side="left").astype(jnp.int32)
-        tile_starts = edges[:num_tiles]
-        counts_t = edges[1:] - edges[:num_tiles]
-        # one sentinel chunk of tail padding: the kernel's last (masked)
-        # chunk DMA of the last tile may read up to chunk-1 rows past m_real
-        inst_rank = jnp.concatenate(
-            [inst_rank, jnp.full((chunk,), n, jnp.int32)]
+        return _finish_unaligned(
+            sorted_keys, inst_rank, num_tiles=num_tiles,
+            shift=shift, wide_keys=wide_keys, key_dtype=key_dtype,
+            chunk=chunk, n=n, num_valid=num_valid, overflow=overflow,
+            order=order,
         )
 
     return BinnedInstances(

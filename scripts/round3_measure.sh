@@ -6,9 +6,10 @@ cd /root/repo
 python scripts/tpu_validate.py 2>&1 | grep -v WARNING
 python scripts/slab_probe.py 2>&1 | grep -v WARNING
 python scripts/bf16_sweep.py 2>&1 | grep -v WARNING
+# bench.py self-tunes {kernel_relayout, fused_keys} with parity guards and
+# prints the chosen flags on stderr; the T16 leg still needs the env A/B
 python bench.py 2>&1 | grep -v WARNING
 GAGS_T16=1 python bench.py 2>&1 | grep -v WARNING
-GAGS_KREL=1 python bench.py 2>&1 | grep -v WARNING
 python scripts/stage_drain.py 2>&1 | grep -v WARNING
 python scripts/stage_drain.py 32 32 bf16 2>&1 | grep -v WARNING
 GAGS_KREL=1 python scripts/stage_drain.py 32 32 bf16 2>&1 | grep -v WARNING

@@ -261,6 +261,62 @@ def test_kernel_relayout_matches_xla_relayout(cdim, fast_rows, bf16, mxu_sigma):
     assert int(res.overflow) == 0
 
 
+@pytest.mark.parametrize(
+    "n,seed,cull,force_u32,budget_factor",
+    [
+        (200, 1, True, False, 8),
+        (200, 1, False, False, 8),
+        (150, 2, True, True, 8),
+        (300, 3, True, False, 2),  # tight budget: exercises the cut
+    ],
+)
+def test_fused_keys_matches_classic_binning(n, seed, cull, force_u32, budget_factor):
+    """The fused expansion+key kernel (pallas_kernel.expand_keys) must
+    produce the exact same BinnedInstances as the classic expand_gid +
+    gather + XLA key chain, including under the ellipse cull, the u32 key
+    tier, and a budget cut."""
+    from gags_tpu.splat.projection import project_gaussians
+    from gags_tpu.splat.rasterizer import _cull_rows
+
+    means, quats, scales, op, col, vm, K = _scene(n, seed)
+    p = project_gaussians(means, quats, scales, vm, K, W, H, opacities=op)
+    cr = _cull_rows(p, op) if cull else None
+    kw = dict(
+        width=W, height=H, tile_w=16, tile_h=8,
+        budget=budget_factor * n, chunk=8, aligned=False, interpret=True,
+        radii_y=p.radii_y, cull_rows=cr, _force_u32_keys=force_u32,
+    )
+    a = tiles.bin_gaussians(p.means2d, p.radii_x, p.depths, **kw)
+    b = tiles.bin_gaussians(
+        p.means2d, p.radii_x, p.depths, fused_keys=True, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a.inst_gid), np.asarray(b.inst_gid))
+    np.testing.assert_array_equal(np.asarray(a.tile_starts), np.asarray(b.tile_starts))
+    np.testing.assert_array_equal(np.asarray(a.tile_counts), np.asarray(b.tile_counts))
+    assert int(a.num_valid) == int(b.num_valid)
+    assert int(a.overflow) == int(b.overflow)
+    np.testing.assert_array_equal(np.asarray(a.order), np.asarray(b.order))
+
+
+def test_fused_keys_end_to_end_image():
+    """Full unaligned render with fused_keys must be bit-identical."""
+    means, quats, scales, op, col, vm, K = _scene(180, 9, 16)
+    base = dict(
+        tile_h=8, tile_w=16, chunk=8, budget_factor=8, interpret=True,
+        aligned=False, fast_color_rows=True,
+    )
+    a = rasterize(
+        means, quats, scales, op, col, vm, K, W, H,
+        config=RasterizeConfig(**base),
+    )
+    b = rasterize(
+        means, quats, scales, op, col, vm, K, W, H,
+        config=RasterizeConfig(**base, fused_keys=True),
+    )
+    np.testing.assert_array_equal(np.asarray(a.image), np.asarray(b.image))
+    np.testing.assert_array_equal(np.asarray(a.alpha), np.asarray(b.alpha))
+
+
 def test_blend_bf16_requires_mxu_sigma():
     means, quats, scales, op, col, vm, K = _scene(20)
     cfg = RasterizeConfig(
