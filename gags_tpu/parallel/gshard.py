@@ -151,6 +151,7 @@ def _render_strip(
             [m2, rows[:, 2:5],
              jnp.log(255.0 * jnp.maximum(rows[:, 5:6], 1e-12))], axis=1
         ) if (cfg.tile_cull and not cfg.aligned) else None,
+        fused_keys=cfg.fused_keys,
     )
     # geometry table in strip coordinates, with the zero sentinel row;
     # binned.inst_gid holds depth ranks → permute tables to rank order
