@@ -47,6 +47,7 @@ def render_set(
     resolution: int,
     scale_params=None,
     scale_decoder=None,
+    autotune: bool = False,
 ):
     base = os.path.join(model_dir, split, f"ours_{iteration}")
     renders_dir = os.path.join(base, "renders")
@@ -54,6 +55,28 @@ def render_set(
     bg = jnp.zeros((3,), jnp.float32)
     # forward-only rendering: unaligned inference binning + streaming kernel
     cfg = auto_config(aligned=False)
+    if autotune and cam_infos:
+        # pick the fastest parity-guarded kernel variant for THIS scene /
+        # resolution on the running device (exact variants only — RGB and
+        # saved feature maps stay bit-faithful)
+        from gags_tpu.splat.autotune import autotune_config
+
+        cam0 = camera_from_info(cam_infos[0], resolution)
+        colors = (
+            scene.semantic_features
+            if feature_mode and scene.semantic_features is not None
+            else jnp.asarray(
+                np.random.default_rng(0).uniform(
+                    0, 1, (scene.means.shape[0], 3)
+                ).astype(np.float32)
+            )
+        )
+        cfg = autotune_config(
+            scene.means, scene.quats, scene.scales, scene.opacities, colors,
+            cam0.viewmat, cam0.K, cam0.width, cam0.height,
+            base=auto_config(aligned=False, fast_color_rows=feature_mode),
+            verbose=True,
+        )
 
     def dispatch(info):
         """Enqueue one camera's render (async — JAX dispatch returns
@@ -141,6 +164,11 @@ def main():
     p.add_argument("--skip_train", action="store_true")
     p.add_argument("--skip_test", action="store_true")
     p.add_argument("--eval", dest="eval_split", action="store_true")
+    p.add_argument(
+        "--autotune", action="store_true",
+        help="drain-time the exact kernel variants on-device and render "
+             "with the fastest (see gags_tpu.splat.autotune)",
+    )
     args = p.parse_args()
 
     assert not (args.feature_mode and args.render_mode == "RGB+ED"), (
@@ -175,11 +203,11 @@ def main():
     if not args.skip_train:
         render_set(args.model_path, "train", args.iteration, info.train_cameras,
                    scene, args.feature_mode, args.feature_npy, args.render_mode,
-                   args.resolution, scale_params, scale_decoder)
+                   args.resolution, scale_params, scale_decoder, args.autotune)
     if not args.skip_test and info.test_cameras:
         render_set(args.model_path, "test", args.iteration, info.test_cameras,
                    scene, args.feature_mode, args.feature_npy, args.render_mode,
-                   args.resolution, scale_params, scale_decoder)
+                   args.resolution, scale_params, scale_decoder, args.autotune)
 
 
 if __name__ == "__main__":

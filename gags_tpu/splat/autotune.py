@@ -1,0 +1,140 @@
+"""On-device config autotuning for the inference rasterization path.
+
+The TPU cost model is measurement-hostile to guess at (VPU-bound blend,
+per-row-bound gathers, Mosaic relayouts — see NOTES.md): which of the
+numerically-identical kernel variants wins can differ by scene size,
+image size and Mosaic version. This module picks the fastest
+`RasterizeConfig` ON THE RUNNING DEVICE the way the bench does: render
+once with each candidate, guard numerical parity against the base
+config, drain-time the survivors, and cache the winner per
+(width, height, N, C, backend) for the life of the process.
+
+The reference has no analogue (gsplat's CUDA kernels are one fixed code
+path); this is the TPU-native answer to its hand-tuned launch configs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gags_tpu.splat.rasterizer import RasterizeConfig, auto_config, rasterize
+from gags_tpu.utils.timing import device_time_drain
+
+_CACHE: dict = {}
+
+# numerically identical variants (exact kernels; see their docstrings)
+EXACT_VARIANTS: Sequence[dict] = (
+    {},
+    {"kernel_relayout": True},
+    {"fused_keys": True},
+    {"kernel_relayout": True, "fused_keys": True},
+)
+# the bf16 blend pipeline trades ~1e-2 relative image error for half the
+# VPU/VMEM stream — only offered when the caller opts in (feature
+# rendering / relevancy; NOT quality-sensitive RGB eval)
+BF16_VARIANTS: Sequence[dict] = tuple(
+    {**v, "blend_bf16": True} for v in EXACT_VARIANTS
+)
+
+
+def autotune_config(
+    means,
+    quats,
+    scales,
+    opacities,
+    colors,
+    viewmat,
+    K,
+    width: int,
+    height: int,
+    *,
+    base: Optional[RasterizeConfig] = None,
+    allow_bf16: bool = False,
+    k: int = 8,
+    cache: bool = True,
+    force: bool = False,
+    verbose: bool = False,
+) -> RasterizeConfig:
+    """Return the fastest parity-guarded RasterizeConfig for this scene.
+
+    Renders one frame per candidate, rejects any whose max image error vs
+    the base exceeds its contract (1e-5 relative for exact variants, 5e-2
+    for bf16), drain-times survivors with `k` enqueued frames, and caches
+    the winner. On the CPU backend (interpret mode) timing is
+    meaningless, so the base config is returned unless `force`.
+    """
+    if base is None:
+        base = auto_config(
+            aligned=False, fast_color_rows=True, budget_factor=3
+        )
+    n = int(means.shape[0])
+    c = int(colors.shape[1])
+    key = (width, height, n, c, allow_bf16, jax.default_backend())
+    if cache and key in _CACHE:
+        return _CACHE[key]
+    if jax.default_backend() == "cpu" and not force:
+        return base
+
+    bg = jnp.zeros((c,), jnp.float32)
+
+    def run(cfg):
+        return rasterize(
+            means, quats, scales, opacities, colors, viewmat, K,
+            width, height, background=bg, config=cfg,
+        )
+
+    # instance budget must hold everything: grow on overflow before tuning
+    res = run(base)
+    while int(res.overflow) > 0 and base.budget_factor < 8:
+        base = dataclasses.replace(base, budget_factor=base.budget_factor + 1)
+        res = run(base)
+    ref_img = res.image
+    scale = float(jnp.max(jnp.abs(ref_img))) + 1e-8
+
+    def timed(cfg):
+        @jax.jit
+        def render(m, q, s, o, f):
+            return rasterize(
+                m, q, s, o, f, viewmat, K, width, height,
+                background=bg, config=cfg,
+            ).image
+
+        return device_time_drain(
+            lambda f: render(means, quats, scales, opacities, f), colors,
+            k=k, warmup=2,
+        )
+
+    variants = list(EXACT_VARIANTS) + (list(BF16_VARIANTS) if allow_bf16 else [])
+    best_cfg, best_t = base, timed(base)
+    for ov in variants:
+        if not ov:
+            continue
+        cand = dataclasses.replace(base, **ov)
+        tol = 5e-2 if ov.get("blend_bf16") else 1e-5
+        try:
+            rel = float(jnp.max(jnp.abs(run(cand).image - ref_img))) / scale
+            if not (np.isfinite(rel) and rel <= tol):
+                if verbose:
+                    print(f"# autotune: {ov} parity {rel:.3e} — rejected",
+                          file=sys.stderr)
+                continue
+            t = timed(cand)
+        except Exception as exc:  # Mosaic lowering/compile failure etc.
+            if verbose:
+                print(f"# autotune: {ov} failed: {exc!r:.200}",
+                      file=sys.stderr)
+            continue
+        if verbose:
+            print(f"# autotune: {ov} {t*1e3:.2f} ms (best {best_t*1e3:.2f})",
+                  file=sys.stderr)
+        if t < best_t:
+            best_cfg, best_t = cand, t
+    if cache:
+        _CACHE[key] = best_cfg
+    return best_cfg
