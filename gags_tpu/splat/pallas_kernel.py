@@ -1437,17 +1437,25 @@ def expand_gid(
     return gid.reshape(-1)
 
 
-EXPAND_SB = 256  # key-kernel sub-block: bounds (SB, W) temps to ~1.2 MB
+# keys-kernel sub-blocking: SB slots span <= SB+1 consecutive ranks, so a
+# 128-aligned sub-window of WS = 128 (alignment) + SB lanes suffices — the
+# (slots, window) compare shrinks from (K, K+128) to 8x (128, 256), ~4.5x
+# fewer VPU ops. The chunk window still fits in K+128 lanes: the last
+# sub-block's aligned start is <= align128(g_lo + K - SB) - align128(g_lo)
+# <= K - SB + 127 -> (mult of 128) <= K - SB, and K - SB + WS = K + 128.
+KEYS_SB = 128
+KEYS_WS = 256
+EXPAND_KW = EXPAND_K + 128
 
 
 def _expand_keys_kernel(
-    glo_ref,   # scalar prefetch (nc,): first gaussian rank owning slot c*K
+    glo_ref,   # scalar prefetch (nc * K/SB,): first owner rank per SB slots
     nv_ref,    # scalar prefetch (1,): pre-cull valid instance count
     tbl_hbm,   # (16, n_pad) f32 per-rank table:
                #   rows [off_clamped, x0, y0, pw, mx, my, ca, cb, cc, L, 0..]
     keys_ref,  # (1, 1, K) int32/uint32 out: final sort keys
     cnt_ref,   # (1, 1, 128) int32 out: per-chunk valid count (broadcast row)
-    buf,       # (2, 16, W) f32 window double buffer
+    buf,       # (2, 16, KW) f32 window double buffer
     sems,      # DMA (2,)
     *,
     nc: int,
@@ -1465,25 +1473,29 @@ def _expand_keys_kernel(
     Replaces, in ONE windowed pass: expand_gid, the (M,)-row u16 gather of
     per-rank data (per-row bound, ~1.7 ms at 768k instances), the XLA
     dy/dx/tile/key elementwise chain, and the cull evaluation. Exploits the
-    same invariant as expand_gid (alive-first depth order => a K-slot chunk
-    is owned by <= K+1 consecutive ranks, all inside a W-wide aligned
-    window): the owner one-hot is the lane-difference of the monotone
-    step mask, so the per-slot rank attributes come from one EXACT
-    (SB, W) @ (W, 16) HIGHEST matmul against the windowed table (0/1
-    one-hot x f32-exact integer values — error-free; see _mxu_t note).
-    All integer arithmetic runs in f32 (every operand < 2^24, exact);
-    dy = slot // pw uses one correctly-rounded division plus a +-1 fixup
-    (|fl(q) - q| <= q*2^-23 < 1 at q < 2^20).
+    same invariant as expand_gid (alive-first depth order => S slots are
+    owned by <= S+1 consecutive ranks): per SB-slot sub-block, a 128-
+    aligned WS-lane sub-window (start from the SB-granular scalar-prefetch
+    searchsorted) bounds the compare to (SB, WS); the owner one-hot is the
+    lane-difference of the monotone step mask, so the per-slot rank
+    attributes come from one EXACT (SB, WS) @ (WS, 16) HIGHEST matmul
+    against the windowed table (0/1 one-hot x f32-exact integer values —
+    error-free; see _mxu_t note). All integer arithmetic runs in f32
+    (every operand < 2^24, exact); dy = slot // pw uses one correctly-
+    rounded division plus a +-1 fixup (|fl(q) - q| <= q*2^-23 < 1 at
+    q < 2^20).
     """
     k = EXPAND_K
-    w = EXPAND_W
-    sb = EXPAND_SB
+    w = EXPAND_KW
+    sb = KEYS_SB
+    ws = KEYS_WS
+    nsb = k // sb
     c = pl.program_id(0)
     kdt = jnp.uint32 if key_u32 else jnp.int32
     key_max = jnp.asarray(jnp.iinfo(kdt).max, kdt)
 
     def dma(cc, slot):
-        g = glo_ref[cc]
+        g = glo_ref[cc * nsb]
         base = pl.multiple_of(g - jax.lax.rem(g, 128), 128)
         return pltpu.make_async_copy(
             tbl_hbm.at[:, pl.ds(base, w)], buf.at[slot], sems.at[slot]
@@ -1500,21 +1512,29 @@ def _expand_keys_kernel(
         dma(c + 1, 1 - slot).start()
 
     dma(c, slot).wait()
-    g = glo_ref[c]
-    base_f = (g - jax.lax.rem(g, 128)).astype(jnp.float32)
+    g = glo_ref[c * nsb]
+    base = g - jax.lax.rem(g, 128)  # absolute rank of window lane 0
     nv_f = nv_ref[0].astype(jnp.float32)
-    win = buf[slot]  # (16, W) f32
-    off = win[0:1, :]  # (1, W)
     total = jnp.zeros((1, 1), jnp.float32)
 
-    for s in range(k // sb):
+    for s in range(nsb):
+        # 128-aligned sub-window: covers this sub-block's <= SB+1 owner
+        # ranks (alignment pad <= 127 + SB + 1 <= WS)
+        g_s = glo_ref[c * nsb + s]
+        ws_abs = g_s - jax.lax.rem(g_s, 128)
+        rel = pl.multiple_of(ws_abs - base, 128)
+        win = buf[slot, :, pl.ds(rel, ws)]  # (16, WS) f32
+        off = win[0:1, :]  # (1, WS)
+        ws_f = ws_abs.astype(jnp.float32)
         i_f = (
             (c * k + s * sb).astype(jnp.float32)
             + jax.lax.broadcasted_iota(jnp.float32, (sb, 1), 0)
         )  # (SB, 1) global slot ids, f32-exact (< 2^24 by the tier guard)
-        mask = (i_f >= off).astype(jnp.float32)  # (SB, W) monotone step
+        mask = (i_f >= off).astype(jnp.float32)  # (SB, WS) monotone step
         cnt = jnp.sum(mask, axis=1, keepdims=True)  # (SB, 1)
-        gid_f = base_f + cnt - 1.0
+        # ranks before the sub-window all satisfy off <= i (monotone), so
+        # the absolute owner is window start + local count - 1
+        gid_f = ws_f + cnt - 1.0
         # owner one-hot = lane-difference of the step mask (exactly one 1)
         onehot = mask - jnp.concatenate(
             [mask[:, 1:], jnp.zeros((sb, 1), jnp.float32)], axis=1
@@ -1584,7 +1604,7 @@ def _expand_keys_kernel(
 )
 def expand_keys(
     tbl16: jnp.ndarray,  # (16, n_pad) f32 per-rank table (see kernel doc)
-    g_lo: jnp.ndarray,   # (nc,) int32 first owner rank per chunk
+    g_lo_sb: jnp.ndarray,  # (nc * K/SB,) int32 first owner rank per SB slots
     num_valid: jnp.ndarray,  # () int32 pre-cull valid instance count
     *,
     shift: int,
@@ -1596,7 +1616,7 @@ def expand_keys(
     interpret: bool = False,
 ):
     """Returns (keys (nc*K,) int32/uint32, valid_counts (nc,) int32)."""
-    nc = g_lo.shape[0]
+    nc = g_lo_sb.shape[0] // (EXPAND_K // KEYS_SB)
     kdt = jnp.uint32 if key_u32 else jnp.int32
     keys, cnts = pl.pallas_call(
         functools.partial(
@@ -1618,7 +1638,7 @@ def expand_keys(
                 ),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, 16, EXPAND_W), jnp.float32),
+                pltpu.VMEM((2, 16, EXPAND_KW), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -1627,7 +1647,7 @@ def expand_keys(
             jax.ShapeDtypeStruct((nc, 1, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(g_lo, num_valid.reshape(1), tbl16)
+    )(g_lo_sb, num_valid.reshape(1), tbl16)
     return keys.reshape(-1), cnts[:, 0, 0]
 
 

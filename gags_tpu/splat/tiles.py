@@ -418,8 +418,16 @@ def bin_gaussians(
         if (fused_keys or _FUSED_KEYS) and mk < 2**24 - 1:
             # fused kernel: per-rank attributes as one f32 table (every
             # value < 2^24 hence f32-exact); the kernel gathers them with
-            # exact one-hot matmuls and emits the final keys directly
-            pad_len = n_pad - n
+            # exact one-hot matmuls and emits the final keys directly.
+            # Owner starts at KEYS_SB granularity bound each sub-block's
+            # compare window to KEYS_WS lanes.
+            pad_len = _pk.EXPAND_KW + 128
+            g_lo_sb = jnp.searchsorted(
+                inc,
+                jnp.arange(nc * (kk // _pk.KEYS_SB), dtype=jnp.int32)
+                * _pk.KEYS_SB,
+                side="right",
+            ).astype(jnp.int32)
 
             def _row(vals, pad_val=0.0):
                 return jnp.concatenate(
@@ -441,10 +449,10 @@ def bin_gaussians(
                 )
                 rows16 += [_row(cull_f[:, i]) for i in range(6)]
             while len(rows16) < 16:
-                rows16.append(jnp.zeros((n_pad,), jnp.float32))
+                rows16.append(jnp.zeros((n + pad_len,), jnp.float32))
             tbl16 = jnp.stack(rows16)
             keys, vcnt = _pk.expand_keys(
-                tbl16, g_lo, num_valid,
+                tbl16, g_lo_sb, num_valid,
                 shift=shift, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
                 has_cull=do_cull, key_u32=key_dtype == jnp.uint32,
                 interpret=interpret,

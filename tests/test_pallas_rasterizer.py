@@ -298,6 +298,41 @@ def test_fused_keys_matches_classic_binning(n, seed, cull, force_u32, budget_fac
     np.testing.assert_array_equal(np.asarray(a.order), np.asarray(b.order))
 
 
+def test_fused_keys_single_instance_ranks():
+    """Worst-case window geometry: tiny splats give ~1 instance per rank,
+    so a 1024-slot chunk spans ~1025 consecutive ranks and the last
+    sub-block's window sits at the maximum 128-aligned offset — the
+    narrowed KEYS_WS sub-windows must still contain every owner."""
+    rng = np.random.default_rng(11)
+    n = 2000
+    means = jnp.asarray(
+        np.stack(
+            [rng.uniform(-1.5, 1.5, n), rng.uniform(-1, 1, n),
+             rng.uniform(3, 9, n)], 1
+        ).astype(np.float32)
+    )
+    quats = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    # ~point-sized: rects collapse to a single tile per gaussian
+    scales = jnp.asarray(np.full((n, 3), 1e-3, np.float32))
+    op = jnp.asarray(rng.uniform(0.2, 0.95, n).astype(np.float32))
+    vm = jnp.eye(4)
+    K = jnp.array([[F, 0, W / 2], [0, F, H / 2], [0, 0, 1]], jnp.float32)
+    from gags_tpu.splat.projection import project_gaussians
+
+    p = project_gaussians(means, quats, scales, vm, K, W, H, opacities=op)
+    kw = dict(
+        width=W, height=H, tile_w=16, tile_h=8, budget=2 * n, chunk=8,
+        aligned=False, interpret=True, radii_y=p.radii_y,
+    )
+    a = tiles.bin_gaussians(p.means2d, p.radii_x, p.depths, **kw)
+    b = tiles.bin_gaussians(
+        p.means2d, p.radii_x, p.depths, fused_keys=True, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a.inst_gid), np.asarray(b.inst_gid))
+    np.testing.assert_array_equal(np.asarray(a.tile_counts), np.asarray(b.tile_counts))
+    assert int(a.num_valid) == int(b.num_valid) and int(a.num_valid) > 1024
+
+
 def test_fused_keys_end_to_end_image():
     """Full unaligned render with fused_keys must be bit-identical."""
     means, quats, scales, op, col, vm, K = _scene(180, 9, 16)
