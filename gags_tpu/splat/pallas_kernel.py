@@ -1491,8 +1491,11 @@ def _expand_keys_kernel(
     ws = KEYS_WS
     nsb = k // sb
     c = pl.program_id(0)
-    kdt = jnp.uint32 if key_u32 else jnp.int32
-    key_max = jnp.asarray(jnp.iinfo(kdt).max, kdt)
+    # key arithmetic runs in int32 regardless of tier (two's-complement
+    # shift/or produce the identical bit pattern) and the u32 tier
+    # bitcasts at the end — avoids f32->u32 converts and u32 shifts,
+    # which are the least-proven Mosaic ops in this kernel
+    key_max = jnp.int32(-1 if key_u32 else 2**31 - 1)
 
     def dma(cc, slot):
         g = glo_ref[cc * nsb]
@@ -1587,8 +1590,10 @@ def _expand_keys_kernel(
                 jnp.minimum(edge_v(v0), edge_v(v1)),
             )
             valid = valid & (inside | (smin <= lvl))
-        key = (tile_f.astype(kdt) << shift) | gid_f.astype(kdt)
-        keys = jnp.where(valid, key, key_max)  # (SB, 1)
+        key = (tile_f.astype(jnp.int32) << shift) | gid_f.astype(jnp.int32)
+        keys = jnp.where(valid, key, key_max)  # (SB, 1) int32
+        if key_u32:
+            keys = jax.lax.bitcast_convert_type(keys, jnp.uint32)
         keys_ref[0, 0, pl.ds(s * sb, sb)] = keys[:, 0]
         total = total + jnp.sum(valid.astype(jnp.float32), axis=0, keepdims=True)
 
