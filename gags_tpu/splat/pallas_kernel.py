@@ -1358,7 +1358,7 @@ EXPAND_W = EXPAND_K + 128
 
 
 def _expand_gid_kernel(
-    glo_ref,  # scalar prefetch (nc,): first gaussian rank owning slot c*K
+    glo_ref,  # scalar prefetch (nc * K/SB,): first owner rank per SB slots
     off_hbm,  # (8, n_pad) int32; row 0 = instance offsets (monotone)
     gid_ref,  # (1, 1, K) int32 output block: owning rank per slot
     buf,  # (2, 8, W) int32 window double buffer
@@ -1370,18 +1370,25 @@ def _expand_gid_kernel(
 
     Replaces the XLA spread (scatter+cumsum, ~2.2 ms at M~1M — the scatter
     dominates). Gaussians are depth-sorted ALIVE-FIRST (count >= 1 before
-    any empty one), so the K slots of a chunk are owned by <= K+1
-    consecutive ranks: a windowed DMA of the offset row + one step-function
-    compare + a lane reduction yields gid = base + #{j: off[base+j] <= i} - 1.
+    any empty one), so S slots are owned by <= S+1 consecutive ranks:
+    per KEYS_SB-slot sub-block, a 128-aligned KEYS_WS-lane sub-window
+    (start from the SB-granular scalar-prefetch searchsorted) bounds the
+    step-function compare to (SB, WS) — ~4.5x fewer VPU ops than the
+    full (K, K+128) window — and a lane reduction yields
+    gid = window_start + #{j in window: off[j] <= i} - 1 (ranks before
+    the window all satisfy off <= i by monotonicity).
     Pure VPU — an MXU formulation (telescoping byte-plane matmul) measured
     10 ms/frame because the 12-column output uses ~10% of the array.
     """
     k = EXPAND_K
     w = EXPAND_W
+    sb = KEYS_SB
+    ws = KEYS_WS
+    nsb = k // sb
     c = pl.program_id(0)
 
     def dma(cc, slot):
-        g = glo_ref[cc]
+        g = glo_ref[cc * nsb]
         base = pl.multiple_of(g - jax.lax.rem(g, 128), 128)
         return pltpu.make_async_copy(
             off_hbm.at[:, pl.ds(base, w)], buf.at[slot], sems.at[slot]
@@ -1398,22 +1405,28 @@ def _expand_gid_kernel(
         dma(c + 1, 1 - slot).start()
 
     dma(c, slot).wait()
-    g = glo_ref[c]
+    g = glo_ref[c * nsb]
     base = g - jax.lax.rem(g, 128)
-    off = buf[slot][0:1, :]  # (1, W)
-    i_glob = c * k + jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)  # (K,1)
-    cnt = jnp.sum((i_glob >= off).astype(jnp.int32), axis=1, keepdims=True)
-    gid_ref[0, 0, :] = (base + cnt - 1)[:, 0]
+    for s in range(nsb):
+        g_s = glo_ref[c * nsb + s]
+        ws_abs = g_s - jax.lax.rem(g_s, 128)
+        rel = pl.multiple_of(ws_abs - base, 128)
+        off = buf[slot, 0:1, pl.ds(rel, ws)]  # (1, WS)
+        i_glob = (c * k + s * sb) + jax.lax.broadcasted_iota(
+            jnp.int32, (sb, 1), 0
+        )
+        cnt = jnp.sum((i_glob >= off).astype(jnp.int32), axis=1, keepdims=True)
+        gid_ref[0, 0, pl.ds(s * sb, sb)] = (ws_abs + cnt - 1)[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def expand_gid(
     offsets_table: jnp.ndarray,  # (8, n_pad) int32, row 0 = offsets
-    g_lo: jnp.ndarray,  # (nc,) int32 first owner rank per chunk
+    g_lo_sb: jnp.ndarray,  # (nc * K/SB,) int32 first owner rank per SB slots
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns (nc*K,) owning-rank ids (garbage past the last valid slot)."""
-    nc = g_lo.shape[0]
+    nc = g_lo_sb.shape[0] // (EXPAND_K // KEYS_SB)
     (gid,) = pl.pallas_call(
         functools.partial(_expand_gid_kernel, nc=nc),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1433,7 +1446,7 @@ def expand_gid(
         ),
         out_shape=[jax.ShapeDtypeStruct((nc, 1, EXPAND_K), jnp.int32)],
         interpret=interpret,
-    )(g_lo, offsets_table)
+    )(g_lo_sb, offsets_table)
     return gid.reshape(-1)
 
 

@@ -412,22 +412,19 @@ def bin_gaussians(
         nc = -(-m_real // kk)
         mk = nc * kk
         n_pad = n + _pk.EXPAND_W + 128
-        g_lo = jnp.searchsorted(
-            inc, jnp.arange(nc, dtype=jnp.int32) * kk, side="right"
+        # owner starts at KEYS_SB granularity: both expand kernels bound
+        # each sub-block's compare window to KEYS_WS lanes with these
+        g_lo_sb = jnp.searchsorted(
+            inc,
+            jnp.arange(nc * (kk // _pk.KEYS_SB), dtype=jnp.int32)
+            * _pk.KEYS_SB,
+            side="right",
         ).astype(jnp.int32)
         if (fused_keys or _FUSED_KEYS) and mk < 2**24 - 1:
             # fused kernel: per-rank attributes as one f32 table (every
             # value < 2^24 hence f32-exact); the kernel gathers them with
-            # exact one-hot matmuls and emits the final keys directly.
-            # Owner starts at KEYS_SB granularity bound each sub-block's
-            # compare window to KEYS_WS lanes.
+            # exact one-hot matmuls and emits the final keys directly
             pad_len = _pk.EXPAND_KW + 128
-            g_lo_sb = jnp.searchsorted(
-                inc,
-                jnp.arange(nc * (kk // _pk.KEYS_SB), dtype=jnp.int32)
-                * _pk.KEYS_SB,
-                side="right",
-            ).astype(jnp.int32)
 
             def _row(vals, pad_val=0.0):
                 return jnp.concatenate(
@@ -475,7 +472,7 @@ def bin_gaussians(
         off_tbl = jnp.zeros((8, n_pad), jnp.int32)
         off_tbl = off_tbl.at[0, :n].set(offsets).at[0, n:].set(INT32_MAX)
         gid = jnp.clip(
-            _pk.expand_gid(off_tbl, g_lo, interpret=interpret), 0, n - 1
+            _pk.expand_gid(off_tbl, g_lo_sb, interpret=interpret), 0, n - 1
         )
         idx = jnp.arange(mk, dtype=jnp.int32)
         per_rank = jnp.stack([packed_p, offsets], axis=1)  # (N, 2)

@@ -1,0 +1,101 @@
+"""CPU fuzz for the inference pipeline: random scenes x tile shapes x
+precision x kernel variants, checked against the pure-JAX oracle and for
+cross-variant exactness.
+
+Contracts asserted per case:
+  * full-f32 pipeline matches the oracle within 5e-4 relative (pure
+    accumulation-order roundoff on deep overdraw; the image-exact
+    binning sheds — opacity extents + ellipse cull — stay active);
+  * bf16 colour rows (fast_color_rows) within 5e-3 (documented ~1e-3
+    colour quantisation);
+  * bf16 blend within its documented 5e-2 relative contract;
+  * kernel_relayout / fused_keys are BIT-IDENTICAL to the classic
+    pipeline at equal precision (exact identity-matmul transposes /
+    exact one-hot key construction).
+
+Run: JAX_PLATFORMS=cpu python scripts/cpu_fuzz.py [n_seeds]
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+
+from gags_tpu.splat.projection import project_gaussians
+from gags_tpu.splat.reference import rasterize_reference
+from gags_tpu.splat.rasterizer import RasterizeConfig, rasterize
+
+W, H, F = 96, 48, 50.0
+N_SEEDS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+VARIANTS = [
+    {},
+    {"kernel_relayout": True},
+    {"fused_keys": True},
+    {"kernel_relayout": True, "fused_keys": True},
+]
+
+worst = {"f32": 0.0, "rows16": 0.0, "bf16": 0.0}
+TOL = {"f32": 5e-4, "rows16": 5e-3, "bf16": 5e-2}
+for seed in range(N_SEEDS):
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(150, 500))
+    means = jnp.asarray(
+        np.stack(
+            [rng.uniform(-1.5, 1.5, n), rng.uniform(-1, 1, n),
+             rng.uniform(3, 9, n)], 1
+        ).astype(np.float32)
+    )
+    quats = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    scales = jnp.asarray(
+        np.exp(rng.normal(-1.8, 0.6, (n, 3))).astype(np.float32)
+    )
+    # opacity-sparse leg exercises the alpha-floor extents shrink
+    op = jnp.asarray(
+        np.where(rng.uniform(size=n) < 0.3,
+                 rng.uniform(0.01, 0.05, n),
+                 rng.uniform(0.2, 0.95, n)).astype(np.float32)
+    )
+    col = jnp.asarray(rng.uniform(0, 1, (n, 16)).astype(np.float32))
+    vm = jnp.eye(4)
+    K = jnp.array([[F, 0, W / 2], [0, F, H / 2], [0, 0, 1]], jnp.float32)
+    p = project_gaussians(means, quats, scales, vm, K, W, H)
+    ref_img, _ = rasterize_reference(
+        p.means2d, p.conics, p.depths, p.radii, op, col, W, H
+    )
+    ref = np.asarray(ref_img)
+    scale = np.abs(ref).max() + 1e-8
+    for th, tw in ((8, 16), (16, 16)):
+        for tier, rows16, bf16 in (
+            ("f32", False, False), ("rows16", True, False),
+            ("bf16", True, True),
+        ):
+            base = dict(
+                tile_h=th, tile_w=tw, chunk=8, budget_factor=8,
+                interpret=True, aligned=False, fast_color_rows=rows16,
+                blend_bf16=bf16,
+            )
+            imgs = []
+            for ov in VARIANTS:
+                res = rasterize(
+                    means, quats, scales, op, col, vm, K, W, H,
+                    background=jnp.zeros((16,), jnp.float32),
+                    config=RasterizeConfig(**base, **ov),
+                )
+                assert int(res.overflow) == 0, (seed, th, tw, tier, ov)
+                imgs.append(np.asarray(res.image))
+            for i, ov in enumerate(VARIANTS[1:], 1):
+                assert np.array_equal(imgs[0], imgs[i]), (
+                    f"variant {ov} not bit-identical "
+                    f"(seed {seed}, {th}x{tw}, {tier})"
+                )
+            rel = np.abs(imgs[0] - ref).max() / scale
+            worst[tier] = max(worst[tier], rel)
+            assert rel <= TOL[tier], (seed, th, tw, tier, rel)
+    print(f"seed {seed}: ok (n={n})", flush=True)
+
+print("FUZZ OK: worst rel err " +
+      ", ".join(f"{k}={v:.3e}" for k, v in worst.items()))

@@ -48,6 +48,30 @@ err_16 = float(jnp.max(jnp.abs(img_16 - jnp.asarray(np.asarray(ref))))) / scale1
 print(f"blend_bf16 rel max err: {err_16:.2e} {'OK' if err_16 < 5e-2 else 'FAIL'} "
       "(contract ~1e-2 relative: bf16 alpha/transmittance pipeline)", flush=True)
 
+# ---- 1c. staged-kernel BIT-exactness on hardware -------------------------
+# kernel_relayout / fused_keys claim bit-identity with the classic
+# pipeline via HIGHEST-pinned identity/one-hot matmuls; CPU tests run
+# under jax_default_matmul_precision=highest and cannot catch a missing
+# pin or a Mosaic lowering surprise — only this check can.
+for flags in (
+    {"kernel_relayout": True},
+    {"fused_keys": True},
+    {"kernel_relayout": True, "fused_keys": True},
+):
+    try:
+        cfg_v = RasterizeConfig(aligned=False, fast_color_rows=True, **flags)
+        img_v = jax.jit(
+            lambda *a, _c=cfg_v: rasterize(
+                *a, cam.viewmat, cam.K, 128, 128, config=_c
+            ).image
+        )(m, q, s, o, c)
+        bits = bool(jnp.all(img_v == img_b))
+        print(f"{flags}: {'BIT-EXACT OK' if bits else 'FAIL (not bit-exact)'} "
+              f"(max abs diff {float(jnp.max(jnp.abs(img_v - img_b))):.2e})",
+              flush=True)
+    except Exception as exc:
+        print(f"{flags}: COMPILE/RUN FAIL {exc!r:.300}", flush=True)
+
 # ---- 2. full-VJP parity (geometry grads) --------------------------------
 cfg_g = RasterizeConfig(geometry_grads=True, budget_factor=8)
 raw2 = make_scene(400, seed=2)
