@@ -26,8 +26,31 @@ W, H = 1280, 720
 ITERS = 30
 
 
+def _tpu_reachable(timeout_s: float = 300.0) -> bool:
+    """Probe device discovery in a SUBPROCESS: a dead axon tunnel hangs
+    `jax.devices()` in native code for >7 min (SIGALRM can't interrupt
+    it), which would hang the whole bench. The subprocess probe bounds
+    that; on failure the bench falls back to the CPU backend (the metric
+    name carries the CPU shape, so the record is self-describing)."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('UP')"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return "UP" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
     import jax
+
+    if not _tpu_reachable():
+        print("# TPU unreachable — CPU fallback bench", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     sys.path.insert(0, "/root/repo")
@@ -37,6 +60,7 @@ def main():
     on_cpu = jax.default_backend() == "cpu"
     n = 5000 if on_cpu else N
     w, h = (128, 64) if on_cpu else (W, H)
+    iters, warmup = (5, 1) if on_cpu else (ITERS, 3)
 
     raw = make_scene(n, seed=0, extent=3.0)
     cam = make_camera(w, h)
@@ -112,7 +136,7 @@ def main():
 
         return device_time_drain(
             lambda f: render(means, quats, scales, opac, f), feats,
-            k=k, warmup=3,
+            k=k, warmup=warmup,
         )
 
     # staged-kernel candidates: numerically identical (exact identity-
@@ -153,7 +177,7 @@ def main():
             file=sys.stderr,
         )
 
-    dt = timed(cfg, ITERS)
+    dt = timed(cfg, iters)
     fps = 1.0 / dt
 
     print(

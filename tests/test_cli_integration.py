@@ -68,7 +68,10 @@ def test_render_cli_rgb_ed(trained, monkeypatch):
     _run_cli(
         "gags_tpu.cli.render",
         ["-m", model, "-s", root, "--iteration", "6",
-         "--render_mode", "RGB+ED", "-r", "1", "--skip_test"],
+         "--render_mode", "RGB+ED", "-r", "1", "--skip_test",
+         # exercises the autotune code path (on CPU it keeps the base
+         # config — interpret timing is meaningless)
+         "--autotune"],
         monkeypatch,
     )
     base = os.path.join(model, "train", "ours_6")

@@ -298,6 +298,56 @@ def test_fused_keys_matches_classic_binning(n, seed, cull, force_u32, budget_fac
     np.testing.assert_array_equal(np.asarray(a.order), np.asarray(b.order))
 
 
+@pytest.mark.parametrize("case", ["invisible", "tiny_budget", "one_big"])
+def test_fused_keys_edge_cases(case):
+    """Degenerate inputs: nothing visible (num_valid = 0), a budget cut
+    that drops almost everything, and a single gaussian covering many
+    tiles — fused and classic binning must agree exactly."""
+    from gags_tpu.splat.projection import project_gaussians
+
+    rng = np.random.default_rng(21)
+    if case == "one_big":
+        n = 1
+        means = jnp.asarray([[0.0, 0.0, 4.0]], jnp.float32)
+        scales = jnp.asarray([[2.0, 2.0, 2.0]], jnp.float32)
+    else:
+        n = 300
+        z = -5.0 if case == "invisible" else 5.0
+        means = jnp.asarray(
+            np.stack(
+                [rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                 np.full(n, z) + rng.uniform(0, 1, n)], 1
+            ).astype(np.float32)
+        )
+        scales = jnp.asarray(
+            np.exp(rng.normal(-1.8, 0.4, (n, 3))).astype(np.float32)
+        )
+    quats = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    op = jnp.asarray(rng.uniform(0.2, 0.95, n).astype(np.float32))
+    vm = jnp.eye(4)
+    K = jnp.array([[F, 0, W / 2], [0, F, H / 2], [0, 0, 1]], jnp.float32)
+    p = project_gaussians(means, quats, scales, vm, K, W, H, opacities=op)
+    from gags_tpu.splat.rasterizer import _cull_rows
+
+    kw = dict(
+        width=W, height=H, tile_w=16, tile_h=8,
+        budget=8 if case == "tiny_budget" else 8 * n,
+        chunk=8, aligned=False, interpret=True, radii_y=p.radii_y,
+        cull_rows=_cull_rows(p, op),
+    )
+    a = tiles.bin_gaussians(p.means2d, p.radii_x, p.depths, **kw)
+    b = tiles.bin_gaussians(
+        p.means2d, p.radii_x, p.depths, fused_keys=True, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a.inst_gid), np.asarray(b.inst_gid))
+    np.testing.assert_array_equal(np.asarray(a.tile_starts), np.asarray(b.tile_starts))
+    np.testing.assert_array_equal(np.asarray(a.tile_counts), np.asarray(b.tile_counts))
+    assert int(a.num_valid) == int(b.num_valid)
+    assert int(a.overflow) == int(b.overflow)
+    if case == "invisible":
+        assert int(a.num_valid) == 0
+
+
 def test_fused_keys_single_instance_ranks():
     """Worst-case window geometry: tiny splats give ~1 instance per rank,
     so a 1024-slot chunk spans ~1025 consecutive ranks and the last
