@@ -54,15 +54,18 @@ def pad_to_multiple(x: jnp.ndarray, mult: int, axis: int = 0) -> jnp.ndarray:
 
 
 def shard_gaussians(
-    geom: Dict[str, jnp.ndarray], features: jnp.ndarray, mesh: Mesh
+    geom: Dict[str, jnp.ndarray], features: jnp.ndarray, mesh: Mesh,
+    axis: str | None = None,
 ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
     """Pad N to a mesh multiple and device_put everything sharded on axis 0.
 
     Adds a `valid` (N_pad,) float mask: padding Gaussians are force-culled
-    (radii zeroed) so they never produce instances.
+    (radii zeroed) so they never produce instances. `axis` names the mesh
+    axis carrying the Gaussian shard (default: the mesh's first axis; pass
+    "gs" on the 2-D dp x gs mesh).
     """
-    d = mesh.size
-    axis = mesh.axis_names[0]
+    axis = axis or mesh.axis_names[0]
+    d = mesh.shape[axis]
     n = geom["means"].shape[0]
     out = {k: pad_to_multiple(v, d) for k, v in geom.items()}
     out["valid"] = (jnp.arange(out["means"].shape[0]) < n).astype(jnp.float32)
@@ -252,10 +255,13 @@ class GShardState(NamedTuple):
     opt_scale: Any
 
 
-def gshard_state(state: TrainState, mesh: Mesh) -> GShardState:
-    """Re-lay a single-chip TrainState onto the mesh (features sharded)."""
-    axis = mesh.axis_names[0]
-    d = mesh.size
+def gshard_state(
+    state: TrainState, mesh: Mesh, axis: str | None = None
+) -> GShardState:
+    """Re-lay a single-chip TrainState onto the mesh (features sharded
+    over `axis`, default the mesh's first; everything else replicated)."""
+    axis = axis or mesh.axis_names[0]
+    d = mesh.shape[axis]
     sh = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
     feats = jax.device_put(pad_to_multiple(state.features, d), sh)
@@ -302,6 +308,48 @@ def _mixed_seg_map_strip(seg_map, scale_map, axis):
     return jnp.take_along_axis(sml, sel[..., None], axis=-1)[..., 0]
 
 
+def _strip_local_loss(
+    axis: str,
+    statics: Dict[str, Any],
+    width: int,
+    height: int,
+    cfg: GadConfig,
+    budget_slack: float,
+):
+    """Per-device strip loss over the Gaussian/tile-strip axis `axis`:
+    exact full-image GAD loss via psum'd region moments + halo'd scale-map
+    smoothing (shared by the 1-D gshard step and the 2-D dp x gs step)."""
+    dec = statics["decoder"]
+    scl = statics["scale_decoder"]
+    bg = jnp.zeros((cfg.feature_dim,), jnp.float32)
+
+    def local_loss(params, geom_l, batch, entropy_w, regionvar_w):
+        feats_l, dec_params, scl_params = params
+        feat_map, _alpha, ovf = _render_strip(
+            axis, geom_l, feats_l, batch["viewmat"], batch["K"],
+            width, height, cfg.raster, bg, budget_slack=budget_slack,
+        )
+        scale_map = scl.apply(scl_params, jax.lax.stop_gradient(feat_map))
+        seg_mixed = _mixed_seg_map_strip(batch["seg_map"], scale_map, axis)
+        gt_map, mask = blend_gt_feature_map(
+            batch["img_embed"], batch["seg_map"], scale_map
+        )
+        maskf = mask.astype(jnp.float32)
+        decoded = dec.apply(dec_params, feat_map)
+        l1_pix = losses.l1_map(decoded * maskf, gt_map * maskf)
+        l1_feature = losses.region_balanced_l1(
+            l1_pix, seg_mixed, cfg.max_segments, axis_name=axis
+        )
+        ent = jax.lax.pmean(losses.scale_entropy_loss(scale_map), axis)
+        regvar = losses.region_variance_loss(
+            feat_map, seg_mixed, cfg.max_segments, axis_name=axis
+        )
+        loss = l1_feature + entropy_w * ent + regionvar_w * regvar
+        return loss, ovf
+
+    return local_loss
+
+
 def make_gshard_train_step(
     mesh: Mesh,
     statics: Dict[str, Any],
@@ -329,34 +377,10 @@ def make_gshard_train_step(
     `budget_slack`.
     """
     axis = mesh.axis_names[0]
-    dec = statics["decoder"]
-    scl = statics["scale_decoder"]
     tx_feat, tx_dec, tx_scale = statics["tx_feat"], statics["tx_dec"], statics["tx_scale"]
-    bg = jnp.zeros((cfg.feature_dim,), jnp.float32)
-
-    def local_loss(params, geom_l, batch, entropy_w, regionvar_w):
-        feats_l, dec_params, scl_params = params
-        feat_map, _alpha, ovf = _render_strip(
-            axis, geom_l, feats_l, batch["viewmat"], batch["K"],
-            width, height, cfg.raster, bg, budget_slack=budget_slack,
-        )
-        scale_map = scl.apply(scl_params, jax.lax.stop_gradient(feat_map))
-        seg_mixed = _mixed_seg_map_strip(batch["seg_map"], scale_map, axis)
-        gt_map, mask = blend_gt_feature_map(
-            batch["img_embed"], batch["seg_map"], scale_map
-        )
-        maskf = mask.astype(jnp.float32)
-        decoded = dec.apply(dec_params, feat_map)
-        l1_pix = losses.l1_map(decoded * maskf, gt_map * maskf)
-        l1_feature = losses.region_balanced_l1(
-            l1_pix, seg_mixed, cfg.max_segments, axis_name=axis
-        )
-        ent = jax.lax.pmean(losses.scale_entropy_loss(scale_map), axis)
-        regvar = losses.region_variance_loss(
-            feat_map, seg_mixed, cfg.max_segments, axis_name=axis
-        )
-        loss = l1_feature + entropy_w * ent + regionvar_w * regvar
-        return loss, ovf
+    local_loss = _strip_local_loss(
+        axis, statics, width, height, cfg, budget_slack
+    )
 
     def per_device(state: GShardState, geom_l, batch, entropy_w, regionvar_w):
         params = (state.features, state.decoder_params, state.scale_params)
@@ -412,10 +436,107 @@ def make_gshard_train_step(
     return jax.jit(fn)
 
 
-def pad_seg_map(seg_map: np.ndarray, mesh: Mesh, cfg: RasterizeConfig) -> np.ndarray:
+def make_dp_gshard_train_step(
+    mesh: Mesh,
+    statics: Dict[str, Any],
+    width: int,
+    height: int,
+    cfg: GadConfig,
+    state_template: GShardState,
+    budget_slack: float = 2.0,
+):
+    """2-D mesh GAD step: camera batch over mesh axis 0 ("dp"), Gaussian
+    shard + tile strips over axis 1 ("gs") — the scaling layout for many-
+    camera distillation of scenes too large to replicate (composes SURVEY
+    §2.3(a) and §2.3(b); no reference counterpart — the reference is
+    single-GPU, `train.py:51-52`).
+
+    Every dp row trains a DIFFERENT camera on the same gs-sharded state:
+    feature grads arrive exact per-shard through the all-gather transpose
+    and are pmean'd over dp; decoder/scale grads are psum'd over gs (strip
+    partition) then pmean'd over dp. All dp rows therefore apply the
+    identical update and the state stays dp-replicated — the same
+    camera-mean semantics as `make_dp_train_step`.
+
+    batch leaves carry a leading camera axis of size mesh.shape["dp"]:
+    viewmat (B,4,4), K (B,3,3), img_embed (B,M,D) sharded over dp;
+    seg_map (B, H_pad, W, 4) sharded over (dp, gs) — rows padded per
+    camera with `pad_seg_map(..., axis="gs")`.
+
+    Returns fn(state, geom_l, batch, entropy_w, regionvar_w) ->
+    (new_state, mean_loss, overflow); overflow is the worst strip of any
+    camera (pmax over both axes).
+    """
+    dp_ax, gs_ax = mesh.axis_names
+    tx_feat, tx_dec, tx_scale = statics["tx_feat"], statics["tx_dec"], statics["tx_scale"]
+    local_loss = _strip_local_loss(
+        gs_ax, statics, width, height, cfg, budget_slack
+    )
+
+    def per_device(state: GShardState, geom_l, batch, entropy_w, regionvar_w):
+        params = (state.features, state.decoder_params, state.scale_params)
+        cam = {k: v[0] for k, v in batch.items()}  # one camera per dp row
+        (loss, ovf), grads = jax.value_and_grad(local_loss, has_aux=True)(
+            params, geom_l, cam, entropy_w, regionvar_w
+        )
+        ovf = jax.lax.pmax(ovf, (dp_ax, gs_ax))
+        g_feat, g_dec, g_scale = grads
+        # features: exact per-gs-shard via the all-gather transpose; the
+        # camera mean rides the dp axis. decoder/scale: replicated params
+        # need the cross-strip sum first, then the camera mean.
+        g_feat = jax.lax.pmean(g_feat, dp_ax)
+        g_dec = jax.lax.pmean(jax.lax.psum(g_dec, gs_ax), dp_ax)
+        g_scale = jax.lax.pmean(jax.lax.psum(g_scale, gs_ax), dp_ax)
+        loss = jax.lax.pmean(loss, dp_ax)
+        up_f, opt_feat = tx_feat.update(g_feat, state.opt_feat, state.features)
+        up_d, opt_dec = tx_dec.update(g_dec, state.opt_dec, state.decoder_params)
+        up_s, opt_scale = tx_scale.update(g_scale, state.opt_scale, state.scale_params)
+        new_state = GShardState(
+            step=state.step + 1,
+            features=optax.apply_updates(state.features, up_f),
+            decoder_params=optax.apply_updates(state.decoder_params, up_d),
+            scale_params=optax.apply_updates(state.scale_params, up_s),
+            opt_feat=opt_feat,
+            opt_dec=opt_dec,
+            opt_scale=opt_scale,
+        )
+        return new_state, loss, ovf
+
+    shard = lambda x: P(gs_ax) if (
+        getattr(x, "ndim", 0) == state_template.features.ndim
+        and x.shape == state_template.features.shape
+    ) else P()
+    state_spec = GShardState(
+        step=P(),
+        features=P(gs_ax),
+        decoder_params=jax.tree.map(lambda _: P(), state_template.decoder_params),
+        scale_params=jax.tree.map(lambda _: P(), state_template.scale_params),
+        opt_feat=jax.tree.map(shard, state_template.opt_feat),
+        opt_dec=jax.tree.map(lambda _: P(), state_template.opt_dec),
+        opt_scale=jax.tree.map(lambda _: P(), state_template.opt_scale),
+    )
+    batch_spec = dict(
+        viewmat=P(dp_ax), K=P(dp_ax), img_embed=P(dp_ax),
+        seg_map=P(dp_ax, gs_ax),
+    )
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(state_spec, P(gs_ax), batch_spec, P(), P()),
+        out_specs=(state_spec, P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def pad_seg_map(
+    seg_map: np.ndarray, mesh: Mesh, cfg: RasterizeConfig,
+    axis: str | None = None,
+) -> np.ndarray:
     """Pad (H, W, 4) seg map rows to n_dev * strip_h with -1 (no mask)."""
-    _, strip_h = _strip_geometry(cfg, seg_map.shape[0], mesh.size)
-    h_pad = strip_h * mesh.size
+    n_dev = mesh.shape[axis or mesh.axis_names[0]]
+    _, strip_h = _strip_geometry(cfg, seg_map.shape[0], n_dev)
+    h_pad = strip_h * n_dev
     pad = h_pad - seg_map.shape[0]
     if pad <= 0:
         return seg_map

@@ -36,6 +36,18 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def make_mesh2d(
+    n_dp: int, n_gs: int, axes: tuple[str, str] = ("dp", "gs")
+) -> Mesh:
+    """(n_dp, n_gs) mesh: camera batch over `dp`, Gaussian shard + tile
+    strips over `gs` (see gshard.make_dp_gshard_train_step). On real
+    hardware lay `gs` along the faster ICI dimension — its all-gather of
+    the per-Gaussian screen table is the big per-step collective; the dp
+    pmean is one small decoder-gradient reduction."""
+    devs = np.array(jax.devices()[: n_dp * n_gs]).reshape(n_dp, n_gs)
+    return Mesh(devs, axes)
+
+
 def make_dp_train_step(
     mesh: Mesh,
     statics: Dict[str, Any],

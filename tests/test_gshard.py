@@ -12,9 +12,12 @@ import jax.numpy as jnp
 from gags_tpu.gad.train import GadConfig, create_train_state, frozen_geometry, make_train_step
 from gags_tpu.parallel import (
     gshard_state,
+    make_dp_gshard_train_step,
+    make_dp_train_step,
     make_gshard_render,
     make_gshard_train_step,
     make_mesh,
+    make_mesh2d,
     pad_seg_map,
     shard_gaussians,
 )
@@ -116,6 +119,60 @@ def test_gshard_train_step_matches_single_chip():
         np.asarray(jax.tree_util.tree_leaves(s2.decoder_params)[0]),
         np.asarray(jax.tree_util.tree_leaves(s1.decoder_params)[0]),
         atol=1e-5,
+    )
+    assert int(s2.step) == 1
+
+
+def test_dp_gshard_2d_step_matches_dp_step():
+    """(2, 4) mesh: camera batch over dp x gaussian shard + tile strips
+    over gs must reproduce the plain 2-camera DP step (same camera-mean
+    gradient semantics; strip losses are exact full-image losses)."""
+    scene = _scene()
+    geom = frozen_geometry(scene)
+    cams = [make_camera(W, H, dist=0.15 * i) for i in range(2)]
+    cfg = GadConfig(feature_dim=8, clip_dim=16, max_segments=16, raster=RCFG)
+    state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(4)
+    emb = jnp.asarray(rng.normal(size=(2, 6, 16)).astype(np.float32))
+    seg = rng.integers(-1, 6, size=(2, H, W, 4)).astype(np.int32)
+    vms = jnp.stack([c.viewmat for c in cams])
+    Ks = jnp.stack([c.K for c in cams])
+
+    # oracle: plain camera-DP step over a 2-device mesh
+    mesh_dp = make_mesh(2)
+    step_dp = make_dp_train_step(mesh_dp, statics, W, H, cfg)
+    s1, loss1 = step_dp(
+        state, geom,
+        dict(viewmat=vms, K=Ks, img_embed=emb, seg_map=jnp.asarray(seg)),
+        jnp.float32(1e-3), jnp.float32(0.1),
+    )
+
+    # 2-D dp x gs step
+    mesh2 = make_mesh2d(2, 4)
+    geom_s, _ = shard_gaussians(geom, state.features, mesh2, axis="gs")
+    gstate = gshard_state(state, mesh2, axis="gs")
+    step2 = make_dp_gshard_train_step(mesh2, statics, W, H, cfg, gstate)
+    seg_pad = np.stack(
+        [pad_seg_map(seg[i], mesh2, cfg.raster, axis="gs") for i in range(2)]
+    )
+    s2, loss2, ovf = step2(
+        gstate, geom_s,
+        dict(viewmat=vms, K=Ks, img_embed=emb, seg_map=jnp.asarray(seg_pad)),
+        jnp.float32(1e-3), jnp.float32(0.1),
+    )
+    assert int(ovf) == 0
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=2e-5)
+    # 5e-5: the dp pmean + gs psum reorder gradient summation vs the
+    # oracle's single pmean, and adam's eps amplifies ulp-level grad
+    # differences near zero moments
+    np.testing.assert_allclose(
+        np.asarray(s2.features)[:N], np.asarray(s1.features), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(s2.decoder_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(s1.decoder_params)[0]),
+        atol=5e-5,
     )
     assert int(s2.step) == 1
 
