@@ -64,6 +64,11 @@ class RunConfig:
     # SIBR remote viewer (reference network_gui). The CLI defaults to the
     # reference's port 6009; programmatic runs (tests) default off.
     viewer_port: int = -1
+    # camera-data-parallel training over N devices (parallel/sharding.py
+    # make_dp_train_step, binned fast path): each iteration consumes N
+    # cameras (exact mean-gradient semantics; per-camera binnings are
+    # re-prepared at a uniform budget so batches stack). 1 = single chip.
+    devices: int = 1
 
 
 def _make_viewer(geometry, rc: "RunConfig", total_iterations: int):
@@ -208,42 +213,74 @@ def run(rc: RunConfig, gad_cfg: GadConfig = None) -> TrainState:
 
     n_g = int(geom["means"].shape[0])
     base_budget = gad_cfg.raster.instance_budget(n_g)
-    bin_cache = []
-    for ex in dataset.examples:
-        # adaptive budget recovery: a zoomed-in camera whose instances
-        # exceed budget_factor*N gets its own doubled budget instead of
-        # killing the run (the reference's dynamic allocation can't
-        # overflow by construction; we grow per-camera and recompile once
-        # per distinct budget)
-        budget = None
+
+    def _bin_camera(ex, budget):
+        """Bin one camera; adaptive budget recovery: a zoomed-in camera
+        whose instances exceed budget_factor*N gets its own doubled budget
+        instead of killing the run (the reference's dynamic allocation
+        can't overflow by construction; we grow per-camera and recompile
+        once per distinct budget)."""
         for attempt in range(4):
             b = _prep_fn(budget)(geom["means"], geom["quats"], geom["scales"],
                                  jnp.asarray(ex.viewmat), jnp.asarray(ex.K),
                                  geom["opacities"])
             if int(b.overflow) == 0:
-                break
+                return b, budget
             cur = budget if budget is not None else base_budget
             budget = 2 * cur
             print(f"  {ex.name}: overflow {int(b.overflow)} → budget {budget}")
-        else:
-            raise RuntimeError(
-                f"instance budget overflow persists for {ex.name} "
-                f"(last budget {budget}); raise RasterizeConfig.budget_factor"
-            )
-        bin_cache.append(
-            dict(
-                inst_gid=np.asarray(b.inst_gid),
-                tile_starts=np.asarray(b.tile_starts),
-                tile_counts=np.asarray(b.tile_counts),
-                order=np.asarray(b.order),
-                red_slot=np.asarray(b.red.slot_to_pos),
-                red_rank=np.asarray(b.red.slot_rank),
-                red_block=np.asarray(b.red.chunk_block),
-            )
+        raise RuntimeError(
+            f"instance budget overflow persists for {ex.name} "
+            f"(last budget {budget}); raise RasterizeConfig.budget_factor"
         )
+
+    def _cache_entry(b):
+        return dict(
+            inst_gid=np.asarray(b.inst_gid),
+            tile_starts=np.asarray(b.tile_starts),
+            tile_counts=np.asarray(b.tile_counts),
+            order=np.asarray(b.order),
+            red_slot=np.asarray(b.red.slot_to_pos),
+            red_rank=np.asarray(b.red.slot_rank),
+            red_block=np.asarray(b.red.chunk_block),
+        )
+
+    bin_cache, budgets = [], []
+    for ex in dataset.examples:
+        b, budget = _bin_camera(ex, None)
+        bin_cache.append(_cache_entry(b))
+        budgets.append(budget if budget is not None else base_budget)
+    if rc.devices > 1 and len(set(budgets)) > 1:
+        # dp batches stack per-camera binnings — re-prepare at one uniform
+        # (max) budget so every camera's arrays share a static shape
+        maxb = max(budgets)
+        for i, ex in enumerate(dataset.examples):
+            if budgets[i] != maxb:
+                b, _ = _bin_camera(ex, maxb)
+                bin_cache[i] = _cache_entry(b)
     print(f"cached binning for {len(bin_cache)} cameras")
 
-    step_fn = make_train_step_binned(statics, dataset.width, dataset.height, gad_cfg)
+    if rc.devices > 1:
+        from gags_tpu.parallel import make_dp_train_step, make_mesh
+
+        if len(jax.devices()) < rc.devices:
+            raise RuntimeError(
+                f"--devices {rc.devices} but only {len(jax.devices())} "
+                "devices visible"
+            )
+        mesh = make_mesh(rc.devices)
+        dp_step = make_dp_train_step(
+            mesh, statics, dataset.width, dataset.height, gad_cfg,
+            binned=True,
+        )
+
+        def step_fn(state, geom_, batch, ew, rw):
+            s, loss = dp_step(state, geom_, batch, ew, rw)
+            return s, {"loss": loss}
+    else:
+        step_fn = make_train_step_binned(
+            statics, dataset.width, dataset.height, gad_cfg
+        )
 
     rng = np.random.default_rng(rc.seed)
     save_at = {int(s) for s in rc.save_iterations.split(",") if s}
@@ -298,10 +335,27 @@ def run(rc: RunConfig, gad_cfg: GadConfig = None) -> TrainState:
 
     def batch_stream():
         while True:
-            for i in dataset.epoch_order(rng):
-                b = dataset.batch(int(i))
-                b.update(bin_cache[int(i)])
-                yield b
+            order = [int(i) for i in dataset.epoch_order(rng)]
+            if rc.devices > 1:
+                # group one camera per device; wrap the epoch tail so the
+                # leading batch axis is always exactly `devices`
+                while len(order) % rc.devices:
+                    order.append(order[len(order) % len(dataset)])
+                for i0 in range(0, len(order), rc.devices):
+                    bs = []
+                    for i in order[i0 : i0 + rc.devices]:
+                        b = dataset.batch(i)
+                        b.update(bin_cache[i])
+                        bs.append(b)
+                    yield {
+                        k: np.stack([np.asarray(b[k]) for b in bs])
+                        for k in bs[0]
+                    }
+            else:
+                for i in order:
+                    b = dataset.batch(i)
+                    b.update(bin_cache[i])
+                    yield b
 
     stream = prefetch_to_device(batch_stream())
     t_iter = time.time()
@@ -321,20 +375,18 @@ def run(rc: RunConfig, gad_cfg: GadConfig = None) -> TrainState:
         if it % 500 == 0:
             dt = (time.time() - t_iter)
             t_iter = time.time()
-            metrics_w.write(
-                it,
-                dict(
-                    loss=float(m["loss"]),
-                    l1_feature=float(m["l1_feature"]),
-                    entropy=float(m["entropy"]),
-                    region_var=float(m["region_var"]),
-                    scale_s=float(m["scale_mean_s"]),
-                    scale_m=float(m["scale_mean_m"]),
-                    scale_l=float(m["scale_mean_l"]),
-                    overflow=float(m["overflow"]),
-                    sec_per_500=dt,
-                ),
-            )
+            row = {
+                out_k: float(m[k])
+                for out_k, k in [
+                    ("loss", "loss"), ("l1_feature", "l1_feature"),
+                    ("entropy", "entropy"), ("region_var", "region_var"),
+                    ("scale_s", "scale_mean_s"), ("scale_m", "scale_mean_m"),
+                    ("scale_l", "scale_mean_l"), ("overflow", "overflow"),
+                ]
+                if k in m  # the dp step reports the mean loss only
+            }
+            row["sec_per_500"] = dt
+            metrics_w.write(it, row)
         if it in test_at:
             test_report(it)
         if it in save_at:
@@ -363,6 +415,9 @@ def main():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile", action="store_true")
     p.add_argument("--viewer_port", type=int, default=6009)
+    p.add_argument("--devices", type=int, default=1,
+                   help="camera-data-parallel training over N devices "
+                        "(each iteration consumes N cameras)")
     args = p.parse_args()
     run(RunConfig(**vars(args)))
 

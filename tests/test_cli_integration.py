@@ -39,6 +39,29 @@ def trained(tmp_path_factory):
     return root, model
 
 
+def test_train_cli_data_parallel(tmp_path):
+    """--devices 2: camera-DP training through the CLI on the virtual mesh
+    (binned fast path, uniform budgets, stacked batches) produces a
+    checkpoint + PLY and finite losses."""
+    from gags_tpu.cli.train_gad import RunConfig, run
+    from gags_tpu.gad.train import GadConfig
+    from gags_tpu.splat.rasterizer import RasterizeConfig
+
+    root, model = str(tmp_path / "scene"), str(tmp_path / "model")
+    ply = _build_fixture(root, n_cams=5)
+    cfg = GadConfig(
+        feature_dim=8, clip_dim=24, max_segments=16,
+        raster=RasterizeConfig(tile_h=8, tile_w=16, chunk=8, interpret=True),
+    )
+    state = run(RunConfig(source_path=root, model_path=model, ply_path=ply,
+                          resolution=1, iterations=4, save_iterations="4",
+                          test_iterations="", devices=2), cfg)
+    assert int(state.step) == 4
+    assert os.path.isdir(os.path.join(model, "chkpnt4"))
+    rows = [json.loads(l) for l in open(os.path.join(model, "metrics.jsonl"))]
+    assert all(np.isfinite(r.get("loss", 0.0)) for r in rows)
+
+
 def test_heldout_report_written(tmp_path):
     """--eval training writes held-out metrics + scale-map dumps at test
     iterations (reference training_report analogue, train.py:244-286)."""
