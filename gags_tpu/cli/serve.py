@@ -148,7 +148,10 @@ class SceneServer:
         w, h = int(req["width"]), int(req["height"])
         mode = req.get("mode", "rgb")
         progs = self._programs(w, h)
+        import time
+
         with self.lock:
+            t0 = time.perf_counter()
             if mode == "feature_pca":
                 from gags_tpu.utils.colormaps import apply_pca_colormap
 
@@ -156,7 +159,9 @@ class SceneServer:
                 img, _ = apply_pca_colormap(fmap, None)
             else:
                 img = np.asarray(progs["rgb"](vm, K))
-        return {"image_png": _png_b64(img), "mode": mode}
+            ms = (time.perf_counter() - t0) * 1e3
+        return {"image_png": _png_b64(img), "mode": mode,
+                "render_ms": round(ms, 2)}
 
     def relevancy(self, req):
         vm = jnp.asarray(
