@@ -371,6 +371,15 @@ def run(rc: RunConfig, gad_cfg: GadConfig = None) -> TrainState:
         state, m = step_fn(state, geom, batch, jnp.float32(ew), jnp.float32(rw))
         if it % 10 == 0:
             loss = float(m["loss"])  # sync point every 10 iters only
+            if not np.isfinite(loss):
+                # failure detection: save state for post-mortem instead of
+                # silently optimising on NaNs for the rest of the schedule
+                save_checkpoint(rc.model_path, state, it)
+                raise FloatingPointError(
+                    f"non-finite loss at iteration {it} — state saved to "
+                    f"chkpnt{it} for inspection; check learning rates / "
+                    "supervision inputs"
+                )
             progress.update(it, loss)
         if it % 500 == 0:
             dt = (time.time() - t_iter)
