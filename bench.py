@@ -170,10 +170,11 @@ def main():
         t0 = timed(cfg, 8)
         cfg, t0 = try_candidate(cfg, t0, kernel_relayout=True)
         cfg, t0 = try_candidate(cfg, t0, fused_keys=True)
+        cfg, t0 = try_candidate(cfg, t0, packed_out=True)
         print(
             f"# autotune: blend_bf16={cfg.blend_bf16} "
             f"kernel_relayout={cfg.kernel_relayout} "
-            f"fused_keys={cfg.fused_keys}",
+            f"fused_keys={cfg.fused_keys} packed_out={cfg.packed_out}",
             file=sys.stderr,
         )
 

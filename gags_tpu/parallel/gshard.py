@@ -38,6 +38,7 @@ from gags_tpu.splat.rasterizer import (
     RasterizeConfig,
     _blend,
     _tiles_to_image,
+    _tiles_to_image_packed,
     order_ext,
     permute_rows,
 )
@@ -187,10 +188,15 @@ def _render_strip(
         (tiles_x, tiles_y_local),
         cfg,
     )
-    img = _tiles_to_image(
+    to_img = (
+        _tiles_to_image_packed
+        if cfg.packed_out and not cfg.aligned
+        else _tiles_to_image
+    )
+    img = to_img(
         tile_img, tiles_x, tiles_y_local, cfg.tile_h, cfg.tile_w, strip_h, width
     )
-    alpha = _tiles_to_image(
+    alpha = to_img(
         tile_alpha, tiles_x, tiles_y_local, cfg.tile_h, cfg.tile_w, strip_h, width
     )[..., 0]
     return img, alpha, binned.overflow

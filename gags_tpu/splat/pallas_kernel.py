@@ -325,6 +325,7 @@ def _forward_fast_kernel(
     blend_bf16: bool,
     rows_k: int = 0,
     col_f32: bool = False,
+    packed_out: bool = False,
 ):
     """Inference-only forward blend (unaligned ranges), VMEM-traffic-dieted.
 
@@ -634,8 +635,22 @@ def _forward_fast_kernel(
     # T after the last included splat = 1 - sum of included blend weights
     # (exact telescoping; clamp shields the ~1-ulp fp overshoot)
     t_fin = jnp.maximum(1.0 - aw_fin, 0.0)
-    out_ref[0, :, :c] = acc_ref[:, :c] + t_fin * bg_ref[0:1, :]
-    out_ref[0, :, c : c + 1] = 1.0 - t_fin
+    if packed_out:
+        # channel-major (C+1, P) output block: the (T, P, C+1) layout pads
+        # its 17-lane minor dim to 128 in HBM (XLA (8, 128) tiling — ~7.5x
+        # the bytes); with P on lanes the pad is only 17->24 sublanes.
+        # Exact 128-block identity-matmul transposes (see _mxu_t).
+        fin = jnp.concatenate(
+            [acc_ref[:, :c] + t_fin * bg_ref[0:1, :], 1.0 - t_fin], axis=1
+        )  # (P, C+1)
+        blk = min(128, p)
+        for b in range(p // blk):
+            out_ref[0, :, pl.ds(b * blk, blk)] = _mxu_t(
+                fin[b * blk : (b + 1) * blk, :]
+            )
+    else:
+        out_ref[0, :, :c] = acc_ref[:, :c] + t_fin * bg_ref[0:1, :]
+        out_ref[0, :, c : c + 1] = 1.0 - t_fin
 
 
 SEG_CHUNKS = 8  # chunks streamed per segment DMA in the fast kernel
@@ -645,7 +660,7 @@ SEG_CHUNKS = 8  # chunks streamed per segment DMA in the fast kernel
     jax.jit,
     static_argnames=(
         "tiles_x", "tiles_y", "tile_h", "tile_w", "chunk", "p_block",
-        "seg_chunks", "mxu_sigma", "blend_bf16", "interpret",
+        "seg_chunks", "mxu_sigma", "blend_bf16", "packed_out", "interpret",
     ),
 )
 def tile_blend_forward_fast(
@@ -664,9 +679,12 @@ def tile_blend_forward_fast(
     seg_chunks: int = SEG_CHUNKS,
     mxu_sigma: bool = True,
     blend_bf16: bool = False,
+    packed_out: bool = False,
     interpret: bool = False,
 ):
-    """Inference forward blend over unaligned ranges. Returns (T, P, C+1).
+    """Inference forward blend over unaligned ranges. Returns (T, P, C+1),
+    or channel-major (T, C+1, P) with packed_out (see the kernel epilogue:
+    avoids the 17->128 lane pad of the HBM output tiling).
 
     Instance arrays must carry >= seg_chunks*chunk rows of sentinel slack
     past the last tile range (zero rows — the rasterizer pads the gather
@@ -678,10 +696,12 @@ def tile_blend_forward_fast(
     m = geom_inst.shape[1]
     p_block = min(p_block, p)
     assert p % p_block == 0
+    assert p % min(128, p) == 0
     if bg is None:
         bg = jnp.zeros((c,), jnp.float32)
     bg2d = bg.reshape(1, c).astype(jnp.float32)
 
+    out_block = (1, c + 1, p) if packed_out else (1, p, c + 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -692,7 +712,7 @@ def tile_blend_forward_fast(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, p, c + 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+                out_block, lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         scratch_shapes=[
@@ -707,11 +727,12 @@ def tile_blend_forward_fast(
     kernel = functools.partial(
         _forward_fast_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
         g=chunk, p_block=p_block, mxu_sigma=mxu_sigma, blend_bf16=blend_bf16,
+        packed_out=packed_out,
     )
     (out,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((num_tiles, p, c + 1), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((num_tiles,) + out_block[1:], jnp.float32)],
         cost_estimate=_fwd_cost(num_tiles, p, chunk, c, m),
         interpret=interpret,
     )(tile_starts, tile_counts, geom_inst, color_inst, bg2d)
@@ -722,7 +743,8 @@ def tile_blend_forward_fast(
     jax.jit,
     static_argnames=(
         "col_f32", "tiles_x", "tiles_y", "tile_h", "tile_w", "chunk",
-        "p_block", "seg_chunks", "mxu_sigma", "blend_bf16", "interpret",
+        "p_block", "seg_chunks", "mxu_sigma", "blend_bf16", "packed_out",
+        "interpret",
     ),
 )
 def tile_blend_forward_fast_rows(
@@ -741,6 +763,7 @@ def tile_blend_forward_fast_rows(
     seg_chunks: int = SEG_CHUNKS,
     mxu_sigma: bool = True,
     blend_bf16: bool = False,
+    packed_out: bool = False,
     interpret: bool = False,
 ):
     """In-kernel-relayout variant of `tile_blend_forward_fast`: consumes the
@@ -757,10 +780,12 @@ def tile_blend_forward_fast_rows(
     m = rows_inst.shape[0]
     p_block = min(p_block, p)
     assert p % p_block == 0
+    assert p % min(128, p) == 0
     if bg is None:
         bg = jnp.zeros((c,), jnp.float32)
     bg2d = bg.reshape(1, c).astype(jnp.float32)
 
+    out_block = (1, c + 1, p) if packed_out else (1, p, c + 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -770,7 +795,7 @@ def tile_blend_forward_fast_rows(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, p, c + 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+                out_block, lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         scratch_shapes=[
@@ -784,12 +809,12 @@ def tile_blend_forward_fast_rows(
     kernel = functools.partial(
         _forward_fast_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
         g=chunk, p_block=p_block, mxu_sigma=mxu_sigma, blend_bf16=blend_bf16,
-        rows_k=k_cols, col_f32=col_f32,
+        rows_k=k_cols, col_f32=col_f32, packed_out=packed_out,
     )
     (out,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((num_tiles, p, c + 1), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((num_tiles,) + out_block[1:], jnp.float32)],
         cost_estimate=_fwd_cost(num_tiles, p, chunk, c, m),
         interpret=interpret,
     )(tile_starts, tile_counts, rows_inst, bg2d)

@@ -39,6 +39,9 @@ _TRANSPOSE_U16 = _os.environ.get("GAGS_T16", "0") == "1"
 # the fast kernel reassemble + transpose the gathered u16 rows in-register
 # (RasterizeConfig.kernel_relayout). Numerics identical; drain-time decides.
 _KERNEL_RELAYOUT = _os.environ.get("GAGS_KREL", "0") == "1"
+# A/B experiment flag (GAGS_PACKED=1): channel-major blend output
+# (RasterizeConfig.packed_out). Bit-exact; drain-time decides.
+_PACKED_OUT = _os.environ.get("GAGS_PACKED", "0") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,6 +99,11 @@ class RasterizeConfig:
     # gather and the XLA key chain. Exact same keys; unaligned narrow-key
     # tiers only (no-op elsewhere).
     fused_keys: bool = False
+    # channel-major (T, C+1, P) blend output + matching image epilogue:
+    # probes/avoids the suspected 17->128 lane pad of the (T, P, C+1) HBM
+    # tiling (~7.5x the output bytes at C=16). Exact identity-matmul
+    # transposes in the kernel epilogue; inference fast path only.
+    packed_out: bool = False
 
     def instance_budget(self, n: int) -> int:
         if self.budget is not None:
@@ -109,6 +117,10 @@ def auto_config(**overrides) -> "RasterizeConfig":
     import jax
 
     overrides.setdefault("interpret", jax.default_backend() == "cpu")
+    # GAGS_PACKED=1 A/B rides auto_config (not the blend impl: callers
+    # like gshard pick their epilogue from the cfg, so the flag must be
+    # visible in the config, never a hidden impl-level override)
+    overrides.setdefault("packed_out", _PACKED_OUT)
     return RasterizeConfig(**overrides)
 
 
@@ -125,6 +137,18 @@ def _tiles_to_image(tile_img, tiles_x, tiles_y, tile_h, tile_w, height, width):
     c = tile_img.shape[-1]
     img = tile_img.reshape(tiles_y, tiles_x, tile_h, tile_w, c)
     img = img.transpose(0, 2, 1, 3, 4).reshape(
+        tiles_y * tile_h, tiles_x * tile_w, c
+    )
+    return img[:height, :width]
+
+
+def _tiles_to_image_packed(tile_img, tiles_x, tiles_y, tile_h, tile_w, height, width):
+    """Channel-major (T, C, P) tile-major → (H, W, C) with border crop
+    (packed_out kernel layout: P on lanes avoids the C+1 -> 128 lane pad
+    of the HBM output tiling)."""
+    c = tile_img.shape[1]
+    img = tile_img.reshape(tiles_y, tiles_x, c, tile_h, tile_w)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(
         tiles_y * tile_h, tiles_x * tile_w, c
     )
     return img[:height, :width]
@@ -302,6 +326,7 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, 
         else:
             col_u16 = tiles.u16_halves(colors_pad)  # (N+1, 2Cp)
         got = jnp.concatenate([geom_u16, col_u16], axis=1)[inst_gid]
+        packed = cfg.packed_out
         if cfg.kernel_relayout or _KERNEL_RELAYOUT:
             # no XLA relayout at all: the kernel reassembles the u16 rows
             # and recovers the lane-major layout in-register
@@ -319,8 +344,11 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, 
                 p_block=cfg.p_block,
                 mxu_sigma=cfg.mxu_sigma,
                 blend_bf16=cfg.blend_bf16,
+                packed_out=packed,
                 interpret=cfg.interpret,
             )
+            if packed:
+                return out[:, :c_true, :], out[:, -1:, :]
             return out[..., :c_true], out[..., -1:]
         if _TRANSPOSE_U16:
             # A/B experiment (GAGS_T16=1): ONE u16 transpose of the whole
@@ -369,8 +397,11 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, 
             p_block=cfg.p_block,
             mxu_sigma=cfg.mxu_sigma,
             blend_bf16=cfg.blend_bf16,
+            packed_out=packed,
             interpret=cfg.interpret,
         )
+        if packed:
+            return out[:, :c_true, :], out[:, -1:, :]
         return out[..., :c_true], out[..., -1:]
     # training path: ONE row-major gather of geometry + colours together
     # (contiguous 8+C floats per index), one transpose to lane-major
@@ -646,12 +677,18 @@ def rasterize_binned(
         red_slot, red_rank, red_block, background,
         (tiles_x, tiles_y), config,
     )
-    img = _tiles_to_image(
+    to_img = (
+        _tiles_to_image_packed
+        if config.packed_out and not config.aligned
+        else _tiles_to_image
+    )
+    img = to_img(
         tile_img, tiles_x, tiles_y, config.tile_h, config.tile_w, height, width
     )
-    alpha = _tiles_to_image(
+    alpha = to_img(
         tile_alpha, tiles_x, tiles_y, config.tile_h, config.tile_w, height, width
-    )[..., 0]
+    )
+    alpha = alpha[..., 0]
     return img, alpha
 
 
@@ -741,10 +778,15 @@ def rasterize(
         (tiles_x, tiles_y),
         config,
     )
-    img = _tiles_to_image(
+    to_img = (
+        _tiles_to_image_packed
+        if config.packed_out and not config.aligned
+        else _tiles_to_image
+    )
+    img = to_img(
         tile_img, tiles_x, tiles_y, config.tile_h, config.tile_w, height, width
     )
-    alpha = _tiles_to_image(
+    alpha = to_img(
         tile_alpha, tiles_x, tiles_y, config.tile_h, config.tile_w, height, width
     )[..., 0]
     return RasterizeResult(

@@ -41,7 +41,8 @@ VARIANTS = [
     {},
     {"kernel_relayout": True},
     {"fused_keys": True},
-    {"kernel_relayout": True, "fused_keys": True},
+    {"packed_out": True},
+    {"kernel_relayout": True, "fused_keys": True, "packed_out": True},
 ]
 
 worst = {"f32": 0.0, "rows16": 0.0, "bf16": 0.0}

@@ -298,6 +298,34 @@ def test_fused_keys_matches_classic_binning(n, seed, cull, force_u32, budget_fac
     np.testing.assert_array_equal(np.asarray(a.order), np.asarray(b.order))
 
 
+@pytest.mark.parametrize(
+    "cdim,bf16,krel",
+    [(16, False, False), (16, True, True), (3, False, True), (8, True, False)],
+)
+def test_packed_out_matches_default_layout(cdim, bf16, krel):
+    """packed_out (channel-major (T, C+1, P) blend output + matching
+    epilogue) must be bit-identical to the default layout: the kernel's
+    final transposes are exact identity matmuls and the XLA epilogues
+    reorder the same values."""
+    means, quats, scales, op, col, vm, K = _scene(170, 6, cdim)
+    base = dict(
+        tile_h=8, tile_w=16, chunk=8, budget_factor=8, interpret=True,
+        aligned=False, fast_color_rows=True, blend_bf16=bf16,
+        kernel_relayout=krel,
+    )
+    a = rasterize(
+        means, quats, scales, op, col, vm, K, W, H,
+        config=RasterizeConfig(**base),
+    )
+    b = rasterize(
+        means, quats, scales, op, col, vm, K, W, H,
+        config=RasterizeConfig(**base, packed_out=True),
+    )
+    np.testing.assert_array_equal(np.asarray(a.image), np.asarray(b.image))
+    np.testing.assert_array_equal(np.asarray(a.alpha), np.asarray(b.alpha))
+    assert b.image.shape == (H, W, cdim)
+
+
 @pytest.mark.parametrize("case", ["invisible", "tiny_budget", "one_big"])
 def test_fused_keys_edge_cases(case):
     """Degenerate inputs: nothing visible (num_valid = 0), a budget cut
