@@ -33,7 +33,9 @@ EXACT_VARIANTS: Sequence[dict] = (
     {},
     {"kernel_relayout": True},
     {"fused_keys": True},
+    {"packed_out": True},
     {"kernel_relayout": True, "fused_keys": True},
+    {"kernel_relayout": True, "fused_keys": True, "packed_out": True},
 )
 # the bf16 blend pipeline trades ~1e-2 relative image error for half the
 # VPU/VMEM stream — only offered when the caller opts in (feature
