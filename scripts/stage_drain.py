@@ -6,7 +6,7 @@ bench FPS honestly: full = prepare (project+bin+geom) + permutes +
 blend impl + tiles->image. Geometry is always a jit ARG (never closed
 over — XLA constant-folds closures and the probe lies).
 
-Usage: python scripts/stage_drain.py [tile_h tile_w] [bf16]
+Usage: python scripts/stage_drain.py [tile_h tile_w] [bf16] [krel] [fkeys] [packed]
 """
 import sys
 
@@ -34,7 +34,12 @@ feats = jnp.asarray(raw["features"])
 cam = make_camera(W, H)
 cfg = RasterizeConfig(tile_h=th, tile_w=tw, aligned=False,
                       fast_color_rows=True, budget_factor=3,
-                      blend_bf16=bf16)
+                      blend_bf16=bf16,
+                      kernel_relayout="krel" in args,
+                      fused_keys="fkeys" in args,
+                      packed_out="packed" in args)
+print(f"cfg: {th}x{tw} bf16={bf16} krel={cfg.kernel_relayout} "
+      f"fkeys={cfg.fused_keys} packed={cfg.packed_out}", flush=True)
 bg = jnp.zeros((16,), jnp.float32)
 tiles_x, tiles_y = -(-W // tw), -(-H // th)
 
