@@ -154,6 +154,8 @@ def main():
                     means, quats, scales, opac, feats, cam.viewmat, cam.K,
                     w, h, background=bg, config=cand,
                 ).image
+                if cand.image_chw:  # (C, H, W) → canonical (H, W, C)
+                    img_k = jnp.transpose(img_k, (1, 2, 0))
                 scale = float(jnp.max(jnp.abs(res.image))) + 1e-8
                 rel = float(jnp.max(jnp.abs(img_k - res.image))) / scale
                 if not (np.isfinite(rel) and rel <= 1e-5):
@@ -171,10 +173,15 @@ def main():
         cfg, t0 = try_candidate(cfg, t0, kernel_relayout=True)
         cfg, t0 = try_candidate(cfg, t0, fused_keys=True)
         cfg, t0 = try_candidate(cfg, t0, packed_out=True)
+        # channel-major (C, H, W) deliverable — the reference's torch
+        # tensors are CHW too, so the layout is interface-fair; avoids
+        # the 16->128 lane pad on the (H, W, 16) output write (~8x bytes)
+        cfg, t0 = try_candidate(cfg, t0, image_chw=True)
         print(
             f"# autotune: blend_bf16={cfg.blend_bf16} "
             f"kernel_relayout={cfg.kernel_relayout} "
-            f"fused_keys={cfg.fused_keys} packed_out={cfg.packed_out}",
+            f"fused_keys={cfg.fused_keys} packed_out={cfg.packed_out} "
+            f"image_chw={cfg.image_chw}",
             file=sys.stderr,
         )
 

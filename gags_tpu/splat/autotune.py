@@ -58,6 +58,7 @@ def autotune_config(
     *,
     base: Optional[RasterizeConfig] = None,
     allow_bf16: bool = False,
+    allow_chw: bool = False,
     k: int = 8,
     cache: bool = True,
     force: bool = False,
@@ -70,6 +71,11 @@ def autotune_config(
     for bf16), drain-times survivors with `k` enqueued frames, and caches
     the winner. On the CPU backend (interpret mode) timing is
     meaningless, so the base config is returned unless `force`.
+
+    `allow_chw`: also try the channel-major (C, H, W) final image as a
+    second pass on the winner — opt-in because it changes the shape of
+    RasterizeResult.image, so only callers prepared to consume CHW (or
+    transpose on host) may enable it.
     """
     if base is None:
         base = auto_config(
@@ -77,7 +83,7 @@ def autotune_config(
         )
     n = int(means.shape[0])
     c = int(colors.shape[1])
-    key = (width, height, n, c, allow_bf16, jax.default_backend())
+    key = (width, height, n, c, allow_bf16, allow_chw, jax.default_backend())
     if cache and key in _CACHE:
         return _CACHE[key]
     if jax.default_backend() == "cpu" and not force:
@@ -120,7 +126,10 @@ def autotune_config(
         cand = dataclasses.replace(base, **ov)
         tol = 5e-2 if ov.get("blend_bf16") else 1e-5
         try:
-            rel = float(jnp.max(jnp.abs(run(cand).image - ref_img))) / scale
+            img = run(cand).image
+            if cand.image_chw:
+                img = jnp.transpose(img, (1, 2, 0))
+            rel = float(jnp.max(jnp.abs(img - ref_img))) / scale
             if not (np.isfinite(rel) and rel <= tol):
                 if verbose:
                     print(f"# autotune: {ov} parity {rel:.3e} — rejected",
@@ -137,6 +146,28 @@ def autotune_config(
                   file=sys.stderr)
         if t < best_t:
             best_cfg, best_t = cand, t
+    if allow_chw and not best_cfg.image_chw:
+        # second pass: channel-major final image on the winning variant
+        # (one extra compile instead of doubling the candidate pool)
+        cand = dataclasses.replace(best_cfg, image_chw=True)
+        try:
+            img = jnp.transpose(run(cand).image, (1, 2, 0))
+            rel = float(jnp.max(jnp.abs(img - ref_img))) / scale
+            tol = 5e-2 if best_cfg.blend_bf16 else 1e-5
+            if np.isfinite(rel) and rel <= tol:
+                t = timed(cand)
+                if verbose:
+                    print(
+                        f"# autotune: image_chw {t*1e3:.2f} ms "
+                        f"(best {best_t*1e3:.2f})",
+                        file=sys.stderr,
+                    )
+                if t < best_t:
+                    best_cfg, best_t = cand, t
+        except Exception as exc:
+            if verbose:
+                print(f"# autotune: image_chw failed: {exc!r:.200}",
+                      file=sys.stderr)
     if cache:
         _CACHE[key] = best_cfg
     return best_cfg

@@ -42,6 +42,11 @@ _KERNEL_RELAYOUT = _os.environ.get("GAGS_KREL", "0") == "1"
 # A/B experiment flag (GAGS_PACKED=1): channel-major blend output
 # (RasterizeConfig.packed_out). Bit-exact; drain-time decides.
 _PACKED_OUT = _os.environ.get("GAGS_PACKED", "0") == "1"
+# A/B experiment flag (GAGS_CHW=1): channel-major (C, H, W) FINAL image
+# (RasterizeConfig.image_chw). Bit-exact transpose of the default layout;
+# avoids the same 16/17 -> 128 lane pad on the full-resolution output
+# write that packed_out avoids on the tile buffer. Drain-time decides.
+_IMAGE_CHW = _os.environ.get("GAGS_CHW", "0") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,6 +109,14 @@ class RasterizeConfig:
     # tiling (~7.5x the output bytes at C=16). Exact identity-matmul
     # transposes in the kernel epilogue; inference fast path only.
     packed_out: bool = False
+    # channel-major (C, H, W) FINAL image: with C=16 on the minor dim the
+    # default (H, W, C) output pads 16 -> 128 lanes in HBM ((8, 128)
+    # tiling) — ~8x the write bytes of the frame's deliverable (59 -> 472
+    # MB at 720p/C16 f32). (C, H, W) puts W on lanes (no pad) and matches
+    # the reference's torch CHW tensors (gaussian_renderer returns CHW).
+    # Bit-exact transpose; inference (aligned=False) fast path only —
+    # RasterizeResult.image is (C, H, W) when set.
+    image_chw: bool = False
 
     def instance_budget(self, n: int) -> int:
         if self.budget is not None:
@@ -121,11 +134,12 @@ def auto_config(**overrides) -> "RasterizeConfig":
     # like gshard pick their epilogue from the cfg, so the flag must be
     # visible in the config, never a hidden impl-level override)
     overrides.setdefault("packed_out", _PACKED_OUT)
+    overrides.setdefault("image_chw", _IMAGE_CHW)
     return RasterizeConfig(**overrides)
 
 
 class RasterizeResult(NamedTuple):
-    image: jnp.ndarray  # (H, W, C)
+    image: jnp.ndarray  # (H, W, C); (C, H, W) when config.image_chw
     alpha: jnp.ndarray  # (H, W)
     radii: jnp.ndarray  # (N,) int32, 0 = culled
     means2d: jnp.ndarray  # (N, 2)
@@ -152,6 +166,44 @@ def _tiles_to_image_packed(tile_img, tiles_x, tiles_y, tile_h, tile_w, height, w
         tiles_y * tile_h, tiles_x * tile_w, c
     )
     return img[:height, :width]
+
+
+def _tiles_to_image_chw(tile_img, tiles_x, tiles_y, tile_h, tile_w, height, width):
+    """(T, P, C) tile-major → (C, H, W) channel-major with border crop.
+
+    W on the minor dim keeps the HBM tiling pad-free for any C (the
+    (H, W, C<=17) layout pads channels to 128 lanes — ~8x the bytes)."""
+    c = tile_img.shape[-1]
+    img = tile_img.reshape(tiles_y, tiles_x, tile_h, tile_w, c)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(
+        c, tiles_y * tile_h, tiles_x * tile_w
+    )
+    return img[:, :height, :width]
+
+
+def _tiles_to_image_packed_chw(tile_img, tiles_x, tiles_y, tile_h, tile_w, height, width):
+    """Channel-major (T, C, P) tile-major → (C, H, W) with border crop."""
+    c = tile_img.shape[1]
+    img = tile_img.reshape(tiles_y, tiles_x, c, tile_h, tile_w)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(
+        c, tiles_y * tile_h, tiles_x * tile_w
+    )
+    return img[:, :height, :width]
+
+
+def _image_epilogue(cfg):
+    """Pick the tile→image converters for (cfg.packed_out, cfg.image_chw).
+
+    Returns (to_img, to_alpha); to_alpha always yields (H, W). Both flags
+    are inference-only (aligned=False) — the aligned training paths keep
+    the (T, P, C) kernel layout and (H, W, C) images."""
+    packed = cfg.packed_out and not cfg.aligned
+    chw = cfg.image_chw and not cfg.aligned
+    if chw:
+        f = _tiles_to_image_packed_chw if packed else _tiles_to_image_chw
+        return f, lambda *a: f(*a)[0]
+    f = _tiles_to_image_packed if packed else _tiles_to_image
+    return f, lambda *a: f(*a)[..., 0]
 
 
 def _image_to_tiles(img, tiles_x, tiles_y, tile_h, tile_w):
@@ -677,18 +729,13 @@ def rasterize_binned(
         red_slot, red_rank, red_block, background,
         (tiles_x, tiles_y), config,
     )
-    to_img = (
-        _tiles_to_image_packed
-        if config.packed_out and not config.aligned
-        else _tiles_to_image
-    )
+    to_img, to_alpha = _image_epilogue(config)
     img = to_img(
         tile_img, tiles_x, tiles_y, config.tile_h, config.tile_w, height, width
     )
-    alpha = to_img(
+    alpha = to_alpha(
         tile_alpha, tiles_x, tiles_y, config.tile_h, config.tile_w, height, width
     )
-    alpha = alpha[..., 0]
     return img, alpha
 
 
@@ -778,17 +825,13 @@ def rasterize(
         (tiles_x, tiles_y),
         config,
     )
-    to_img = (
-        _tiles_to_image_packed
-        if config.packed_out and not config.aligned
-        else _tiles_to_image
-    )
+    to_img, to_alpha = _image_epilogue(config)
     img = to_img(
         tile_img, tiles_x, tiles_y, config.tile_h, config.tile_w, height, width
     )
-    alpha = to_img(
+    alpha = to_alpha(
         tile_alpha, tiles_x, tiles_y, config.tile_h, config.tile_w, height, width
-    )[..., 0]
+    )
     return RasterizeResult(
         image=img,
         alpha=alpha,

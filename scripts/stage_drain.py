@@ -6,7 +6,7 @@ bench FPS honestly: full = prepare (project+bin+geom) + permutes +
 blend impl + tiles->image. Geometry is always a jit ARG (never closed
 over — XLA constant-folds closures and the probe lies).
 
-Usage: python scripts/stage_drain.py [tile_h tile_w] [bf16] [krel] [fkeys] [packed]
+Usage: python scripts/stage_drain.py [tile_h tile_w] [bf16] [krel] [fkeys] [packed] [chw]
 """
 import sys
 
@@ -14,7 +14,7 @@ sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp
 from gags_tpu.splat.rasterizer import (
     RasterizeConfig, rasterize, _blend_fwd_impl, _cull_rows, _geom_table,
-    _prepare, _tiles_to_image, order_ext, permute_rows,
+    _image_epilogue, _prepare, order_ext, permute_rows,
 )
 from gags_tpu.splat.projection import project_gaussians
 from gags_tpu.utils.synthetic import make_scene, make_camera
@@ -37,9 +37,11 @@ cfg = RasterizeConfig(tile_h=th, tile_w=tw, aligned=False,
                       blend_bf16=bf16,
                       kernel_relayout="krel" in args,
                       fused_keys="fkeys" in args,
-                      packed_out="packed" in args)
+                      packed_out="packed" in args,
+                      image_chw="chw" in args)
 print(f"cfg: {th}x{tw} bf16={bf16} krel={cfg.kernel_relayout} "
-      f"fkeys={cfg.fused_keys} packed={cfg.packed_out}", flush=True)
+      f"fkeys={cfg.fused_keys} packed={cfg.packed_out} "
+      f"chw={cfg.image_chw}", flush=True)
 bg = jnp.zeros((16,), jnp.float32)
 tiles_x, tiles_y = -(-W // tw), -(-H // th)
 
@@ -80,6 +82,9 @@ inv_perm = jnp.argsort(perm).astype(jnp.int32)
 print(f"  [M={b.inst_gid.shape[0]} valid={int(b.num_valid)} "
       f"tiles={tiles_x * tiles_y} overflow={int(b.overflow)}]")
 
+_to_img, _ = _image_epilogue(cfg)  # matches the cfg's kernel output layout
+
+
 @jax.jit
 def blend_stage(f, geom_t, order, invo, gid, starts, counts):
     ti, ta = _blend_fwd_impl(
@@ -87,7 +92,7 @@ def blend_stage(f, geom_t, order, invo, gid, starts, counts):
         permute_rows(geom_t, order_ext(order), invo),
         gid, starts, counts, bg, (tiles_x, tiles_y), cfg,
     )
-    return _tiles_to_image(ti, tiles_x, tiles_y, th, tw, H, W)
+    return _to_img(ti, tiles_x, tiles_y, th, tw, H, W)
 
 t_blend = stage(
     "permute+blend+to_image",

@@ -326,6 +326,36 @@ def test_packed_out_matches_default_layout(cdim, bf16, krel):
     assert b.image.shape == (H, W, cdim)
 
 
+@pytest.mark.parametrize(
+    "cdim,packed,bf16",
+    [(16, False, False), (16, True, False), (16, True, True), (3, False, False)],
+)
+def test_image_chw_matches_default_layout(cdim, packed, bf16):
+    """image_chw (channel-major (C, H, W) FINAL image) must be exactly the
+    transpose of the default (H, W, C) output for every upstream kernel
+    layout — it only changes the tiles→image epilogue permutation."""
+    means, quats, scales, op, col, vm, K = _scene(170, 6, cdim)
+    base = dict(
+        tile_h=8, tile_w=16, chunk=8, budget_factor=8, interpret=True,
+        aligned=False, fast_color_rows=True, packed_out=packed,
+        blend_bf16=bf16,
+    )
+    a = rasterize(
+        means, quats, scales, op, col, vm, K, W, H,
+        config=RasterizeConfig(**base),
+    )
+    b = rasterize(
+        means, quats, scales, op, col, vm, K, W, H,
+        config=RasterizeConfig(**base, image_chw=True),
+    )
+    assert b.image.shape == (cdim, H, W)
+    np.testing.assert_array_equal(
+        np.asarray(a.image), np.asarray(b.image).transpose(1, 2, 0)
+    )
+    np.testing.assert_array_equal(np.asarray(a.alpha), np.asarray(b.alpha))
+    assert b.alpha.shape == (H, W)
+
+
 @pytest.mark.parametrize("case", ["invisible", "tiny_budget", "one_big"])
 def test_fused_keys_edge_cases(case):
     """Degenerate inputs: nothing visible (num_valid = 0), a budget cut
