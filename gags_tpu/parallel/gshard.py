@@ -188,6 +188,10 @@ def _render_strip(
         (tiles_x, tiles_y_local),
         cfg,
     )
+    # strips are concatenated along H by the caller, which expects
+    # (strip_h, W, C) pieces — the channel-major final-image option does
+    # not apply here (callers can transpose the assembled image instead)
+    assert not cfg.image_chw, "image_chw is unsupported on the gshard path"
     to_img = (
         _tiles_to_image_packed
         if cfg.packed_out and not cfg.aligned

@@ -32,6 +32,9 @@ VARIANTS = [
          kernel_relayout=True),
     dict(budget_factor=2, fast_color_rows=True, blend_bf16=True,
          kernel_relayout=True, fused_keys=True),
+    dict(budget_factor=2, fast_color_rows=True, blend_bf16=True,
+         kernel_relayout=True, fused_keys=True, packed_out=True,
+         image_chw=True),
 ]
 for v in VARIANTS:
     cfg = RasterizeConfig(tile_h=32, tile_w=32, aligned=False, **v)

@@ -4,6 +4,7 @@
 set -x
 cd /root/repo
 python scripts/tpu_validate.py 2>&1 | grep -v WARNING
+python scripts/layout_probe.py 2>&1 | grep -v WARNING
 python scripts/slab_probe.py 2>&1 | grep -v WARNING
 python scripts/bf16_sweep.py 2>&1 | grep -v WARNING
 # bench.py self-tunes {kernel_relayout, fused_keys} with parity guards and
