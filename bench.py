@@ -126,7 +126,9 @@ def main():
     # slope method which overestimated ~30% on this backend
     from gags_tpu.utils.timing import device_time_drain
 
-    def timed(cfg_, k):
+    def timed(cfg_, k, geom=None):
+        m_, q_, s_ = geom if geom is not None else (means, quats, scales)
+
         @jax.jit
         def render(means_, quats_, scales_, opac_, f):
             return rasterize(
@@ -135,7 +137,7 @@ def main():
             ).image
 
         return device_time_drain(
-            lambda f: render(means, quats, scales, opac, f), feats,
+            lambda f: render(m_, q_, s_, opac, f), feats,
             k=k, warmup=warmup,
         )
 
@@ -177,11 +179,37 @@ def main():
         # tensors are CHW too, so the layout is interface-fair; avoids
         # the 16->128 lane pad on the (H, W, 16) output write (~8x bytes)
         cfg, t0 = try_candidate(cfg, t0, image_chw=True)
+        # lane-major geometry (SoA): a scene store layout choice, bit-
+        # identical math — avoids streaming the lane-padded (N, 3/4)
+        # arrays through projection (scripts/layout_probe.py)
+        geom_t = (jnp.asarray(means.T), jnp.asarray(quats.T),
+                  jnp.asarray(scales.T))
+        cand = dataclasses.replace(cfg, soa_geom=True)
+        try:
+            img_k = rasterize(
+                *geom_t, opac, feats, cam.viewmat, cam.K, w, h,
+                background=bg, config=cand,
+            ).image
+            if cand.image_chw:
+                img_k = jnp.transpose(img_k, (1, 2, 0))
+            scale = float(jnp.max(jnp.abs(res.image))) + 1e-8
+            rel = float(jnp.max(jnp.abs(img_k - res.image))) / scale
+            if np.isfinite(rel) and rel <= 1e-5:
+                t = timed(cand, 8, geom=geom_t)
+                if t < t0:
+                    cfg, t0 = cand, t
+                    means, quats, scales = geom_t
+            else:
+                print(f"# soa_geom parity {rel:.3e} — skipped",
+                      file=sys.stderr)
+        except Exception as exc:
+            print(f"# soa_geom failed: {exc!r:.200} — skipped",
+                  file=sys.stderr)
         print(
             f"# autotune: blend_bf16={cfg.blend_bf16} "
             f"kernel_relayout={cfg.kernel_relayout} "
             f"fused_keys={cfg.fused_keys} packed_out={cfg.packed_out} "
-            f"image_chw={cfg.image_chw}",
+            f"image_chw={cfg.image_chw} soa_geom={cfg.soa_geom}",
             file=sys.stderr,
         )
 

@@ -192,6 +192,7 @@ def _render_strip(
     # (strip_h, W, C) pieces — the channel-major final-image option does
     # not apply here (callers can transpose the assembled image instead)
     assert not cfg.image_chw, "image_chw is unsupported on the gshard path"
+    assert not cfg.soa_geom, "soa_geom is unsupported on the gshard path"
     to_img = (
         _tiles_to_image_packed
         if cfg.packed_out and not cfg.aligned

@@ -48,6 +48,28 @@ def effective_opacity(opacities: jnp.ndarray, compensations: jnp.ndarray) -> jnp
     return opacities * compensations
 
 
+class ProjectedComponents(NamedTuple):
+    """Projection outputs as individual (N,) vectors (no (N, k) stacks).
+
+    The inference pipeline consumes projection column-wise everywhere
+    (tile rects, geometry table, cull rows), and (N, k<128) arrays are
+    suspected to pad k → 128 lanes in HBM ((8, 128) tiling — see
+    scripts/layout_probe.py), so the component form avoids materialising
+    any padded intermediate. `project_gaussians` stacks these into the
+    classic ProjectedGaussians; values are bit-identical either way."""
+
+    mx: jnp.ndarray      # (N,) pixel x
+    my: jnp.ndarray      # (N,) pixel y
+    ca: jnp.ndarray      # (N,) conic a (inverse-cov upper triangle)
+    cb: jnp.ndarray      # (N,) conic b
+    cc: jnp.ndarray      # (N,) conic c
+    depth: jnp.ndarray   # (N,) camera-space z
+    radius: jnp.ndarray  # (N,) int32 3-sigma max-axis radius, 0 = culled
+    rx: jnp.ndarray      # (N,) int32 tight x half-extent, 0 = culled
+    ry: jnp.ndarray      # (N,) int32 tight y half-extent
+    comp: jnp.ndarray    # (N,) AA opacity compensation (1.0 when unused)
+
+
 def project_gaussians(
     means: jnp.ndarray,
     quats: jnp.ndarray,
@@ -76,6 +98,62 @@ def project_gaussians(
 
     Returns ProjectedGaussians; culled Gaussians have radii == 0.
     """
+    comp = _project_components(
+        means[:, 0], means[:, 1], means[:, 2],
+        quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3],
+        scales[:, 0], scales[:, 1], scales[:, 2],
+        viewmat, K, width, height,
+        eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
+        antialiased=antialiased, opacities=opacities,
+    )
+    return ProjectedGaussians(
+        means2d=jnp.stack([comp.mx, comp.my], axis=-1),
+        conics=jnp.stack([comp.ca, comp.cb, comp.cc], axis=-1),
+        depths=comp.depth,
+        radii=comp.radius,
+        compensations=comp.comp,
+        radii_x=comp.rx,
+        radii_y=comp.ry,
+    )
+
+
+def project_gaussians_soa(
+    means_t: jnp.ndarray,
+    quats_t: jnp.ndarray,
+    scales_t: jnp.ndarray,
+    viewmat: jnp.ndarray,
+    K: jnp.ndarray,
+    width: int,
+    height: int,
+    eps2d: float = EPS2D,
+    near_plane: float = NEAR_PLANE,
+    far_plane: float = FAR_PLANE,
+    antialiased: bool = False,
+    opacities: jnp.ndarray | None = None,
+) -> ProjectedComponents:
+    """SoA projection: geometry passed lane-major — means_t (3, N),
+    quats_t (4, N) wxyz, scales_t (3, N) — and outputs returned as (N,)
+    components. Bit-identical math to `project_gaussians` (same core);
+    the layout keeps every HBM stream at its logical size (row slices of
+    a (k, N) array are contiguous; column slices of (N, k) read a
+    128-lane-padded tile per element — scripts/layout_probe.py)."""
+    return _project_components(
+        means_t[0], means_t[1], means_t[2],
+        quats_t[0], quats_t[1], quats_t[2], quats_t[3],
+        scales_t[0], scales_t[1], scales_t[2],
+        viewmat, K, width, height,
+        eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
+        antialiased=antialiased, opacities=opacities,
+    )
+
+
+def _project_components(
+    w0, w1, w2, q0, q1, q2, q3, sc0, sc1, sc2,
+    viewmat, K, width, height,
+    *, eps2d, near_plane, far_plane, antialiased, opacities,
+) -> ProjectedComponents:
+    """EWA projection core on (N,) component vectors (shared by the AoS
+    and SoA entry points — see their docstrings for semantics)."""
     # All the K=3 "matmuls" below are expanded by hand into elementwise
     # mul-adds: (a) 3x3-sized matmuls utilise ~0.05% of the MXU and were the
     # bulk of projection cost, (b) the VPU computes them in TRUE f32, so the
@@ -90,20 +168,18 @@ def project_gaussians(
     cx, cy = K[0, 2], K[1, 2]
 
     # --- world → camera ------------------------------------------------------
-    w0, w1, w2 = means[:, 0], means[:, 1], means[:, 2]
     px_cam = r00 * w0 + r01 * w1 + r02 * w2 + t0
     py_cam = r10 * w0 + r11 * w1 + r12 * w2 + t1
     z = r20 * w0 + r21 * w1 + r22 * w2 + t2
-    p_cam = jnp.stack([px_cam, py_cam, z], axis=-1)
     in_depth = (z > near_plane) & (z < far_plane)
     zs = jnp.where(in_depth, z, 1.0)  # avoid div-by-zero on culled points
 
     # --- camera-frame covariance Σ_cam = (R L)(R L)^T, L = R_quat diag(s) ----
-    q = quats / jnp.sqrt(
-        jnp.sum(quats * quats, axis=-1, keepdims=True) + 1e-24
-    )
-    qw, qx, qy, qz = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
-    s0, s1, s2 = scales[:, 0], scales[:, 1], scales[:, 2]
+    # (same op sequence as the historical (N, 4) form: elementwise square,
+    # left-to-right sum, sqrt, divide — keeps results bit-identical)
+    qden = jnp.sqrt(q0 * q0 + q1 * q1 + q2 * q2 + q3 * q3 + 1e-24)
+    qw, qx, qy, qz = q0 / qden, q1 / qden, q2 / qden, q3 / qden
+    s0, s1, s2 = sc0, sc1, sc2
     # L columns scaled by s (reference build_scaling_rotation semantics)
     l00 = (1 - 2 * (qy * qy + qz * qz)) * s0
     l01 = 2 * (qx * qy - qw * qz) * s1
@@ -137,8 +213,8 @@ def project_gaussians(
     tan_fovy = 0.5 * height / fy
     lim_x = 1.3 * tan_fovx
     lim_y = 1.3 * tan_fovy
-    tx = zs * jnp.clip(p_cam[:, 0] / zs, -lim_x, lim_x)
-    ty = zs * jnp.clip(p_cam[:, 1] / zs, -lim_y, lim_y)
+    tx = zs * jnp.clip(px_cam / zs, -lim_x, lim_x)
+    ty = zs * jnp.clip(py_cam / zs, -lim_y, lim_y)
 
     rz = 1.0 / zs
     rz2 = rz * rz
@@ -164,12 +240,13 @@ def project_gaussians(
     valid_det = det > 0
     det_safe = jnp.where(valid_det, det, 1.0)
     inv_det = 1.0 / det_safe
-    conics = jnp.stack([c_b * inv_det, -b * inv_det, a_b * inv_det], axis=-1)
+    conic_a = c_b * inv_det
+    conic_b = -b * inv_det
+    conic_c = a_b * inv_det
 
     # --- screen position and 3-sigma extent -----------------------------------
-    mx = fx * p_cam[:, 0] * rz + cx
-    my = fy * p_cam[:, 1] * rz + cy
-    means2d = jnp.stack([mx, my], axis=-1)
+    mx = fx * px_cam * rz + cx
+    my = fy * py_cam * rz + cy
 
     bmid = 0.5 * (a_b + c_b)
     v1 = bmid + jnp.sqrt(jnp.maximum(0.01, bmid * bmid - det))
@@ -209,12 +286,15 @@ def project_gaussians(
     valid = in_depth & valid_det & (radius > RADIUS_CLIP) & inside
     radii = jnp.where(valid, radius, 0.0).astype(jnp.int32)
 
-    return ProjectedGaussians(
-        means2d=means2d,
-        conics=conics,
-        depths=z,
-        radii=radii,
-        compensations=compensations,
-        radii_x=jnp.where(valid, rx, 0.0).astype(jnp.int32),
-        radii_y=jnp.where(valid, ry, 0.0).astype(jnp.int32),
+    return ProjectedComponents(
+        mx=mx,
+        my=my,
+        ca=conic_a,
+        cb=conic_b,
+        cc=conic_c,
+        depth=z,
+        radius=radii,
+        rx=jnp.where(valid, rx, 0.0).astype(jnp.int32),
+        ry=jnp.where(valid, ry, 0.0).astype(jnp.int32),
+        comp=compensations,
     )

@@ -26,7 +26,12 @@ import numpy as np
 
 from gags_tpu.splat import tiles
 from gags_tpu.splat import pallas_kernel as pk
-from gags_tpu.splat.projection import effective_opacity, project_gaussians
+from gags_tpu.splat.projection import (
+    ProjectedGaussians,
+    effective_opacity,
+    project_gaussians,
+    project_gaussians_soa,
+)
 
 # A/B experiment flag (GAGS_T16=1): do the inference instance-table
 # relayout as ONE u16 transpose + lane-major reassembly instead of two
@@ -47,6 +52,9 @@ _PACKED_OUT = _os.environ.get("GAGS_PACKED", "0") == "1"
 # avoids the same 16/17 -> 128 lane pad on the full-resolution output
 # write that packed_out avoids on the tile buffer. Drain-time decides.
 _IMAGE_CHW = _os.environ.get("GAGS_CHW", "0") == "1"
+# NOTE: soa_geom deliberately has NO env flag: it changes the CALL
+# contract (transposed geometry args), so flipping it globally would
+# break every AoS call site — opt in per call site only.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,6 +125,12 @@ class RasterizeConfig:
     # Bit-exact transpose; inference (aligned=False) fast path only —
     # RasterizeResult.image is (C, H, W) when set.
     image_chw: bool = False
+    # lane-major (SoA) geometry inputs: rasterize() takes means (3, N),
+    # quats (4, N), scales (3, N) and the whole projection→binning→table
+    # chain runs on (N,) components — no (N, k<128) stream is read or
+    # written outside the row-major gather tables. Bit-identical results
+    # (same projection core). Inference (aligned=False) path only.
+    soa_geom: bool = False
 
     def instance_budget(self, n: int) -> int:
         if self.budget is not None:
@@ -238,6 +252,20 @@ def _geom_table(proj, opacities):
     return geom, proj
 
 
+def _geom_table_comp(comp, opacities):
+    """_geom_table from (N,) projection components (SoA path): the table
+    values are identical; assembly never touches an (N, 2/3) stack."""
+    zero = jnp.zeros_like(comp.mx)
+    geom = jnp.stack(
+        [
+            comp.mx, comp.my, comp.ca, comp.cb, comp.cc,
+            effective_opacity(opacities, comp.comp), zero, zero,
+        ],
+        axis=-1,
+    )
+    return jnp.pad(geom, ((0, 1), (0, 0)))  # zero (opacity-0) sentinel row
+
+
 from gags_tpu.splat.tiles import fast_gather_rows  # noqa: F401 (re-export)
 
 
@@ -280,18 +308,48 @@ def order_ext(order: jnp.ndarray) -> jnp.ndarray:
 
 
 def _prepare(means, quats, scales, opacities, viewmat, K, width, height, cfg):
-    """Project + bin + build the geometry table. No colour dependence."""
-    n = means.shape[0]
-    proj = project_gaussians(
-        means, quats, scales, viewmat, K, width, height,
-        opacities=opacities if cfg.opacity_extents else None,
-    )
+    """Project + bin + build the geometry table. No colour dependence.
+
+    With cfg.soa_geom the geometry args are lane-major ((3, N), (4, N),
+    (3, N)) and the whole chain runs on (N,) components — bit-identical
+    values (shared projection core), no (N, k<128) stream."""
     tiles_x = -(-width // cfg.tile_w)
     tiles_y = -(-height // cfg.tile_h)
+    if cfg.soa_geom:
+        n = means.shape[1]
+        comp = project_gaussians_soa(
+            means, quats, scales, viewmat, K, width, height,
+            opacities=opacities if cfg.opacity_extents else None,
+        )
+        means2d_arg = (comp.mx, comp.my)
+        rx, ry, depths = comp.rx, comp.ry, comp.depth
+        cull = _cull_rows_comp(comp, opacities) if _wants_cull(cfg) else None
+        geom = _geom_table_comp(comp, opacities)
+        # stacked fields only feed RasterizeResult.means2d/conics — XLA
+        # DCEs them under jit when the caller consumes only the image
+        proj = ProjectedGaussians(
+            means2d=jnp.stack([comp.mx, comp.my], axis=-1),
+            conics=jnp.stack([comp.ca, comp.cb, comp.cc], axis=-1),
+            depths=comp.depth,
+            radii=comp.radius,
+            compensations=comp.comp,
+            radii_x=comp.rx,
+            radii_y=comp.ry,
+        )
+    else:
+        n = means.shape[0]
+        proj = project_gaussians(
+            means, quats, scales, viewmat, K, width, height,
+            opacities=opacities if cfg.opacity_extents else None,
+        )
+        means2d_arg = proj.means2d
+        rx, ry, depths = proj.radii_x, proj.radii_y, proj.depths
+        cull = _cull_rows(proj, opacities) if _wants_cull(cfg) else None
+        geom, _ = _geom_table(proj, opacities)
     binned = tiles.bin_gaussians(
-        proj.means2d,
-        proj.radii_x,
-        proj.depths,
+        means2d_arg,
+        rx,
+        depths,
         width,
         height,
         cfg.tile_w,
@@ -300,11 +358,10 @@ def _prepare(means, quats, scales, opacities, viewmat, K, width, height, cfg):
         chunk=cfg.chunk,
         aligned=cfg.aligned,
         interpret=cfg.interpret,
-        radii_y=proj.radii_y,
-        cull_rows=_cull_rows(proj, opacities) if _wants_cull(cfg) else None,
+        radii_y=ry,
+        cull_rows=cull,
         fused_keys=cfg.fused_keys,
     )
-    geom, _ = _geom_table(proj, opacities)
     return proj, binned, geom, tiles_x, tiles_y
 
 
@@ -323,6 +380,17 @@ def _cull_rows(proj, opacities):
         jnp.concatenate(
             [proj.means2d, proj.conics, L[:, None]], axis=1
         ).astype(jnp.float32)
+    )
+
+
+def _cull_rows_comp(comp, opacities):
+    """_cull_rows from (N,) projection components (SoA path) — identical
+    values, assembled without the stacked means2d/conics intermediates."""
+    L = jnp.log(
+        255.0 * jnp.maximum(effective_opacity(opacities, comp.comp), 1e-12)
+    )
+    return jax.lax.stop_gradient(
+        jnp.stack([comp.mx, comp.my, comp.ca, comp.cb, comp.cc, L], axis=-1)
     )
 
 
@@ -708,6 +776,9 @@ def rasterize_binned(
     `red_*` is the cached `BinnedInstances.red` reduction layout.
     Differentiable wrt colors. Returns (image (H,W,C), alpha (H,W)).
     """
+    assert not config.soa_geom, (
+        "rasterize_binned is a training path (AoS geometry only)"
+    )
     means = jax.lax.stop_gradient(means)
     quats = jax.lax.stop_gradient(quats)
     scales = jax.lax.stop_gradient(scales)
@@ -774,7 +845,17 @@ def rasterize(
         opacities = jax.lax.stop_gradient(opacities)
 
     # binning decisions come from a gradient-stopped projection
-    proj_sg, binned, _, tiles_x, tiles_y = _prepare(
+    if config.soa_geom:
+        # SoA contract: lane-major geometry, forward-only inference path
+        assert not config.geometry_grads, (
+            "soa_geom is forward-only (the differentiable table path "
+            "takes AoS geometry)"
+        )
+        assert not config.aligned, "soa_geom requires aligned=False"
+        assert means.shape[0] == 3 and quats.shape[0] == 4, (
+            "soa_geom: pass means (3, N), quats (4, N), scales (3, N)"
+        )
+    proj_sg, binned, geom_sg, tiles_x, tiles_y = _prepare(
         jax.lax.stop_gradient(means),
         jax.lax.stop_gradient(quats),
         jax.lax.stop_gradient(scales),
@@ -790,8 +871,9 @@ def rasterize(
         )
         blend_fn = _blend_full
     else:
-        geom_table, _ = _geom_table(proj_sg, opacities)
-        blend_fn = _blend
+        # _prepare's table IS the stop-gradient table (jit deduped the
+        # old rebuild anyway; the SoA path depends on reusing it)
+        geom_table, blend_fn = geom_sg, _blend
     # inst_gid holds depth ranks — permute tables to rank order (N-sized
     # fast gathers; the differentiable permutes use gather-based VJPs)
     perm = order_ext(binned.order)

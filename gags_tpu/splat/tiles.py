@@ -248,13 +248,21 @@ def tile_rects(
     """Inclusive-exclusive tile rectangle [x0, x1) x [y0, y1) per Gaussian.
 
     With `radii_y`, `radii` is the x half-extent and the rect is the tight
-    anisotropic 3-sigma bbox; otherwise the isotropic square."""
+    anisotropic 3-sigma bbox; otherwise the isotropic square.
+
+    `means2d` is either the (N, 2) stacked array or an (mx, my) tuple of
+    (N,) vectors (SoA path: avoids the column reads of the lane-padded
+    (N, 2) layout — scripts/layout_probe.py)."""
+    if isinstance(means2d, tuple):
+        mx, my = means2d
+    else:
+        mx, my = means2d[:, 0], means2d[:, 1]
     rx = radii.astype(jnp.float32)
     ry = rx if radii_y is None else radii_y.astype(jnp.float32)
-    x0 = jnp.clip(jnp.floor((means2d[:, 0] - rx) / tile_w), 0, tiles_x).astype(jnp.int32)
-    x1 = jnp.clip(jnp.ceil((means2d[:, 0] + rx) / tile_w), 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((means2d[:, 1] - ry) / tile_h), 0, tiles_y).astype(jnp.int32)
-    y1 = jnp.clip(jnp.ceil((means2d[:, 1] + ry) / tile_h), 0, tiles_y).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor((mx - rx) / tile_w), 0, tiles_x).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil((mx + rx) / tile_w), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((my - ry) / tile_h), 0, tiles_y).astype(jnp.int32)
+    y1 = jnp.clip(jnp.ceil((my + ry) / tile_h), 0, tiles_y).astype(jnp.int32)
     alive = radii > 0 if radii_y is None else (radii > 0) & (radii_y > 0)
     w = jnp.where(alive, x1 - x0, 0)
     h = jnp.where(alive, y1 - y0, 0)
@@ -305,8 +313,12 @@ def bin_gaussians(
         Pallas kernel (pallas_kernel.expand_keys) instead of expand_gid +
         an (M,)-row gather + the XLA key chain — identical keys, fewer
         M-sized passes. Unaligned narrow-key paths only.
+
+    `means2d` may be an (mx, my) tuple of (N,) vectors (SoA path — see
+    tile_rects); everything downstream of the rects is component-wise
+    either way, so the binning is bit-identical.
     """
-    n = means2d.shape[0]
+    n = means2d[0].shape[0] if isinstance(means2d, tuple) else means2d.shape[0]
     tiles_x = -(-width // tile_w)
     tiles_y = -(-height // tile_h)
     num_tiles = tiles_x * tiles_y

@@ -16,6 +16,7 @@ python scripts/stage_drain.py 32 32 bf16 2>&1 | grep -v WARNING
 python scripts/stage_drain.py 32 32 bf16 krel fkeys 2>&1 | grep -v WARNING
 python scripts/stage_drain.py 32 32 bf16 krel fkeys packed 2>&1 | grep -v WARNING
 python scripts/stage_drain.py 32 32 bf16 krel fkeys packed chw 2>&1 | grep -v WARNING
+python scripts/stage_drain.py 32 32 bf16 krel fkeys packed chw soa 2>&1 | grep -v WARNING
 python scripts/bin_drain.py 2>&1 | grep -v WARNING
 python scripts/bench_1080p.py 2>&1 | grep -v WARNING
 python scripts/sam_bench.py 1 2>&1 | grep -v WARNING | tail -3

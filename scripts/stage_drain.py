@@ -6,7 +6,7 @@ bench FPS honestly: full = prepare (project+bin+geom) + permutes +
 blend impl + tiles->image. Geometry is always a jit ARG (never closed
 over — XLA constant-folds closures and the probe lies).
 
-Usage: python scripts/stage_drain.py [tile_h tile_w] [bf16] [krel] [fkeys] [packed] [chw]
+Usage: python scripts/stage_drain.py [tile_h tile_w] [bf16] [krel] [fkeys] [packed] [chw] [soa]
 """
 import sys
 
@@ -38,10 +38,15 @@ cfg = RasterizeConfig(tile_h=th, tile_w=tw, aligned=False,
                       kernel_relayout="krel" in args,
                       fused_keys="fkeys" in args,
                       packed_out="packed" in args,
-                      image_chw="chw" in args)
+                      image_chw="chw" in args,
+                      soa_geom="soa" in args)
+if cfg.soa_geom:  # lane-major geometry: scene store layout choice
+    means = jnp.asarray(means.T)
+    quats = jnp.asarray(quats.T)
+    scales = jnp.asarray(scales.T)
 print(f"cfg: {th}x{tw} bf16={bf16} krel={cfg.kernel_relayout} "
       f"fkeys={cfg.fused_keys} packed={cfg.packed_out} "
-      f"chw={cfg.image_chw}", flush=True)
+      f"chw={cfg.image_chw} soa={cfg.soa_geom}", flush=True)
 bg = jnp.zeros((16,), jnp.float32)
 tiles_x, tiles_y = -(-W // tw), -(-H // th)
 
@@ -61,6 +66,12 @@ t_full = stage("full rasterize", lambda f: full(means, quats, scales, opac, f), 
 
 @jax.jit
 def proj_only(m, q, s, o):
+    if cfg.soa_geom:
+        from gags_tpu.splat.projection import project_gaussians_soa
+
+        c = project_gaussians_soa(m, q, s, cam.viewmat, cam.K, W, H,
+                                  opacities=o)
+        return c.mx, c.my, c.rx, c.depth, c.ca, c.cb, c.cc
     p = project_gaussians(m, q, s, cam.viewmat, cam.K, W, H, opacities=o)
     return p.means2d, p.radii_x, p.depths, p.conics
 

@@ -356,6 +356,39 @@ def test_image_chw_matches_default_layout(cdim, packed, bf16):
     assert b.alpha.shape == (H, W)
 
 
+@pytest.mark.parametrize(
+    "cdim,fused,chw",
+    [(16, False, False), (16, True, True), (3, False, False)],
+)
+def test_soa_geom_matches_aos(cdim, fused, chw):
+    """soa_geom (lane-major (3,N)/(4,N)/(3,N) geometry inputs) must be
+    bit-identical to the AoS path end-to-end: projection shares one
+    component core, the binner consumes (mx, my) components, and the
+    geometry/cull tables are assembled from the same values."""
+    means, quats, scales, op, col, vm, K = _scene(170, 6, cdim)
+    base = dict(
+        tile_h=8, tile_w=16, chunk=8, budget_factor=8, interpret=True,
+        aligned=False, fast_color_rows=True, fused_keys=fused,
+        image_chw=chw,
+    )
+    a = rasterize(
+        means, quats, scales, op, col, vm, K, W, H,
+        config=RasterizeConfig(**base),
+    )
+    b = rasterize(
+        jnp.asarray(means.T), jnp.asarray(quats.T), jnp.asarray(scales.T),
+        op, col, vm, K, W, H,
+        config=RasterizeConfig(**base, soa_geom=True),
+    )
+    np.testing.assert_array_equal(np.asarray(a.image), np.asarray(b.image))
+    np.testing.assert_array_equal(np.asarray(a.alpha), np.asarray(b.alpha))
+    np.testing.assert_array_equal(np.asarray(a.radii), np.asarray(b.radii))
+    np.testing.assert_array_equal(
+        np.asarray(a.means2d), np.asarray(b.means2d)
+    )
+    assert int(a.overflow) == int(b.overflow)
+
+
 @pytest.mark.parametrize("case", ["invisible", "tiny_budget", "one_big"])
 def test_fused_keys_edge_cases(case):
     """Degenerate inputs: nothing visible (num_valid = 0), a budget cut
