@@ -266,6 +266,26 @@ def _geom_table_comp(comp, opacities):
     return jnp.pad(geom, ((0, 1), (0, 0)))  # zero (opacity-0) sentinel row
 
 
+def _geom_table_u16_comp(comp, opacities):
+    """(N+1, 16) u16 [hi | lo] geometry table built DIRECTLY from (N,)
+    components — bit-identical to tiles.u16_halves(_geom_table_comp(...))
+    but with no (N, 8) f32 materialisation, and row-gatherable as-is (u16
+    gathers are the fast kind; no split/reassemble round trip). The
+    sentinel row is all-zero bits (f32 0.0 == 0x00000000)."""
+    cols = [
+        comp.mx, comp.my, comp.ca, comp.cb, comp.cc,
+        effective_opacity(opacities, comp.comp),
+    ]
+    bits = [jax.lax.bitcast_convert_type(c, jnp.uint32) for c in cols]
+    zero = jnp.zeros_like(bits[0])
+    bits += [zero, zero]
+    hi = jnp.stack([(b >> 16).astype(jnp.uint16) for b in bits], axis=-1)
+    lo = jnp.stack(
+        [(b & jnp.uint32(0xFFFF)).astype(jnp.uint16) for b in bits], axis=-1
+    )
+    return jnp.pad(jnp.concatenate([hi, lo], axis=1), ((0, 1), (0, 0)))
+
+
 from gags_tpu.splat.tiles import fast_gather_rows  # noqa: F401 (re-export)
 
 
@@ -324,7 +344,9 @@ def _prepare(means, quats, scales, opacities, viewmat, K, width, height, cfg):
         means2d_arg = (comp.mx, comp.my)
         rx, ry, depths = comp.rx, comp.ry, comp.depth
         cull = _cull_rows_comp(comp, opacities) if _wants_cull(cfg) else None
-        geom = _geom_table_comp(comp, opacities)
+        # pre-split u16 table: the unaligned blend consumes u16 halves
+        # anyway; building them directly skips the (N, 8) f32 round trip
+        geom = _geom_table_u16_comp(comp, opacities)
         # stacked fields only feed RasterizeResult.means2d/conics — XLA
         # DCEs them under jit when the caller consumes only the image
         proj = ProjectedGaussians(
@@ -438,7 +460,10 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, 
             [inst_gid, jnp.full((seg_slack,), n_sentinel, jnp.int32)]
         )
         cp = colors_pad.shape[1]
-        geom_u16 = tiles.u16_halves(geom_table)  # (N+1, 16)
+        if geom_table.dtype == jnp.uint16:
+            geom_u16 = geom_table  # pre-split (N+1, 16) — SoA path
+        else:
+            geom_u16 = tiles.u16_halves(geom_table)  # (N+1, 16)
         if cfg.fast_color_rows:
             col_u16 = jax.lax.bitcast_convert_type(
                 colors_pad.astype(jnp.bfloat16), jnp.uint16
@@ -894,9 +919,16 @@ def rasterize(
         )
     if background is None:
         background = jnp.zeros((colors.shape[1],), jnp.float32)
+    # u16 (SoA) tables row-gather fast natively — a plain forward gather,
+    # no VJP needed (the unaligned path is forward-only by contract)
+    geom_rank = (
+        geom_table[perm]
+        if geom_table.dtype == jnp.uint16
+        else permute_rows(geom_table, perm, inv_perm)
+    )
     tile_img, tile_alpha = blend_fn(
         permute_rows(colors, binned.order, inv_order),
-        permute_rows(geom_table, perm, inv_perm),
+        geom_rank,
         binned.inst_gid,
         binned.tile_starts,
         binned.tile_counts,
