@@ -441,14 +441,28 @@ def _pad_channels(colors):
     return colors, c
 
 
-def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, grid_dims, cfg):
+def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, grid_dims, cfg,
+                    *, pre_split_colors=None, c_true=None):
+    """`pre_split_colors`: forward-only (SoA) fast path — the (N+1, Cu)
+    u16 colour table ALREADY channel-padded, sentinel-row-appended,
+    rank-permuted and bit-converted (bf16 bits when cfg.fast_color_rows,
+    [hi|lo] f32 halves otherwise). Conversion commutes with the row
+    permutation, so the gathered `got` rows are bit-identical to the
+    classic chain; `colors` is ignored and `c_true` must be given."""
     tiles_x, tiles_y = grid_dims
-    colors, c_true = _pad_channels(colors)
-    if bg is not None and bg.shape[0] != colors.shape[1]:
-        bg = jnp.pad(bg, (0, colors.shape[1] - bg.shape[0]))
-    colors_pad = jnp.concatenate(
-        [colors, jnp.zeros((1, colors.shape[1]), colors.dtype)], axis=0
-    )
+    if pre_split_colors is None:
+        colors, c_true = _pad_channels(colors)
+        cp_cols = colors.shape[1]
+        colors_pad = jnp.concatenate(
+            [colors, jnp.zeros((1, cp_cols), colors.dtype)], axis=0
+        )
+    else:
+        assert not cfg.aligned and c_true is not None
+        colors_pad = None
+        cu = pre_split_colors.shape[1]
+        cp_cols = cu if cfg.fast_color_rows else cu // 2
+    if bg is not None and bg.shape[0] != cp_cols:
+        bg = jnp.pad(bg, (0, cp_cols - bg.shape[0]))
     if not cfg.aligned:
         # inference: ONE u16 row gather of [geom hi|lo halves | colour
         # rows], split into the fast kernel's (8, M) f32 + (C, M) operands.
@@ -459,12 +473,14 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, 
         inst_gid = jnp.concatenate(
             [inst_gid, jnp.full((seg_slack,), n_sentinel, jnp.int32)]
         )
-        cp = colors_pad.shape[1]
+        cp = cp_cols
         if geom_table.dtype == jnp.uint16:
             geom_u16 = geom_table  # pre-split (N+1, 16) — SoA path
         else:
             geom_u16 = tiles.u16_halves(geom_table)  # (N+1, 16)
-        if cfg.fast_color_rows:
+        if pre_split_colors is not None:
+            col_u16 = pre_split_colors  # (N+1, Cp or 2Cp)
+        elif cfg.fast_color_rows:
             col_u16 = jax.lax.bitcast_convert_type(
                 colors_pad.astype(jnp.bfloat16), jnp.uint16
             )  # (N+1, Cp)
@@ -919,26 +935,49 @@ def rasterize(
         )
     if background is None:
         background = jnp.zeros((colors.shape[1],), jnp.float32)
-    # u16 (SoA) tables row-gather fast natively — a plain forward gather,
-    # no VJP needed (the unaligned path is forward-only by contract)
-    geom_rank = (
-        geom_table[perm]
-        if geom_table.dtype == jnp.uint16
-        else permute_rows(geom_table, perm, inv_perm)
-    )
-    tile_img, tile_alpha = blend_fn(
-        permute_rows(colors, binned.order, inv_order),
-        geom_rank,
-        binned.inst_gid,
-        binned.tile_starts,
-        binned.tile_counts,
-        red.slot_to_pos,
-        red.slot_rank,
-        red.chunk_block,
-        background,
-        (tiles_x, tiles_y),
-        config,
-    )
+    if config.soa_geom:
+        # forward-only SoA fast path: both tables pre-split to u16 BEFORE
+        # the rank permutation (conversion commutes with row permutes, so
+        # `got` is bit-identical), then row-gathered natively — no f32
+        # split→gather→reassemble round trips, no custom_vjp wrapper
+        # (differentiating the unaligned path raises anyway).
+        c_true = colors.shape[1]
+        colors_p, _ = _pad_channels(colors)
+        colors_sent = jnp.concatenate(
+            [colors_p, jnp.zeros((1, colors_p.shape[1]), colors_p.dtype)]
+        )
+        if config.fast_color_rows:
+            col_u16 = jax.lax.bitcast_convert_type(
+                colors_sent.astype(jnp.bfloat16), jnp.uint16
+            )
+        else:
+            col_u16 = tiles.u16_halves(colors_sent)
+        tile_img, tile_alpha = _blend_fwd_impl(
+            colors,  # ignored (pre_split_colors takes over)
+            geom_table[perm],
+            binned.inst_gid,
+            binned.tile_starts,
+            binned.tile_counts,
+            background,
+            (tiles_x, tiles_y),
+            config,
+            pre_split_colors=col_u16[perm],
+            c_true=c_true,
+        )
+    else:
+        tile_img, tile_alpha = blend_fn(
+            permute_rows(colors, binned.order, inv_order),
+            permute_rows(geom_table, perm, inv_perm),
+            binned.inst_gid,
+            binned.tile_starts,
+            binned.tile_counts,
+            red.slot_to_pos,
+            red.slot_rank,
+            red.chunk_block,
+            background,
+            (tiles_x, tiles_y),
+            config,
+        )
     to_img, to_alpha = _image_epilogue(config)
     img = to_img(
         tile_img, tiles_x, tiles_y, config.tile_h, config.tile_w, height, width

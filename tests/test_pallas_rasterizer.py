@@ -357,10 +357,15 @@ def test_image_chw_matches_default_layout(cdim, packed, bf16):
 
 
 @pytest.mark.parametrize(
-    "cdim,fused,chw",
-    [(16, False, False), (16, True, True), (3, False, False)],
+    "cdim,fused,chw,fcr",
+    [
+        (16, False, False, True),
+        (16, True, True, True),
+        (3, False, False, True),
+        (8, False, False, False),  # f32 colour rows: [hi|lo] pre-split leg
+    ],
 )
-def test_soa_geom_matches_aos(cdim, fused, chw):
+def test_soa_geom_matches_aos(cdim, fused, chw, fcr):
     """soa_geom (lane-major (3,N)/(4,N)/(3,N) geometry inputs) must be
     bit-identical to the AoS path end-to-end: projection shares one
     component core, the binner consumes (mx, my) components, and the
@@ -368,7 +373,7 @@ def test_soa_geom_matches_aos(cdim, fused, chw):
     means, quats, scales, op, col, vm, K = _scene(170, 6, cdim)
     base = dict(
         tile_h=8, tile_w=16, chunk=8, budget_factor=8, interpret=True,
-        aligned=False, fast_color_rows=True, fused_keys=fused,
+        aligned=False, fast_color_rows=fcr, fused_keys=fused,
         image_chw=chw,
     )
     a = rasterize(
