@@ -149,7 +149,11 @@ def main():
     if not on_cpu:
         import dataclasses
 
-        def try_candidate(cfg_best, t_best, **flags):
+        def try_candidate(cfg_best, t_best, tol=1e-5, **flags):
+            # tol 1e-5: bit-exact kernel variants. Tile-shape/p_block
+            # candidates re-associate the f32/bf16 accumulation (chunk
+            # boundaries move), so they pass the blend contract tol
+            # instead of exactness.
             cand = dataclasses.replace(cfg_best, **flags)
             try:
                 img_k = rasterize(
@@ -160,7 +164,7 @@ def main():
                     img_k = jnp.transpose(img_k, (1, 2, 0))
                 scale = float(jnp.max(jnp.abs(res.image))) + 1e-8
                 rel = float(jnp.max(jnp.abs(img_k - res.image))) / scale
-                if not (np.isfinite(rel) and rel <= 1e-5):
+                if not (np.isfinite(rel) and rel <= tol):
                     print(f"# {flags} parity {rel:.3e} — skipped",
                           file=sys.stderr)
                     return cfg_best, t_best
@@ -179,6 +183,17 @@ def main():
         # tensors are CHW too, so the layout is interface-fair; avoids
         # the 16->128 lane pad on the (H, W, 16) output write (~8x bytes)
         cfg, t0 = try_candidate(cfg, t0, image_chw=True)
+        # pair/early-exit shape candidates (NOT bit-exact vs the base —
+        # chunk boundaries move; judged at the blend contract tol):
+        # p_block 256 = finer early-exit slabs at unchanged binning;
+        # 16x16 tiles = ~0.56x pairs at more chunks (wins only if the
+        # bf16 pipeline shifted the a/b balance — NOTES round-3)
+        shape_tol = 5e-2 if cfg.blend_bf16 else 1e-3
+        cfg, t0 = try_candidate(cfg, t0, tol=shape_tol, p_block=256)
+        cfg, t0 = try_candidate(
+            cfg, t0, tol=shape_tol, tile_h=16, tile_w=16,
+            p_block=min(cfg.p_block, 256),
+        )
         # lane-major geometry (SoA): a scene store layout choice, bit-
         # identical math — avoids streaming the lane-padded (N, 3/4)
         # arrays through projection (scripts/layout_probe.py)
