@@ -75,8 +75,21 @@ def render_set(
             scene.means, scene.quats, scene.scales, scene.opacities, colors,
             cam0.viewmat, cam0.K, cam0.width, cam0.height,
             base=auto_config(aligned=False, fast_color_rows=feature_mode),
+            # SoA only where render() supports it (feature RGB, no ED);
+            # a winning config obliges the transposed-scene call below
+            allow_soa=feature_mode and render_mode == "RGB",
             verbose=True,
         )
+    # geometry actually passed to render(): one-time lane-major copies
+    # when the autotuner picked soa_geom (bit-identical results)
+    if cfg.soa_geom:
+        geo = dict(
+            means=jnp.asarray(scene.means.T),
+            quats=jnp.asarray(scene.quats.T),
+            scales=jnp.asarray(scene.scales.T),
+        )
+    else:
+        geo = dict(means=scene.means, quats=scene.quats, scales=scene.scales)
 
     def dispatch(info):
         """Enqueue one camera's render (async — JAX dispatch returns
@@ -87,9 +100,7 @@ def render_set(
         if feature_mode:
             out = render(
                 cam,
-                means=scene.means,
-                quats=scene.quats,
-                scales=scene.scales,
+                **geo,
                 opacities=scene.opacities,
                 semantic_features=scene.semantic_features,
                 feature_mode=True,
@@ -99,9 +110,7 @@ def render_set(
         else:
             out = render(
                 cam,
-                means=scene.means,
-                quats=scene.quats,
-                scales=scene.scales,
+                **geo,
                 opacities=scene.opacities,
                 sh=scene.sh,
                 sh_degree=scene.max_sh_degree,

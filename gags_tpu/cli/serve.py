@@ -29,6 +29,7 @@ import base64
 import io
 import json
 import os
+import dataclasses
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -60,6 +61,24 @@ class SceneServer:
         self.raster = raster or auto_config(aligned=False)
         self.lock = threading.Lock()
         self._progs = {}
+        # feature-path geometry: lane-major one-time copies when the
+        # startup autotune picked soa_geom (bit-identical; the RGB/SH
+        # path keeps AoS — render()'s SH colours consume (N, 3) means)
+        self._geo = dict(
+            means=scene.means, quats=scene.quats, scales=scene.scales,
+            opacities=scene.opacities,
+        )
+        if self.raster.soa_geom:
+            self._geo_f = dict(
+                means=jnp.asarray(scene.means.T),
+                quats=jnp.asarray(scene.quats.T),
+                scales=jnp.asarray(scene.scales.T),
+                opacities=scene.opacities,
+            )
+            self._raster_rgb = dataclasses.replace(self.raster, soa_geom=False)
+        else:
+            self._geo_f = self._geo
+            self._raster_rgb = self.raster
 
     # -- program cache ----------------------------------------------------
     def _programs(self, width: int, height: int):
@@ -89,7 +108,7 @@ class SceneServer:
                 means=g["means"], quats=g["quats"], scales=g["scales"],
                 opacities=g["opacities"], sh=sh, sh_degree=sh_degree,
                 feature_mode=False, bg_color=jnp.zeros((3,)),
-                config=self.raster,
+                config=self._raster_rgb,
             )
             return out.render
 
@@ -103,17 +122,14 @@ class SceneServer:
             )
             return out.render
 
-        geo = dict(
-            means=scene.means, quats=scene.quats, scales=scene.scales,
-            opacities=scene.opacities,
-        )
+        geo, geo_f = self._geo, self._geo_f
         rgb_j, feats_j = jax.jit(rgb), jax.jit(feats)
 
         def rel(vm, K, pos, neg):
             # decode_map_rows is host-row-chunked (bounds the (H, W, 512)
             # decode memory at 1080p) — it stays outside the jit; the
             # device work is dominated by the jitted render
-            fmap = feats_j(geo, state.features, vm, K)
+            fmap = feats_j(geo_f, state.features, vm, K)
             decoded = decode_map_rows(
                 dec.apply, state.decoder_params, fmap
             )
@@ -121,7 +137,7 @@ class SceneServer:
 
         progs = {
             "rgb": lambda vm, K: rgb_j(geo, scene.sh, vm, K),
-            "feats": lambda vm, K: feats_j(geo, state.features, vm, K),
+            "feats": lambda vm, K: feats_j(geo_f, state.features, vm, K),
             "rel": rel,
         }
         self._progs[key] = progs
@@ -268,6 +284,9 @@ def load_server(model_path, iteration, text_embeds=None, autotune=False,
             scene.means, scene.quats, scene.scales, scene.opacities,
             state.features, c0.viewmat, c0.K, w, h,
             base=auto_config(aligned=False, fast_color_rows=True),
+            # SceneServer keeps lane-major copies for the feature path
+            # when this wins (the RGB/SH program stays AoS)
+            allow_soa=True,
             verbose=True,
         )
     return SceneServer(scene, state, statics, text_embeds=text, raster=raster)

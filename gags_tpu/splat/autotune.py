@@ -59,6 +59,7 @@ def autotune_config(
     base: Optional[RasterizeConfig] = None,
     allow_bf16: bool = False,
     allow_chw: bool = False,
+    allow_soa: bool = False,
     k: int = 8,
     cache: bool = True,
     force: bool = False,
@@ -76,6 +77,11 @@ def autotune_config(
     second pass on the winner — opt-in because it changes the shape of
     RasterizeResult.image, so only callers prepared to consume CHW (or
     transpose on host) may enable it.
+
+    `allow_soa`: also try lane-major (SoA) geometry as a final pass —
+    opt-in because a winning soa_geom config obliges the CALLER to pass
+    means (3, N) / quats (4, N) / scales (3, N) (transpose the scene
+    arrays once at load; bit-identical results).
     """
     if base is None:
         base = auto_config(
@@ -83,7 +89,10 @@ def autotune_config(
         )
     n = int(means.shape[0])
     c = int(colors.shape[1])
-    key = (width, height, n, c, allow_bf16, allow_chw, jax.default_backend())
+    key = (
+        width, height, n, c, allow_bf16, allow_chw, allow_soa,
+        jax.default_backend(),
+    )
     if cache and key in _CACHE:
         return _CACHE[key]
     if jax.default_backend() == "cpu" and not force:
@@ -167,6 +176,47 @@ def autotune_config(
         except Exception as exc:
             if verbose:
                 print(f"# autotune: image_chw failed: {exc!r:.200}",
+                      file=sys.stderr)
+    if allow_soa and not best_cfg.soa_geom:
+        # final pass: lane-major geometry (the caller transposes its
+        # scene arrays once if this wins — see the docstring contract)
+        m_t = jnp.asarray(means.T)
+        q_t = jnp.asarray(quats.T)
+        s_t = jnp.asarray(scales.T)
+        cand = dataclasses.replace(best_cfg, soa_geom=True)
+        try:
+            img = rasterize(
+                m_t, q_t, s_t, opacities, colors, viewmat, K,
+                width, height, background=bg, config=cand,
+            ).image
+            if cand.image_chw:
+                img = jnp.transpose(img, (1, 2, 0))
+            rel = float(jnp.max(jnp.abs(img - ref_img))) / scale
+            tol = 5e-2 if best_cfg.blend_bf16 else 1e-5
+            if np.isfinite(rel) and rel <= tol:
+
+                @jax.jit
+                def render_soa(m, q, s, o, f):
+                    return rasterize(
+                        m, q, s, o, f, viewmat, K, width, height,
+                        background=bg, config=cand,
+                    ).image
+
+                t = device_time_drain(
+                    lambda f: render_soa(m_t, q_t, s_t, opacities, f),
+                    colors, k=k, warmup=2,
+                )
+                if verbose:
+                    print(
+                        f"# autotune: soa_geom {t*1e3:.2f} ms "
+                        f"(best {best_t*1e3:.2f})",
+                        file=sys.stderr,
+                    )
+                if t < best_t:
+                    best_cfg, best_t = cand, t
+        except Exception as exc:
+            if verbose:
+                print(f"# autotune: soa_geom failed: {exc!r:.200}",
                       file=sys.stderr)
     if cache:
         _CACHE[key] = best_cfg

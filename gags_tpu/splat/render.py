@@ -56,6 +56,15 @@ def render(
     """
     if config is None:
         config = auto_config()
+    if config.soa_geom:
+        # lane-major geometry rides through to rasterize(); the SH and
+        # expected-depth paths below consume AoS (N, 3) means, so SoA is
+        # limited to feature/override colours without ED here
+        assert (
+            (feature_mode or override_color is not None)
+            and render_mode == "RGB"
+            and backend == "pallas"
+        ), "soa_geom in render(): feature/override RGB mode only"
     if feature_mode:
         assert semantic_features is not None
         colors = semantic_features
