@@ -105,3 +105,45 @@ def test_serve_endpoints():
         assert code == 400 and "unknown label" in err["error"]
     finally:
         httpd.shutdown()
+
+
+def test_serve_soa_feature_path_matches_aos():
+    """A soa_geom raster config must serve IDENTICAL feature/relevancy
+    products: SceneServer keeps lane-major copies for the feature
+    programs and a soa_geom=False variant for the RGB/SH program."""
+    raw = make_scene(N, seed=0)
+    scene = GaussianScene(
+        means=jnp.asarray(raw["means"]),
+        sh=jnp.asarray(raw["sh"]),
+        opacities_raw=jnp.asarray(
+            np.log(raw["opacities"] / (1 - raw["opacities"]))
+        ),
+        scales_raw=jnp.asarray(np.log(raw["scales"])),
+        quats=jnp.asarray(raw["quats"]),
+        semantic_features=jnp.asarray(
+            np.random.default_rng(3).normal(size=(N, 8)).astype(np.float32)
+        ),
+    )
+    cfg = GadConfig(
+        feature_dim=8, clip_dim=16, max_segments=8,
+        raster=RasterizeConfig(tile_h=8, tile_w=16, chunk=8, interpret=True),
+    )
+    state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)
+    base = dict(tile_h=8, tile_w=16, chunk=8, interpret=True, aligned=False,
+                fast_color_rows=True)
+    srv_aos = SceneServer(
+        scene, state, statics, raster=RasterizeConfig(**base)
+    )
+    srv_soa = SceneServer(
+        scene, state, statics,
+        raster=RasterizeConfig(**base, soa_geom=True),
+    )
+    cam = make_camera(W, H)
+    a = srv_aos._programs(W, H)
+    b = srv_soa._programs(W, H)
+    fa = np.asarray(a["feats"](cam.viewmat, cam.K))
+    fb = np.asarray(b["feats"](cam.viewmat, cam.K))
+    np.testing.assert_array_equal(fa, fb)
+    ra = np.asarray(a["rgb"](cam.viewmat, cam.K))
+    rb = np.asarray(b["rgb"](cam.viewmat, cam.K))  # AoS fallback config
+    np.testing.assert_array_equal(ra, rb)
