@@ -50,7 +50,7 @@ def load_text_embeds(args):
     return [str(l) for l in data["labels"]], data["pos"], data["neg"]
 
 
-def image_mode(args, scene, state, statics, info):
+def image_mode(args, scene, state, statics, info, raster_cfg=None):
     labels, pos, neg = load_text_embeds(args)
     dec = statics["decoder"]
     cams = [camera_from_info(ci, args.resolution) for ci in info.train_cameras]
@@ -58,6 +58,27 @@ def image_mode(args, scene, state, statics, info):
         viewmats = np.stack([np.asarray(c.viewmat) for c in cams])
         path = interpolate_path(np.linalg.inv(viewmats), args.video_frames)
         cams = [novel_camera(vm, cams[0], f"novel_{i:04d}") for i, vm in enumerate(path)]
+
+    from gags_tpu.splat.rasterizer import auto_config
+
+    cfg_r = raster_cfg if raster_cfg is not None else auto_config(aligned=False)
+    if getattr(args, "autotune", False) and cams:
+        from gags_tpu.splat.autotune import autotune_config
+
+        cfg_r = autotune_config(
+            scene.means, scene.quats, scene.scales, scene.opacities,
+            state.features, cams[0].viewmat, cams[0].K,
+            cams[0].width, cams[0].height,
+            base=cfg_r, allow_soa=True, verbose=True,
+        )
+    if cfg_r.soa_geom:
+        geo = dict(
+            means=jnp.asarray(scene.means.T),
+            quats=jnp.asarray(scene.quats.T),
+            scales=jnp.asarray(scene.scales.T),
+        )
+    else:
+        geo = dict(means=scene.means, quats=scene.quats, scales=scene.scales)
 
     out_dir = os.path.join(args.model_path, "relevancy")
     video_frames = {label: [] for label in labels} if args.video else None
@@ -68,9 +89,10 @@ def image_mode(args, scene, state, statics, info):
         per-label host work of frame i overlaps device work of i+1."""
         out = render(
             cam,
-            means=scene.means, quats=scene.quats, scales=scene.scales,
+            **geo,
             opacities=scene.opacities, semantic_features=state.features,
             feature_mode=True, bg_color=jnp.zeros((3,)),
+            config=cfg_r,
         )
         decoded = decode_map_rows(dec.apply, state.decoder_params, out.render)
         return cam, max_across_levels(decoded[None], pos_j, neg_j)[0]
@@ -139,6 +161,9 @@ def main():
     p.add_argument("--video_frames", type=int, default=150)
     p.add_argument("--no_smooth", action="store_true")
     p.add_argument("-r", "--resolution", type=int, default=2)
+    p.add_argument("--autotune", action="store_true",
+                   help="drain-time the parity-guarded kernel variants on "
+                        "the first camera and sweep with the fastest")
     args = p.parse_args()
 
     ply = os.path.join(
@@ -164,7 +189,7 @@ def main():
         pcd_mode(args, scene, state, statics)
     else:
         info = detect_and_load(args.source_path, foundation_model="none")
-        image_mode(args, scene, state, statics, info)
+        image_mode(args, scene, state, statics, info, raster_cfg=cfg.raster)
 
 
 if __name__ == "__main__":
