@@ -110,6 +110,7 @@ def main():
             semantic_features=state.features,
             feature_mode=True,
             bg_color=jnp.zeros((3,)),
+            config=cfg.raster,
         )
         from gags_tpu.query.grounding import decode_map_rows
 

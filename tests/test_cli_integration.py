@@ -226,3 +226,41 @@ def test_relevancy_video_cli(trained, monkeypatch, tmp_path):
     assert os.path.exists(vid) and os.path.getsize(vid) > 0
     frames = os.listdir(os.path.join(model, "relevancy", "composited", "cup"))
     assert len([f for f in frames if f.startswith("novel_")]) == 4
+
+
+def test_evaluate_cli(trained, monkeypatch, tmp_path):
+    """IoU/loc eval CLI end-to-end on the synthetic fixture: labelme GT
+    folder + precomputed text embeds → iou_loc_<iter>.json summary
+    (reference evaluate_iou_loc.py flow, eval.sh:11-17)."""
+    root, model = trained
+    h, w = 16, 32
+    gt_dir = tmp_path / "gt_json"
+    gt_dir.mkdir()
+    data = {
+        "info": {"height": h, "width": w, "name": "frame_00001.jpg"},
+        "objects": [
+            {
+                "category": "cup",
+                "bbox": [4, 4, 20, 12],
+                "segmentation": [[4, 4], [20, 4], [20, 12], [4, 12]],
+            }
+        ],
+    }
+    (gt_dir / "frame_00001.json").write_text(json.dumps(data))
+    rng = np.random.default_rng(1)
+    pos = rng.normal(size=(1, 24)).astype(np.float32)
+    pos /= np.linalg.norm(pos, axis=1, keepdims=True)
+    neg = rng.normal(size=(3, 24)).astype(np.float32)
+    neg /= np.linalg.norm(neg, axis=1, keepdims=True)
+    embeds = str(tmp_path / "embeds.npz")
+    np.savez(embeds, labels=np.array(["cup"]), pos=pos, neg=neg)
+    _run_cli(
+        "gags_tpu.cli.evaluate",
+        ["-m", model, "-s", root, "--gt_json", str(gt_dir),
+         "--iteration", "6", "--text_embeds", embeds],
+        monkeypatch,
+    )
+    summary = json.load(open(os.path.join(model, "iou_loc_6.json")))
+    assert 0.0 <= summary["miou"] <= 1.0
+    assert 0.0 <= summary["loc_acc"] <= 1.0
+    assert summary["frames"]["0"]["labels"] == ["cup"]
