@@ -43,6 +43,11 @@ VARIANTS = [
     {"fused_keys": True},
     {"packed_out": True},
     {"kernel_relayout": True, "fused_keys": True, "packed_out": True},
+    # layout variants: SoA geometry (transposed inputs) and channel-major
+    # final image (output canonicalised below) — bit-identical contracts
+    {"soa_geom": True},
+    {"soa_geom": True, "image_chw": True, "packed_out": True,
+     "kernel_relayout": True, "fused_keys": True},
 ]
 
 worst = {"f32": 0.0, "rows16": 0.0, "bf16": 0.0}
@@ -87,13 +92,22 @@ for seed in range(N_SEEDS):
             )
             imgs = []
             for ov in VARIANTS:
+                geom = (
+                    (jnp.asarray(means.T), jnp.asarray(quats.T),
+                     jnp.asarray(scales.T))
+                    if ov.get("soa_geom")
+                    else (means, quats, scales)
+                )
                 res = rasterize(
-                    means, quats, scales, op, col, vm, K, W, H,
+                    *geom, op, col, vm, K, W, H,
                     background=jnp.zeros((16,), jnp.float32),
                     config=RasterizeConfig(**base, **ov),
                 )
                 assert int(res.overflow) == 0, (seed, th, tw, tier, ov)
-                imgs.append(np.asarray(res.image))
+                img = np.asarray(res.image)
+                if ov.get("image_chw"):
+                    img = img.transpose(1, 2, 0)
+                imgs.append(img)
             for i, ov in enumerate(VARIANTS[1:], 1):
                 assert np.array_equal(imgs[0], imgs[i]), (
                     f"variant {ov} not bit-identical "
