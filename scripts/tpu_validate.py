@@ -72,6 +72,27 @@ for flags in (
     except Exception as exc:
         print(f"{flags}: COMPILE/RUN FAIL {exc!r:.300}", flush=True)
 
+# layout variants: SoA geometry (lane-major inputs, component projection
+# core + direct u16 tables) and channel-major final image — both claim
+# BIT-identity; verify on hardware where XLA layouts/fusions differ from
+# the CPU interpreter
+try:
+    cfg_soa = RasterizeConfig(
+        aligned=False, fast_color_rows=True, soa_geom=True, image_chw=True
+    )
+    img_soa = jax.jit(
+        lambda mm, qq, ss, oo, cc: rasterize(
+            mm, qq, ss, oo, cc, cam.viewmat, cam.K, 128, 128, config=cfg_soa
+        ).image
+    )(jnp.asarray(m.T), jnp.asarray(q.T), jnp.asarray(s.T), o, c)
+    img_soa = jnp.transpose(img_soa, (1, 2, 0))
+    bits = bool(jnp.all(img_soa == img_b))
+    print(f"soa_geom+image_chw: {'BIT-EXACT OK' if bits else 'FAIL (not bit-exact)'} "
+          f"(max abs diff {float(jnp.max(jnp.abs(img_soa - img_b))):.2e})",
+          flush=True)
+except Exception as exc:
+    print(f"soa_geom+image_chw: COMPILE/RUN FAIL {exc!r:.300}", flush=True)
+
 # ---- 2. full-VJP parity (geometry grads) --------------------------------
 cfg_g = RasterizeConfig(geometry_grads=True, budget_factor=8)
 raw2 = make_scene(400, seed=2)
