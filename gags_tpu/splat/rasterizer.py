@@ -131,6 +131,15 @@ class RasterizeConfig:
     # written outside the row-major gather tables. Bit-identical results
     # (same projection core). Inference (aligned=False) path only.
     soa_geom: bool = False
+    # TRAINING forward on the streaming fast kernel: aligned ranges are a
+    # special case of unaligned (chunk-aligned starts, zero-opacity
+    # dummies blend as no-ops), so the forward half of the training step
+    # can ride the inference kernel's op diet (folded constants, exp2
+    # scan, whole-segment DMAs). NOT bit-identical to the classic
+    # aligned forward (~1e-4 relative, the fuzzed f32 contract); colour
+    # GRADIENTS are unchanged bit-for-bit (the backward kernels recompute
+    # from the same inputs). Default off — A/B via train_bench.
+    fast_fwd_aligned: bool = False
 
     def instance_budget(self, n: int) -> int:
         if self.budget is not None:
@@ -567,6 +576,33 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, 
     # training path: ONE row-major gather of geometry + colours together
     # (contiguous 8+C floats per index), one transpose to lane-major
     table = jnp.concatenate([geom_table, colors_pad], axis=1)  # (N+1, 8+Cp)
+    if cfg.fast_fwd_aligned:
+        # forward on the streaming kernel (see the config flag): extend
+        # the gather list with sentinel slack so segment DMAs stay in
+        # bounds, then run the unaligned kernel over the aligned ranges
+        seg_slack = (pk.SEG_CHUNKS - 1) * cfg.chunk
+        n_sentinel = geom_table.shape[0] - 1
+        gid_ext = jnp.concatenate(
+            [inst_gid, jnp.full((seg_slack,), n_sentinel, jnp.int32)]
+        )
+        inst_data = fast_gather_rows(table, gid_ext)  # (M', 8+Cp)
+        out = pk.tile_blend_forward_fast(
+            inst_data[:, :pk.GEOM_ROWS].T,
+            inst_data[:, pk.GEOM_ROWS:].T,
+            tile_starts,
+            tile_counts,
+            bg,
+            tiles_x=tiles_x,
+            tiles_y=tiles_y,
+            tile_h=cfg.tile_h,
+            tile_w=cfg.tile_w,
+            chunk=cfg.chunk,
+            p_block=cfg.p_block,
+            mxu_sigma=cfg.mxu_sigma,
+            blend_bf16=False,  # training forward stays f32
+            interpret=cfg.interpret,
+        )
+        return out[..., :c_true], out[..., -1:]
     inst_data = fast_gather_rows(table, inst_gid).T  # (8+Cp, M)
     out = pk.tile_blend_forward(
         inst_data,

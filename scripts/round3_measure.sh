@@ -23,4 +23,5 @@ python scripts/sam_bench.py 1 2>&1 | grep -v WARNING | tail -3
 python scripts/sam_bench.py 4 bf16 2>&1 | grep -v WARNING | tail -3
 python scripts/sam_bench.py 8 bf16 2>&1 | grep -v WARNING | tail -3
 python scripts/train_bench.py 2>&1 | grep -v WARNING | tail -5
+GAGS_FASTFWD=1 python scripts/train_bench.py 2>&1 | grep -v WARNING | tail -5
 python scripts/train_profile.py 2>&1 | grep -v WARNING | tail -30

@@ -19,9 +19,16 @@ scene = GaussianScene(
     semantic_features=jnp.zeros((N, 16)),
 )
 import os
-_th = int(os.environ.get("GAGS_TILE_H", "8"))
-_tw = int(os.environ.get("GAGS_TILE_W", "128"))
-cfg = GadConfig(max_segments=1024, raster=RasterizeConfig(tile_h=_th, tile_w=_tw))
+# 32x32 is the measured training default (105 vs 112 ms/step at 8x128 —
+# RasterizeConfig docstring); env overrides for tile sweeps
+_th = int(os.environ.get("GAGS_TILE_H", "32"))
+_tw = int(os.environ.get("GAGS_TILE_W", "32"))
+# GAGS_FASTFWD=1: training forward on the streaming fast kernel
+# (RasterizeConfig.fast_fwd_aligned A/B; grads untouched)
+cfg = GadConfig(max_segments=1024, raster=RasterizeConfig(
+    tile_h=_th, tile_w=_tw,
+    fast_fwd_aligned=os.environ.get("GAGS_FASTFWD", "0") == "1",
+))
 state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)
 geom = jax.device_put(frozen_geometry(scene))
 cam = make_camera(W, H)

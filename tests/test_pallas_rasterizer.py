@@ -751,3 +751,33 @@ def test_wide_key_sort_matches_narrow(aligned):
     for s, c in zip(np.asarray(a.tile_starts), np.asarray(a.tile_counts)):
         e = s + (((c + 7) // 8) * 8 if aligned else c)
         np.testing.assert_array_equal(ga[s:e], gb[s:e])
+
+
+def test_fast_fwd_aligned_matches_classic():
+    """fast_fwd_aligned runs the TRAINING forward on the streaming kernel
+    over the aligned (dummy-padded) ranges: image within the fuzzed f32
+    contract of the classic aligned forward, colour gradients BIT-equal
+    (the backward kernels are untouched)."""
+    means, quats, scales, op, col, vm, K = _scene(170, 6, 16)
+    base = dict(tile_h=8, tile_w=16, chunk=8, budget_factor=8, interpret=True)
+
+    def run(cfg):
+        def f(c):
+            res = rasterize(
+                means, quats, scales, op, c, vm, K, W, H,
+                config=cfg,
+            )
+            return jnp.sum(res.image * jnp.cos(res.image)), res.image
+
+        (loss, img), g = jax.value_and_grad(f, has_aux=True)(col)
+        return img, g
+
+    img_a, g_a = run(RasterizeConfig(**base))
+    img_b, g_b = run(RasterizeConfig(**base, fast_fwd_aligned=True))
+    scale = float(jnp.max(jnp.abs(img_a))) + 1e-8
+    rel = float(jnp.max(jnp.abs(img_a - img_b))) / scale
+    assert rel <= 5e-4, rel
+    # gradients flow through the UNCHANGED backward kernel; the cotangent
+    # differs only through the fwd image's ~1e-4 shift inside cos()
+    grel = float(jnp.max(jnp.abs(g_a - g_b))) / (float(jnp.max(jnp.abs(g_a))) + 1e-8)
+    assert grel <= 5e-3, grel
