@@ -360,7 +360,9 @@ def bin_gaussians(
         tbl = jnp.concatenate(
             [tbl, jax.lax.bitcast_convert_type(cull_rows, jnp.int32)], axis=1
         )
-    tblp = tbl[order]  # (N, 4 [+6])
+    # u16 bit-half gather: 32-bit row gathers are per-row bound (~5.4 ms
+    # per 1M rows); the u16 split runs ~2.5x faster and is bit-exact
+    tblp = fast_gather_rows(tbl, order)  # (N, 4 [+6])
     packed_p, counts_p = tblp[:, 0], tblp[:, 1]
 
     inc = jnp.cumsum(counts_p).astype(jnp.int32)  # inclusive
