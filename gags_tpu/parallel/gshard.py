@@ -39,6 +39,7 @@ from gags_tpu.splat.rasterizer import (
     _blend,
     _tiles_to_image,
     _tiles_to_image_packed,
+    fast_gather_rows,
     order_ext,
     permute_rows,
 )
@@ -177,7 +178,7 @@ def _render_strip(
         )
     tile_img, tile_alpha = _blend(
         permute_rows(colors, binned.order, inv_order),
-        geom_table[order_ext(binned.order)],
+        fast_gather_rows(geom_table, order_ext(binned.order)),
         binned.inst_gid,
         binned.tile_starts,
         binned.tile_counts,
