@@ -148,8 +148,20 @@ def main():
     # recorded number is never missing.
     if not on_cpu:
         import dataclasses
+        import time as _time
+
+        # remote compiles cost 1-4 min per new Pallas config; bound the
+        # whole tuning pass so the final JSON line is ALWAYS emitted even
+        # if the harness enforces a wall-clock budget on the bench run
+        tune_deadline = _time.monotonic() + float(
+            __import__("os").environ.get("GAGS_BENCH_TUNE_BUDGET_S", "1500")
+        )
 
         def try_candidate(cfg_best, t_best, tol=1e-5, **flags):
+            if _time.monotonic() > tune_deadline:
+                print(f"# {flags} skipped: tune budget exhausted",
+                      file=sys.stderr)
+                return cfg_best, t_best
             # tol 1e-5: bit-exact kernel variants. Tile-shape/p_block
             # candidates re-associate the f32/bf16 accumulation (chunk
             # boundaries move), so they pass the blend contract tol
@@ -197,29 +209,32 @@ def main():
         # lane-major geometry (SoA): a scene store layout choice, bit-
         # identical math — avoids streaming the lane-padded (N, 3/4)
         # arrays through projection (scripts/layout_probe.py)
-        geom_t = (jnp.asarray(means.T), jnp.asarray(quats.T),
-                  jnp.asarray(scales.T))
-        cand = dataclasses.replace(cfg, soa_geom=True)
-        try:
-            img_k = rasterize(
-                *geom_t, opac, feats, cam.viewmat, cam.K, w, h,
-                background=bg, config=cand,
-            ).image
-            if cand.image_chw:
-                img_k = jnp.transpose(img_k, (1, 2, 0))
-            scale = float(jnp.max(jnp.abs(res.image))) + 1e-8
-            rel = float(jnp.max(jnp.abs(img_k - res.image))) / scale
-            if np.isfinite(rel) and rel <= 1e-5:
-                t = timed(cand, 8, geom=geom_t)
-                if t < t0:
-                    cfg, t0 = cand, t
-                    means, quats, scales = geom_t
-            else:
-                print(f"# soa_geom parity {rel:.3e} — skipped",
+        if _time.monotonic() > tune_deadline:
+            print("# soa_geom skipped: tune budget exhausted", file=sys.stderr)
+        else:
+            geom_t = (jnp.asarray(means.T), jnp.asarray(quats.T),
+                      jnp.asarray(scales.T))
+            cand = dataclasses.replace(cfg, soa_geom=True)
+            try:
+                img_k = rasterize(
+                    *geom_t, opac, feats, cam.viewmat, cam.K, w, h,
+                    background=bg, config=cand,
+                ).image
+                if cand.image_chw:
+                    img_k = jnp.transpose(img_k, (1, 2, 0))
+                scale = float(jnp.max(jnp.abs(res.image))) + 1e-8
+                rel = float(jnp.max(jnp.abs(img_k - res.image))) / scale
+                if np.isfinite(rel) and rel <= 1e-5:
+                    t = timed(cand, 8, geom=geom_t)
+                    if t < t0:
+                        cfg, t0 = cand, t
+                        means, quats, scales = geom_t
+                else:
+                    print(f"# soa_geom parity {rel:.3e} — skipped",
+                          file=sys.stderr)
+            except Exception as exc:
+                print(f"# soa_geom failed: {exc!r:.200} — skipped",
                       file=sys.stderr)
-        except Exception as exc:
-            print(f"# soa_geom failed: {exc!r:.200} — skipped",
-                  file=sys.stderr)
         print(
             f"# autotune: blend_bf16={cfg.blend_bf16} "
             f"kernel_relayout={cfg.kernel_relayout} "
