@@ -212,18 +212,29 @@ def main():
         if _time.monotonic() > tune_deadline:
             print("# soa_geom skipped: tune budget exhausted", file=sys.stderr)
         else:
-            geom_t = (jnp.asarray(means.T), jnp.asarray(quats.T),
-                      jnp.asarray(scales.T))
+            from gags_tpu.splat.rasterizer import soa_geometry
+
+            geom_t = soa_geometry(means, quats, scales)
             cand = dataclasses.replace(cfg, soa_geom=True)
             try:
+                # SoA is bit-exact vs the CURRENT winner (which may be a
+                # shape candidate that legitimately differs from the
+                # original res.image by its contract tol) — compare
+                # against a same-config AoS render, not res.image
+                ref_k = rasterize(
+                    means, quats, scales, opac, feats, cam.viewmat, cam.K,
+                    w, h, background=bg, config=cfg,
+                ).image
                 img_k = rasterize(
                     *geom_t, opac, feats, cam.viewmat, cam.K, w, h,
                     background=bg, config=cand,
                 ).image
                 if cand.image_chw:
                     img_k = jnp.transpose(img_k, (1, 2, 0))
-                scale = float(jnp.max(jnp.abs(res.image))) + 1e-8
-                rel = float(jnp.max(jnp.abs(img_k - res.image))) / scale
+                if cfg.image_chw:
+                    ref_k = jnp.transpose(ref_k, (1, 2, 0))
+                scale = float(jnp.max(jnp.abs(ref_k))) + 1e-8
+                rel = float(jnp.max(jnp.abs(img_k - ref_k))) / scale
                 if np.isfinite(rel) and rel <= 1e-5:
                     t = timed(cand, 8, geom=geom_t)
                     if t < t0:

@@ -72,11 +72,10 @@ def image_mode(args, scene, state, statics, info, raster_cfg=None):
             base=cfg_r, allow_soa=True, verbose=True,
         )
     if cfg_r.soa_geom:
-        geo = dict(
-            means=jnp.asarray(scene.means.T),
-            quats=jnp.asarray(scene.quats.T),
-            scales=jnp.asarray(scene.scales.T),
-        )
+        from gags_tpu.splat.rasterizer import soa_geometry
+
+        m_t, q_t, s_t = soa_geometry(scene.means, scene.quats, scene.scales)
+        geo = dict(means=m_t, quats=q_t, scales=s_t)
     else:
         geo = dict(means=scene.means, quats=scene.quats, scales=scene.scales)
 

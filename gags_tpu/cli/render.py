@@ -83,11 +83,10 @@ def render_set(
     # geometry actually passed to render(): one-time lane-major copies
     # when the autotuner picked soa_geom (bit-identical results)
     if cfg.soa_geom:
-        geo = dict(
-            means=jnp.asarray(scene.means.T),
-            quats=jnp.asarray(scene.quats.T),
-            scales=jnp.asarray(scene.scales.T),
-        )
+        from gags_tpu.splat.rasterizer import soa_geometry
+
+        m_t, q_t, s_t = soa_geometry(scene.means, scene.quats, scene.scales)
+        geo = dict(means=m_t, quats=q_t, scales=s_t)
     else:
         geo = dict(means=scene.means, quats=scene.quats, scales=scene.scales)
 

@@ -69,10 +69,13 @@ class SceneServer:
             opacities=scene.opacities,
         )
         if self.raster.soa_geom:
+            from gags_tpu.splat.rasterizer import soa_geometry
+
+            m_t, q_t, s_t = soa_geometry(
+                scene.means, scene.quats, scene.scales
+            )
             self._geo_f = dict(
-                means=jnp.asarray(scene.means.T),
-                quats=jnp.asarray(scene.quats.T),
-                scales=jnp.asarray(scene.scales.T),
+                means=m_t, quats=q_t, scales=s_t,
                 opacities=scene.opacities,
             )
             self._raster_rgb = dataclasses.replace(self.raster, soa_geom=False)

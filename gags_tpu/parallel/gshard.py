@@ -37,8 +37,7 @@ from gags_tpu.splat.projection import effective_opacity, project_gaussians
 from gags_tpu.splat.rasterizer import (
     RasterizeConfig,
     _blend,
-    _tiles_to_image,
-    _tiles_to_image_packed,
+    _image_epilogue,
     fast_gather_rows,
     order_ext,
     permute_rows,
@@ -101,6 +100,11 @@ def _render_strip(
     Returns (strip image (strip_h, W, C), strip alpha (strip_h, W), overflow).
     Differentiable wrt feats_l (through the gather collective).
     """
+    # strips are concatenated along H by the caller, which expects
+    # (strip_h, W, C) pieces — the layout flags that change call/return
+    # shapes do not apply here (fail BEFORE the blend is traced)
+    assert not cfg.image_chw, "image_chw is unsupported on the gshard path"
+    assert not cfg.soa_geom, "soa_geom is unsupported on the gshard path"
     n_dev = jax.lax.axis_size(axis)
     d = jax.lax.axis_index(axis)
     tiles_y_local, strip_h = _strip_geometry(cfg, height, n_dev)
@@ -189,22 +193,13 @@ def _render_strip(
         (tiles_x, tiles_y_local),
         cfg,
     )
-    # strips are concatenated along H by the caller, which expects
-    # (strip_h, W, C) pieces — the channel-major final-image option does
-    # not apply here (callers can transpose the assembled image instead)
-    assert not cfg.image_chw, "image_chw is unsupported on the gshard path"
-    assert not cfg.soa_geom, "soa_geom is unsupported on the gshard path"
-    to_img = (
-        _tiles_to_image_packed
-        if cfg.packed_out and not cfg.aligned
-        else _tiles_to_image
-    )
+    to_img, to_alpha = _image_epilogue(cfg)
     img = to_img(
         tile_img, tiles_x, tiles_y_local, cfg.tile_h, cfg.tile_w, strip_h, width
     )
-    alpha = to_img(
+    alpha = to_alpha(
         tile_alpha, tiles_x, tiles_y_local, cfg.tile_h, cfg.tile_w, strip_h, width
-    )[..., 0]
+    )
     return img, alpha, binned.overflow
 
 

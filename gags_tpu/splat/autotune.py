@@ -112,9 +112,15 @@ def autotune_config(
         base = dataclasses.replace(base, budget_factor=base.budget_factor + 1)
         res = run(base)
     ref_img = res.image
+    if base.image_chw and not base.aligned:
+        # canonicalise to HWC once — candidate images are canonicalised
+        # below, so a CHW base must not leave ref_img channel-major
+        ref_img = jnp.transpose(ref_img, (1, 2, 0))
     scale = float(jnp.max(jnp.abs(ref_img))) + 1e-8
 
-    def timed(cfg):
+    def timed(cfg, geom=None):
+        m_, q_, s_ = geom if geom is not None else (means, quats, scales)
+
         @jax.jit
         def render(m, q, s, o, f):
             return rasterize(
@@ -123,7 +129,7 @@ def autotune_config(
             ).image
 
         return device_time_drain(
-            lambda f: render(means, quats, scales, opacities, f), colors,
+            lambda f: render(m_, q_, s_, opacities, f), colors,
             k=k, warmup=2,
         )
 
@@ -180,13 +186,13 @@ def autotune_config(
     if allow_soa and not best_cfg.soa_geom:
         # final pass: lane-major geometry (the caller transposes its
         # scene arrays once if this wins — see the docstring contract)
-        m_t = jnp.asarray(means.T)
-        q_t = jnp.asarray(quats.T)
-        s_t = jnp.asarray(scales.T)
+        from gags_tpu.splat.rasterizer import soa_geometry
+
+        geom_t = soa_geometry(means, quats, scales)
         cand = dataclasses.replace(best_cfg, soa_geom=True)
         try:
             img = rasterize(
-                m_t, q_t, s_t, opacities, colors, viewmat, K,
+                *geom_t, opacities, colors, viewmat, K,
                 width, height, background=bg, config=cand,
             ).image
             if cand.image_chw:
@@ -194,18 +200,7 @@ def autotune_config(
             rel = float(jnp.max(jnp.abs(img - ref_img))) / scale
             tol = 5e-2 if best_cfg.blend_bf16 else 1e-5
             if np.isfinite(rel) and rel <= tol:
-
-                @jax.jit
-                def render_soa(m, q, s, o, f):
-                    return rasterize(
-                        m, q, s, o, f, viewmat, K, width, height,
-                        background=bg, config=cand,
-                    ).image
-
-                t = device_time_drain(
-                    lambda f: render_soa(m_t, q_t, s_t, opacities, f),
-                    colors, k=k, warmup=2,
-                )
+                t = timed(cand, geom=geom_t)
                 if verbose:
                     print(
                         f"# autotune: soa_geom {t*1e3:.2f} ms "

@@ -214,6 +214,14 @@ def _tiles_to_image_packed_chw(tile_img, tiles_x, tiles_y, tile_h, tile_w, heigh
     return img[:, :height, :width]
 
 
+def soa_geometry(means, quats, scales):
+    """Lane-major one-time geometry copies for RasterizeConfig.soa_geom
+    call sites: (N, 3)/(N, 4)/(N, 3) AoS → (3, N)/(4, N)/(3, N). The
+    single source of the SoA call contract — every consumer (render CLI,
+    relevancy CLI, serve, bench, autotune) goes through here."""
+    return jnp.asarray(means.T), jnp.asarray(quats.T), jnp.asarray(scales.T)
+
+
 def _image_epilogue(cfg):
     """Pick the tile→image converters for (cfg.packed_out, cfg.image_chw).
 

@@ -112,10 +112,11 @@ def render(
             config=config,
         )
         img, alpha, radii, means2d = res.image, res.alpha, res.radii, res.means2d
-        if config.image_chw:
+        if config.image_chw and not config.aligned:
             # this wrapper's contract is (H, W, C) (ED slicing, PCA vis,
             # GT losses all index channels last) — canonicalise; callers
-            # that want the CHW deliverable use rasterize() directly
+            # that want the CHW deliverable use rasterize() directly.
+            # (mirrors _image_epilogue: aligned configs never emit CHW)
             img = jnp.transpose(img, (1, 2, 0))
     elif backend == "reference":
         proj = project_gaussians(

@@ -16,6 +16,7 @@ from gags_tpu.splat.rasterizer import (
     RasterizeConfig, rasterize, _blend_fwd_impl, _cull_rows, _geom_table,
     _image_epilogue, _prepare, order_ext, permute_rows,
 )
+from gags_tpu.splat import tiles as tiles_mod
 from gags_tpu.splat.projection import project_gaussians
 from gags_tpu.utils.synthetic import make_scene, make_camera
 from gags_tpu.utils.timing import device_time_drain
@@ -98,11 +99,28 @@ _to_img, _ = _image_epilogue(cfg)  # matches the cfg's kernel output layout
 
 @jax.jit
 def blend_stage(f, geom_t, order, invo, gid, starts, counts):
-    ti, ta = _blend_fwd_impl(
-        permute_rows(f, order, invo[: order.shape[0]]),
-        permute_rows(geom_t, order_ext(order), invo),
-        gid, starts, counts, bg, (tiles_x, tiles_y), cfg,
-    )
+    if cfg.soa_geom:
+        # mirror the production SoA path exactly (rasterizer.py soa
+        # branch): pre-split u16 colours BEFORE the rank permute, u16
+        # row-gathers, direct _blend_fwd_impl call
+        fp = jnp.concatenate([f, jnp.zeros((1, f.shape[1]), f.dtype)])
+        col_u16 = (
+            jax.lax.bitcast_convert_type(fp.astype(jnp.bfloat16), jnp.uint16)
+            if cfg.fast_color_rows
+            else tiles_mod.u16_halves(fp)
+        )
+        perm = order_ext(order)
+        ti, ta = _blend_fwd_impl(
+            f, geom_t[perm], gid, starts, counts, bg,
+            (tiles_x, tiles_y), cfg,
+            pre_split_colors=col_u16[perm], c_true=f.shape[1],
+        )
+    else:
+        ti, ta = _blend_fwd_impl(
+            permute_rows(f, order, invo[: order.shape[0]]),
+            permute_rows(geom_t, order_ext(order), invo),
+            gid, starts, counts, bg, (tiles_x, tiles_y), cfg,
+        )
     return _to_img(ti, tiles_x, tiles_y, th, tw, H, W)
 
 t_blend = stage(

@@ -781,3 +781,23 @@ def test_fast_fwd_aligned_matches_classic():
     # differs only through the fwd image's ~1e-4 shift inside cos()
     grel = float(jnp.max(jnp.abs(g_a - g_b))) / (float(jnp.max(jnp.abs(g_a))) + 1e-8)
     assert grel <= 5e-3, grel
+
+
+def test_geom_table_u16_matches_f32_split():
+    """_geom_table_u16_comp (the SoA path's direct u16 [hi|lo] assembly)
+    must stay bit-identical to tiles.u16_halves of the f32 table built by
+    _geom_table_comp — the f32 builder is the readable oracle for the
+    layout, this test keeps the two from diverging."""
+    from gags_tpu.splat.projection import project_gaussians_soa
+    from gags_tpu.splat.rasterizer import _geom_table_comp, _geom_table_u16_comp
+
+    means, quats, scales, op, col, vm, K = _scene(130, 4, 3)
+    comp = project_gaussians_soa(
+        jnp.asarray(means.T), jnp.asarray(quats.T), jnp.asarray(scales.T),
+        vm, K, W, H, opacities=op,
+    )
+    f32_tbl = _geom_table_comp(comp, op)
+    u16_tbl = _geom_table_u16_comp(comp, op)
+    np.testing.assert_array_equal(
+        np.asarray(tiles.u16_halves(f32_tbl)), np.asarray(u16_tbl)
+    )
