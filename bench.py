@@ -114,11 +114,22 @@ def main():
             print(f"# blend_bf16 {why} — f32 fallback", file=sys.stderr)
             cfg = cfg_f32
 
-    # honesty check: the trimmed instance budget must not drop anything
+    # honesty check: the trimmed instance budget must not drop anything —
+    # grow the budget instead of dying (a crash here records NO result)
+    import dataclasses as _dc
+
     res = rasterize(
         means, quats, scales, opac, feats, cam.viewmat, cam.K, w, h,
         background=bg, config=cfg,
     )
+    while int(res.overflow) > 0 and cfg.budget_factor < 8:
+        print(f"# overflow {int(res.overflow)} at budget_factor "
+              f"{cfg.budget_factor} — growing", file=sys.stderr)
+        cfg = _dc.replace(cfg, budget_factor=cfg.budget_factor + 1)
+        res = rasterize(
+            means, quats, scales, opac, feats, cam.viewmat, cam.K, w, h,
+            background=bg, config=cfg,
+        )
     assert int(res.overflow) == 0, f"instance budget overflow: {int(res.overflow)}"
 
     # drain timing: enqueue K frames (dispatch ~0.04 ms/frame), one
