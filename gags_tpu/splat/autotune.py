@@ -84,14 +84,17 @@ def autotune_config(
     arrays once at load; bit-identical results).
     """
     if base is None:
+        # fast_color_rows (~1e-3 colour quantisation) is a precision
+        # trade — only on by default when the caller opted into lossy
+        # variants; an exact-only caller gets a fully exact base
         base = auto_config(
-            aligned=False, fast_color_rows=True, budget_factor=3
+            aligned=False, fast_color_rows=allow_bf16, budget_factor=3
         )
     n = int(means.shape[0])
     c = int(colors.shape[1])
     key = (
         width, height, n, c, allow_bf16, allow_chw, allow_soa,
-        jax.default_backend(),
+        base, jax.default_backend(),  # base is a frozen (hashable) config
     )
     if cache and key in _CACHE:
         return _CACHE[key]

@@ -997,7 +997,7 @@ def _backward_full_kernel(
         dma_in(0, 0).start()
 
     def body_a(carry):
-        k, log_t, total = carry
+        k, log_t, log_t_rep, total = carry
         slot = jax.lax.rem(k, 2)
 
         @pl.when(k + 1 < nchunks)
@@ -1007,7 +1007,7 @@ def _backward_full_kernel(
         dma_in(k, slot).wait()
         data = buf[slot]
         alpha = _chunk_alpha(data, px, py)
-        w, _, new_log_t = _blend_weights(alpha, log_t, g)
+        w, log_t_incl_masked, new_log_t = _blend_weights(alpha, log_t, g)
         u = jax.lax.dot_general(
             gout, data[GEOM_ROWS:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -1015,6 +1015,17 @@ def _backward_full_kernel(
             precision=jax.lax.Precision.HIGHEST,
         )  # (P, G)
         total = total + jnp.sum(u * w, axis=1, keepdims=True)
+        # T after the last INCLUDED splat — what the forward's emitted
+        # alpha/background actually used. The naive carry keeps absorbing
+        # EXCLUDED splats' (1-alpha) factors after a ray terminates, so
+        # exp(naive) underestimates T_fin on saturated pixels and the
+        # galpha/background gradient term would be orders too small.
+        chunk_min = jnp.min(
+            jnp.where(log_t_incl_masked < 0.0, log_t_incl_masked, 0.0),
+            axis=1,
+            keepdims=True,
+        )
+        log_t_rep = jnp.minimum(log_t_rep, chunk_min)
 
         @pl.when(k >= 2)
         def _():
@@ -1027,15 +1038,16 @@ def _backward_full_kernel(
             precision=jax.lax.Precision.HIGHEST,
         )
         dma_col(k, slot).start()
-        return k + 1, new_log_t, total
+        return k + 1, new_log_t, log_t_rep, total
 
     init_a = (
         jnp.zeros((), jnp.int32),
         jnp.zeros((p, 1), jnp.float32),
         jnp.zeros((p, 1), jnp.float32),
+        jnp.zeros((p, 1), jnp.float32),
     )
-    ka, log_t_a, total = jax.lax.while_loop(cond3, body_a, init_a)
-    t_final = jnp.exp(log_t_a)  # naive final transmittance
+    ka, _, log_t_rep_a, total = jax.lax.while_loop(cond3, body_a, init_a)
+    t_final = jnp.exp(log_t_rep_a)  # T after the last included splat
 
     @pl.when(jnp.logical_and(ka < nchunks, ka > 0))
     def _():

@@ -43,6 +43,7 @@ _TRANSPOSE_U16 = _os.environ.get("GAGS_T16", "0") == "1"
 # A/B experiment flag (GAGS_KREL=1): skip the XLA relayout entirely and let
 # the fast kernel reassemble + transpose the gathered u16 rows in-register
 # (RasterizeConfig.kernel_relayout). Numerics identical; drain-time decides.
+# Applied via auto_config ONLY (the impl reads cfg, never the env).
 _KERNEL_RELAYOUT = _os.environ.get("GAGS_KREL", "0") == "1"
 # A/B experiment flag (GAGS_PACKED=1): channel-major blend output
 # (RasterizeConfig.packed_out). Bit-exact; drain-time decides.
@@ -158,6 +159,12 @@ def auto_config(**overrides) -> "RasterizeConfig":
     # visible in the config, never a hidden impl-level override)
     overrides.setdefault("packed_out", _PACKED_OUT)
     overrides.setdefault("image_chw", _IMAGE_CHW)
+    # env A/B flags ride the CONFIG (never hidden impl-level overrides:
+    # autotune/bench labels must describe what actually ran)
+    overrides.setdefault("kernel_relayout", _KERNEL_RELAYOUT)
+    from gags_tpu.splat import tiles as _tiles
+
+    overrides.setdefault("fused_keys", _tiles._FUSED_KEYS)
     return RasterizeConfig(**overrides)
 
 
@@ -253,7 +260,7 @@ def _geom_table(proj, opacities):
     reads contiguous bytes per index (TPU gathers hate strided columns)."""
     n = proj.means2d.shape[0]
     pad1 = jnp.zeros((n + 1, 1), jnp.float32)
-    geom = jnp.concatenate(
+    return jnp.concatenate(
         [
             jnp.pad(proj.means2d, ((0, 1), (0, 0))),
             jnp.pad(proj.conics, ((0, 1), (0, 0))),
@@ -266,7 +273,6 @@ def _geom_table(proj, opacities):
         ],
         axis=1,
     )
-    return geom, proj
 
 
 def _geom_table_comp(comp, opacities):
@@ -384,7 +390,7 @@ def _prepare(means, quats, scales, opacities, viewmat, K, width, height, cfg):
         means2d_arg = proj.means2d
         rx, ry, depths = proj.radii_x, proj.radii_y, proj.depths
         cull = _cull_rows(proj, opacities) if _wants_cull(cfg) else None
-        geom, _ = _geom_table(proj, opacities)
+        geom = _geom_table(proj, opacities)
     binned = tiles.bin_gaussians(
         means2d_arg,
         rx,
@@ -505,7 +511,7 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, 
             col_u16 = tiles.u16_halves(colors_pad)  # (N+1, 2Cp)
         got = jnp.concatenate([geom_u16, col_u16], axis=1)[inst_gid]
         packed = cfg.packed_out
-        if cfg.kernel_relayout or _KERNEL_RELAYOUT:
+        if cfg.kernel_relayout:
             # no XLA relayout at all: the kernel reassembles the u16 rows
             # and recovers the lane-major layout in-register
             out = pk.tile_blend_forward_fast_rows(
@@ -805,7 +811,7 @@ def _project_geom_table(means, quats, scales, opacities, viewmat, K, width,
         # info["means2d"].retain_grad() (gaussian_renderer/__init__.py:76),
         # consumed by densification stats (gaussian_model.py:476-482)
         proj = proj._replace(means2d=proj.means2d + means2d_tap)
-    return _geom_table(proj, opacities)
+    return _geom_table(proj, opacities), proj
 
 
 def prepare_binning(

@@ -434,7 +434,7 @@ def bin_gaussians(
             * _pk.KEYS_SB,
             side="right",
         ).astype(jnp.int32)
-        if (fused_keys or _FUSED_KEYS) and mk < 2**24 - 1:
+        if fused_keys and mk < 2**24 - 1:
             # fused kernel: per-rank attributes as one f32 table (every
             # value < 2^24 hence f32-exact); the kernel gathers them with
             # exact one-hot matmuls and emits the final keys directly

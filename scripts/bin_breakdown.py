@@ -89,7 +89,7 @@ ks = t("13 concat+sort M   ", jax.jit(lambda a, b, c, d: jax.lax.sort((jnp.conca
 whole = t("TOTAL bin_gaussians", jax.jit(lambda m, r, d: tiles.bin_gaussians(m, r, d, W, H, cfg.tile_w, cfg.tile_h, budget, chunk)), m2, radii, depths)
 
 # ---- instance gather stage pieces -------------------------------------
-geom, _ = _geom_table(proj, opac)
+geom = _geom_table(proj, opac)
 inst_gid = whole.inst_gid
 cp = jnp.concatenate([feats, jnp.zeros((1, feats.shape[1]))], 0)
 tbl = t("G1 table concat    ", jax.jit(lambda ge, c: jnp.concatenate([ge, c], axis=1)), geom, cp)

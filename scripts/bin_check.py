@@ -31,7 +31,7 @@ for name, a, b in [("gid", b_t.inst_gid, b_c.inst_gid), ("starts", b_t.tile_star
 from gags_tpu.splat.rasterizer import _geom_table, _blend_fwd_impl, RasterizeConfig, order_ext
 cfg = RasterizeConfig()
 p = project_gaussians(m,q,s,cam.viewmat,cam.K,128,128)
-geom, _ = _geom_table(p, o)
+geom = _geom_table(p, o)
 perm = order_ext(jnp.asarray(b_c.order))
 img_t = _blend_fwd_impl(c[jnp.asarray(b_c.order)], geom[perm], jnp.asarray(b_c.inst_gid),
                         jnp.asarray(b_c.tile_starts),

@@ -36,7 +36,7 @@ def setup(th, tw, budget_factor=4):
     b = tiles.bin_gaussians(p.means2d, p.radii, p.depths, W, H, tw, th,
                             budget=cfg.instance_budget(N), chunk=cfg.chunk,
                             aligned=False)
-    geom, _ = _geom_table(p, opac)
+    geom = _geom_table(p, opac)
     perm = order_ext(b.order)
     table = jnp.concatenate(
         [geom[perm],

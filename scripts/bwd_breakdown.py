@@ -14,7 +14,7 @@ cam = make_camera(W, H)
 cfg = RasterizeConfig()
 b = prepare_binning(means, quats, scales, cam.viewmat, cam.K, W, H, cfg, opacities=opac)
 proj = project_gaussians(means, quats, scales, cam.viewmat, cam.K, W, H)
-geom, _ = _geom_table(proj, opac)
+geom = _geom_table(proj, opac)
 tiles_x, tiles_y = -(-W//cfg.tile_w), -(-H//cfg.tile_h)
 P = cfg.tile_h*cfg.tile_w
 gout = jnp.ones((tiles_x*tiles_y, P, 16), jnp.float32)

@@ -28,7 +28,7 @@ for th, tw, chunk in [(32, 32, 128), (32, 32, 256), (32, 32, 512),
     b = tiles.bin_gaussians(p.means2d, p.radii, p.depths, W, H, tw, th,
                             budget=cfg.instance_budget(N), chunk=chunk,
                             aligned=False)
-    geom, _ = _geom_table(p, opac)
+    geom = _geom_table(p, opac)
     perm = order_ext(b.order)
     table = jnp.concatenate(
         [geom[perm], jnp.concatenate([feats, jnp.zeros((1, 16))], 0)[perm]], 1)

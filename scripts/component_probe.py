@@ -53,7 +53,7 @@ def main(n, w, h, tile_h=8):
     from gags_tpu.splat.rasterizer import order_ext
 
     def gather(p, b, o, f):
-        geom, _ = _geom_table(p, o)
+        geom = _geom_table(p, o)
         cp = jnp.concatenate([f, jnp.zeros((1, f.shape[1]))], 0)
         table = jnp.concatenate([geom, cp], axis=1)[order_ext(b.order)]
         return table[b.inst_gid].T  # (8+C, M)

@@ -21,7 +21,7 @@ cam = make_camera(W, H)
 cfg = RasterizeConfig()
 tiles_x, tiles_y = 10, 90
 proj = jax.jit(lambda m, q, s: project_gaussians(m, q, s, cam.viewmat, cam.K, W, H))(means, quats, scales)
-geom, _ = _geom_table(proj, opac)
+geom = _geom_table(proj, opac)
 b = tiles.bin_gaussians(proj.means2d, proj.radii, proj.depths, W, H, 128, 8, cfg.instance_budget(N), 128)
 inst = jnp.concatenate(
     [geom, jnp.concatenate([feats, jnp.zeros((1, 16))], 0)], axis=1

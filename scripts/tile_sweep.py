@@ -31,7 +31,7 @@ for th, tw, bf in shapes:
     dt_bin = device_time(bin_fn, proj.means2d, proj.radii, proj.depths, k1=3, k2=13)
 
     def gather(p, b, o, f):
-        geom, _ = _geom_table(p, o)
+        geom = _geom_table(p, o)
         cp = jnp.concatenate([f, jnp.zeros((1, f.shape[1]))], 0)
         table = jnp.concatenate([geom, cp], axis=1)[order_ext(b.order)]
         return table[b.inst_gid].T

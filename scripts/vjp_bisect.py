@@ -20,7 +20,7 @@ cfg = RasterizeConfig(
 )
 b = prepare_binning(means, quats, scales, cam.viewmat, cam.K, W, H, cfg, opacities=opac)
 proj = project_gaussians(means, quats, scales, cam.viewmat, cam.K, W, H)
-geom, _ = _geom_table(proj, opac)
+geom = _geom_table(proj, opac)
 tiles_x, tiles_y = -(-W//cfg.tile_w), -(-H//cfg.tile_h)
 print("valid", int(b.num_valid), flush=True)
 

@@ -13,7 +13,7 @@ cam = make_camera(W, H)
 cfg = RasterizeConfig()
 b = prepare_binning(m, q, s, cam.viewmat, cam.K, W, H, cfg, opacities=o)
 proj = project_gaussians(m, q, s, cam.viewmat, cam.K, W, H)
-geom, _ = _geom_table(proj, o)
+geom = _geom_table(proj, o)
 tx, ty = -(-W//cfg.tile_w), -(-H//cfg.tile_h)
 
 def t(name, f, *a):

@@ -132,3 +132,63 @@ def test_means2d_tap_gradient_is_screen_grad():
     scale = np.abs(go).max() + 1e-8
     np.testing.assert_allclose(gp / scale, go / scale, atol=2e-4)
     assert np.abs(gp).max() > 0  # signal actually flows
+
+
+def test_geometry_grads_saturated_rays_match_oracle():
+    """Early-terminated (saturated) pixels: the backward's T_fin must be
+    the forward's T-after-last-INCLUDED-splat, not the naive carry that
+    keeps absorbing excluded splats (the galpha/background gradient term
+    was orders too small on such rays before the fix)."""
+    n = 80
+    # CONCENTRATED near-opaque splats: deep overdraw so rays terminate
+    # early (verified ~100 saturated pixels; naive-vs-included final T
+    # diverges by up to 1e26 on them)
+    rng = np.random.default_rng(7)
+    means = jnp.asarray(
+        np.stack(
+            [rng.uniform(-0.35, 0.35, n), rng.uniform(-0.2, 0.2, n),
+             rng.uniform(3, 9, n)], 1
+        ).astype(np.float32)
+    )
+    quats = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    scales = jnp.asarray(
+        np.exp(rng.normal(-1.2, 0.3, size=(n, 3))).astype(np.float32)
+    )
+    col = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    vm = jnp.eye(4)
+    K = jnp.array([[F, 0, W / 2], [0, F, H / 2], [0, 0, 1]], jnp.float32)
+    op = jnp.asarray(
+        np.random.default_rng(11).uniform(0.85, 0.999, n).astype(np.float32)
+    )
+    tgt = jnp.asarray(
+        np.random.default_rng(9).uniform(0, 1, (H, W, 3)).astype(np.float32)
+    )
+    bg = jnp.array([0.3, 0.2, 0.1])
+
+    # weighted-alpha-ONLY loss: every geometry gradient flows through the
+    # final transmittance, so a wrong T_fin in the backward cannot hide
+    # behind the colour terms (this test FAILS against the naive-carry
+    # t_final with means grads off by >10x)
+    wmap = jnp.asarray(
+        np.random.default_rng(13).uniform(0.5, 1.5, (H, W)).astype(np.float32)
+    )
+
+    def loss_oracle(m, q, s, o, c):
+        p = project_gaussians(m, q, s, vm, K, W, H)
+        img, alpha = rasterize_reference(
+            p.means2d, p.conics, p.depths, p.radii, o * p.compensations,
+            c, W, H, background=bg,
+        )
+        return jnp.mean(wmap * alpha)
+
+    def loss_pallas(m, q, s, o, c):
+        res = rasterize(m, q, s, o, c, vm, K, W, H, background=bg, config=CFG)
+        return jnp.mean(wmap * res.alpha)
+
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2, 3, 4))(means, quats, scales, op, col)
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(means, quats, scales, op, col)
+    for name, a, b in zip(["means", "quats", "scales", "opacities", "colors"], go, gp):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b, a, atol=5e-4 * scale, rtol=5e-3,
+                                   err_msg=f"saturated grad mismatch: {name}")
