@@ -326,13 +326,16 @@ def make_eval_step(statics: Dict[str, Any], width: int, height: int, cfg: GadCon
     dec: FeatureDecoder = statics["decoder"]
     scl: ScaleDecoder = statics["scale_decoder"]
     bg = jnp.zeros((cfg.feature_dim,), jnp.float32)
+    # no gradients here: the unaligned forward layout skips the SAT/dummy
+    # binning passes and the gradient ReductionLayout (~1/3 of binning)
+    raster_fwd = dataclasses.replace(cfg.raster, aligned=False)
 
     @jax.jit
     def eval_step(state: TrainState, geom, batch):
         res = rasterize(
             geom["means"], geom["quats"], geom["scales"], geom["opacities"],
             state.features, batch["viewmat"], batch["K"], width, height,
-            background=bg, config=cfg.raster,
+            background=bg, config=raster_fwd,
         )
         feat_map = res.image
         scale_map = _scale_map_fn(cfg, scl, state.scale_params, feat_map)
@@ -359,7 +362,8 @@ def render_feature_map(statics, geometry: GaussianScene, state: TrainState, view
     res = rasterize(
         geometry.means, geometry.quats, geometry.scales, geometry.opacities,
         state.features, viewmat, K, width, height,
-        background=jnp.zeros((cfg.feature_dim,), jnp.float32), config=cfg.raster,
+        background=jnp.zeros((cfg.feature_dim,), jnp.float32),
+        config=dataclasses.replace(cfg.raster, aligned=False),  # forward-only
     )
     if not decode:
         return res.image
