@@ -373,12 +373,16 @@ def run(rc: RunConfig, gad_cfg: GadConfig = None) -> TrainState:
             loss = float(m["loss"])  # sync point every 10 iters only
             if not np.isfinite(loss):
                 # failure detection: save state for post-mortem instead of
-                # silently optimising on NaNs for the rest of the schedule
-                save_checkpoint(rc.model_path, state, it)
+                # silently optimising on NaNs for the rest of the schedule.
+                # Saved OUTSIDE the chkpnt* namespace: --resume must find
+                # the last GOOD periodic checkpoint, not the NaN-poisoned
+                # state (latest_checkpoint_step scans model_path only)
+                dump_dir = os.path.join(rc.model_path, "nan_dump")
+                save_checkpoint(dump_dir, state, it)
                 raise FloatingPointError(
                     f"non-finite loss at iteration {it} — state saved to "
-                    f"chkpnt{it} for inspection; check learning rates / "
-                    "supervision inputs"
+                    f"nan_dump/chkpnt{it} for inspection; check learning "
+                    "rates / supervision inputs"
                 )
             progress.update(it, loss)
         if it % 500 == 0:

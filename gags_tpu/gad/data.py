@@ -62,6 +62,12 @@ class GadDataset:
                 emb = emb.astype(np.float32)
             seg = np.load(info.s_path)  # (4, h, w) float with -1
             cam = camera_from_info(info, resolution)
+            # nearest-resize to RENDER resolution at load time — exactly
+            # the reference's loadCam (camera_utils.py:61, mode='nearest').
+            # Because of this, read_sam_clip_feature's bilinear branch is
+            # a NO-OP in the reference's own training flow (seg res ==
+            # scale-map res == render res), so the same-resolution fast
+            # path in blend_gt_feature_map IS the parity path at any -r.
             seg = _nearest_resize_np(seg, (cam.height, cam.width))
             seg = np.moveaxis(seg, 0, -1).astype(np.int32)  # (H, W, 4)
             embeds.append(emb)
@@ -115,9 +121,12 @@ def prefetch_to_device(
     sentinel = object()
 
     def producer():
-        for b in batches:
-            q.put(jax.device_put(b))
-        q.put(sentinel)
+        try:
+            for b in batches:
+                q.put(jax.device_put(b))
+            q.put(sentinel)
+        except BaseException as exc:  # surface in the consumer — a dead
+            q.put(exc)                # producer must not hang the loop
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -125,4 +134,6 @@ def prefetch_to_device(
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -76,10 +76,14 @@ class GadConfig:
             with open(path) as f:
                 data = json.load(f)
         raster = data.pop("raster", None)
+        overrides = dict(overrides)
+        ov_raster = overrides.pop("raster", None)
         data.update(overrides)
         fields = {f.name for f in dataclasses.fields(GadConfig) if f.name != "raster"}
         cfg = {k: v for k, v in data.items() if k in fields}
-        if raster is not None:
+        if ov_raster is not None:  # caller override beats the JSON file
+            cfg["raster"] = ov_raster
+        elif raster is not None:
             rfields = {f.name for f in dataclasses.fields(RasterizeConfig)}
             cfg["raster"] = RasterizeConfig(
                 **{k: v for k, v in raster.items() if k in rfields}
@@ -104,10 +108,18 @@ def create_train_state(
 ) -> Tuple[TrainState, Dict[str, Any]]:
     """Build state + the static bits (optimisers, module defs)."""
     n = scene.num_gaussians
-    if scene.semantic_features is not None and scene.semantic_features.shape[1] == cfg.feature_dim:
+    if scene.semantic_features is None:
+        feats = jnp.zeros((n, cfg.feature_dim), jnp.float32)
+    elif scene.semantic_features.shape[1] == cfg.feature_dim:
         feats = scene.semantic_features
     else:
-        feats = jnp.zeros((n, cfg.feature_dim), jnp.float32)
+        # silently zeroing trained features while a warm start resumes at
+        # iteration N would quietly degrade output — make it loud
+        raise ValueError(
+            f"scene carries {scene.semantic_features.shape[1]}-dim semantic "
+            f"features but cfg.feature_dim={cfg.feature_dim}; pass the "
+            "matching feature_dim or strip the features to train fresh"
+        )
 
     dec = FeatureDecoder(output_dim=cfg.clip_dim)
     scl = ScaleDecoder()

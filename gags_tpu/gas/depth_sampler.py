@@ -35,7 +35,9 @@ def project_points(
     vis_thres: float = 0.25,
     cut_bound: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (u (N,), v (N,), visible (N,) bool) with occlusion testing."""
+    """Returns (u (N,), v (N,), visible (N,) bool, z (N,)) with occlusion
+    testing — z is the camera-space depth (callers fold it into min-depth
+    scans without re-projecting)."""
     p = (
         jnp.einsum(
             "nj,ij->ni", points, viewmat[:3, :3],
@@ -57,7 +59,7 @@ def project_points(
     vc = jnp.clip(v, 0, height - 1)
     d = depth_map[vc, uc]
     visible = inside & (jnp.abs(d - z) <= vis_thres * d)
-    return u, v, visible
+    return u, v, visible, z
 
 
 def min_depth_over_cameras(
@@ -75,15 +77,7 @@ def min_depth_over_cameras(
 
     def one_cam(carry, cam):
         vm, K, dm = cam
-        p = (
-            jnp.einsum(
-                "nj,ij->ni", points, vm[:3, :3],
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            + vm[:3, 3]
-        )
-        z = p[:, 2]
-        u, v, vis = project_points(points, vm, K, dm, w, h, vis_thres=vis_thres)
+        u, v, vis, z = project_points(points, vm, K, dm, w, h, vis_thres=vis_thres)
         carry = jnp.minimum(carry, jnp.where(vis, z, BIG))
         return carry, (vis, jnp.stack([v, u], -1))
 
@@ -101,7 +95,6 @@ def splat_depth_samples(
 ) -> jnp.ndarray:
     """(H, W) map with each visible point's min depth written at its pixel
     (later points overwrite earlier, like the reference's index_put)."""
-    out = jnp.zeros((height, width))
     vc = jnp.clip(uv[:, 0], 0, height - 1)
     uc = jnp.clip(uv[:, 1], 0, width - 1)
     vals = jnp.where(vis, min_depth, 0.0)

@@ -53,9 +53,12 @@ def mask_nms(
     ai = inter / np.maximum(areas[:, None], 1e-9)  # intersection / area_i
     aj = inter / np.maximum(areas[None, :], 1e-9)  # intersection / area_j
     inner = np.zeros((n, n), np.float32)
-    # pair (i, j), i<j in score order: j mostly inside i (or vice versa)
-    cond_u = (ai < 0.5) & (aj >= 0.85)
-    cond_l = (ai >= 0.85) & (aj < 0.5)
+    # pair (i, j), i<j in score order ONLY (the reference loops j >= i;
+    # evaluating the full matrix would hit each pair twice — cond_l[j, i]
+    # is the same predicate as cond_u[i, j] — and double-write the value)
+    iu = np.triu(np.ones((n, n), bool), k=1)
+    cond_u = (ai < 0.5) & (aj >= 0.85) & iu
+    cond_l = (ai >= 0.85) & (aj < 0.5) & iu
     val = 1.0 - aj * ai
     inner[cond_u] = val[cond_u]
     inner_l = np.zeros((n, n), np.float32)
@@ -126,14 +129,27 @@ def pack_granularities(
     order = ["default", "s", "m", "l"]
     lengths = [len(level_embeds[k]) for k in order if k in level_embeds]
     keys = [k for k in order if k in level_embeds]
+    if not keys:
+        raise ValueError("pack_granularities: no levels present")
     embed = np.concatenate([level_embeds[k] for k in keys], axis=0)
     cum = np.cumsum(lengths)
+    shape = next(iter(level_seg_maps.values())).shape
     segs = []
-    for j, k in enumerate(keys):
+    j = 0
+    for k in order:
+        if k not in level_embeds:
+            # a level can come out empty (every mask failed the quality
+            # thresholds or the NMS) — the (4, H, W) contract must hold
+            # regardless: downstream reads seg_map[1:4] as [s, m, l] by
+            # POSITION, so a missing level is an all -1 channel, never a
+            # dropped one
+            segs.append(np.full(shape, -1, np.int32))
+            continue
         v = level_seg_maps[k].astype(np.int32).copy()
         if j > 0:
             v[v != -1] += cum[j - 1]
         segs.append(v)
+        j += 1
     return embed, np.stack(segs, axis=0)
 
 

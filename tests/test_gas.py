@@ -124,9 +124,10 @@ def test_project_points_occlusion():
     vm = jnp.eye(4)
     K = jnp.array([[50.0, 0, 32], [0, 50, 24], [0, 0, 1]])
     depth = jnp.full((48, 64), 4.0)
-    u, v, vis = project_points(pts, vm, K, depth, 64, 48)
+    u, v, vis, z = project_points(pts, vm, K, depth, 64, 48)
     assert bool(vis[0]) and not bool(vis[1])
     assert int(u[0]) == 32 and int(v[0]) == 24
+    np.testing.assert_allclose(np.asarray(z), [4.0, 6.0], atol=1e-6)
 
 
 def test_min_depth_and_splat():
@@ -219,3 +220,23 @@ def test_pcd_prompt_modes():
     assert len(layers) == 2 and layers[0].shape == (2, 2)
     np.testing.assert_allclose(layers[0][0], [mapping[2, 1] / w, mapping[2, 0] / h])
     assert (layers[0] >= 0).all() and (layers[0] <= 1).all()
+
+
+def test_pack_granularities_missing_level_keeps_4_channels():
+    """An empty granularity bucket (all masks failed thresholds/NMS) must
+    still produce the (4, H, W) contract with an all -1 channel — the
+    downstream seg_map[..., 1:4] reads [s, m, l] by POSITION."""
+    rng = np.random.default_rng(0)
+    h, w = 6, 8
+    embeds = {k: rng.normal(size=(3, 4)).astype(np.float32)
+              for k in ("default", "m", "l")}  # 's' missing
+    segs = {k: rng.integers(-1, 3, size=(h, w)).astype(np.float32)
+            for k in ("default", "m", "l")}
+    embed, packed = gm.pack_granularities(embeds, segs)
+    assert packed.shape == (4, h, w)
+    assert (packed[1] == -1).all()  # missing 's' level
+    assert embed.shape == (9, 4)
+    # offsets: 'm' ids start after default+ (no s), 'l' after m
+    m_ids = packed[2][packed[2] != -1]
+    if m_ids.size:
+        assert m_ids.min() >= 3

@@ -238,12 +238,16 @@ def test_mask_nms_golden(ref, seed):
         masks[i, y0:y1, x0:x1] = True
     scores = rng.random(n).astype(np.float32)
 
-    # reference thresholds as called at preprocess.py:471
-    t_idx = ref.mask_nms(
-        torch.from_numpy(masks), torch.from_numpy(scores),
-        iou_thr=0.8, score_thr=0.7, inner_thr=0.5,
-    )
-    t_idx = np.sort(np.asarray(t_idx).reshape(-1))
-    j_idx = np.sort(mask_nms(masks, scores, iou_thr=0.8, score_thr=0.7,
-                             inner_thr=0.5))
-    np.testing.assert_array_equal(t_idx, j_idx)
+    # reference thresholds as called at preprocess.py:471, PLUS a low
+    # inner_thr: at 0.3 a double-written inner value (each pair hit from
+    # both (i,j) and (j,i) — the bug the triu restriction fixes) flips
+    # keep decisions that 0.5 cannot distinguish
+    for inner_thr in (0.5, 0.3):
+        t_idx = ref.mask_nms(
+            torch.from_numpy(masks), torch.from_numpy(scores),
+            iou_thr=0.8, score_thr=0.7, inner_thr=inner_thr,
+        )
+        t_idx = np.sort(np.asarray(t_idx).reshape(-1))
+        j_idx = np.sort(mask_nms(masks, scores, iou_thr=0.8, score_thr=0.7,
+                                 inner_thr=inner_thr))
+        np.testing.assert_array_equal(t_idx, j_idx, err_msg=f"inner_thr={inner_thr}")
