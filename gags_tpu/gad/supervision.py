@@ -51,6 +51,73 @@ def mixed_seg_map(seg_map: jnp.ndarray, scale_map: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(sml, sel[..., None], axis=-1)[..., 0]
 
 
+@jax.custom_vjp
+def fused_supervision_l1(
+    decoded: jnp.ndarray,   # (H, W, D) f32 decoder output
+    img_embed: jnp.ndarray,  # (M, D) per-mask CLIP embeddings (data, no grad)
+    seg_sml: jnp.ndarray,   # (H, W, 3) int32 s/m/l ids, -1 = no mask
+    scale_map: jnp.ndarray,  # (H, W, 3) granularity weights
+) -> jnp.ndarray:
+    """Masked per-pixel L1 against the blended GT map, residual-free.
+
+    Equals `l1_map(decoded * maskf, gt_map * maskf)` for the same-resolution
+    default-mode `blend_gt_feature_map` (the GAD train-step path), but as a
+    custom-VJP whose residuals are the RAW INPUTS only: the default AD of
+    the composition saves the gathered (H, W, 3, D)-worth of embedding rows
+    (or gt_map) as residuals and materialises a (H, W, D) `d_gt` cotangent
+    in the backward — ~1.4 GB/step of extra HBM traffic at 360p/512-d that
+    the round-2 train profile showed as unfused converts/copies. Here the
+    backward recomputes the gather terms and contracts them against
+    sign(diff) directly into the (H, W, 3) scale-map cotangent.
+
+    img_embed is treated as data: its cotangent is returned as zeros (the
+    train step never differentiates w.r.t. the supervision embeddings).
+    """
+    gt, maskf = _fused_sup_primal(decoded, img_embed, seg_sml, scale_map)
+    return jnp.mean(jnp.abs(decoded * maskf - gt * maskf), axis=-1)
+
+
+def _fused_sup_primal(decoded, img_embed, seg_sml, scale_map):
+    # EXACTLY the same-resolution fast path of blend_gt_feature_map: three
+    # gather+fma terms, one loop fusion (see that function's comment)
+    maskf = jnp.all(seg_sml != -1, axis=-1).astype(jnp.float32)[..., None]
+
+    def term(g):
+        f = img_embed[seg_sml[..., g] % img_embed.shape[0]].astype(jnp.float32)
+        return f * scale_map[..., g : g + 1]
+
+    return term(0) + term(1) + term(2), maskf
+
+
+def _fused_sup_fwd(decoded, img_embed, seg_sml, scale_map):
+    return (
+        fused_supervision_l1(decoded, img_embed, seg_sml, scale_map),
+        (decoded, img_embed, seg_sml, scale_map),
+    )
+
+
+def _fused_sup_bwd(res, g):
+    decoded, img_embed, seg_sml, scale_map = res
+    gt, maskf = _fused_sup_primal(decoded, img_embed, seg_sml, scale_map)
+    d = decoded.shape[-1]
+    sgn = jnp.sign(decoded * maskf - gt * maskf)  # (H, W, D)
+    gm = (g / d)[..., None] * maskf  # (H, W, 1)
+    d_decoded = gm * sgn
+
+    def d_scale_term(k):
+        f = img_embed[seg_sml[..., k] % img_embed.shape[0]].astype(jnp.float32)
+        return -jnp.sum(sgn * f, axis=-1) * gm[..., 0]  # (H, W)
+
+    d_scale = jnp.stack([d_scale_term(k) for k in range(3)], axis=-1)
+    import numpy as np
+
+    d_seg = np.zeros(seg_sml.shape, dtype=jax.dtypes.float0)
+    return d_decoded, jnp.zeros_like(img_embed), d_seg, d_scale
+
+
+fused_supervision_l1.defvjp(_fused_sup_fwd, _fused_sup_bwd)
+
+
 def blend_gt_feature_map(
     img_embed: jnp.ndarray,  # (M, D) per-mask CLIP embeddings
     seg_map: jnp.ndarray,  # (H, W, 4) int32

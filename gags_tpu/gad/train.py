@@ -33,7 +33,11 @@ import jax.numpy as jnp
 import optax
 
 from gags_tpu.gad import losses
-from gags_tpu.gad.supervision import blend_gt_feature_map, mixed_seg_map
+from gags_tpu.gad.supervision import (
+    blend_gt_feature_map,
+    fused_supervision_l1,
+    mixed_seg_map,
+)
 from gags_tpu.models.decoders import FeatureDecoder, ScaleDecoder
 from gags_tpu.scene.gaussian_data import GaussianScene
 from gags_tpu.splat.rasterizer import (
@@ -56,6 +60,11 @@ class GadConfig:
     regionvar_w_late: float = 0.1
     schedule_switch: int = 15001   # scale_regulation_iteration default
     single_scale: str = ""         # "", "s", "m", "l", "mix" (train.py:38-47)
+    # residual-free supervision+L1 custom VJP (same math; cuts the
+    # gt_map/d_gt HBM round trips — see supervision.fused_supervision_l1).
+    # Applies only on the same-resolution default supervision path; other
+    # paths silently use the generic composition.
+    fused_supervision: bool = False
     raster: RasterizeConfig = RasterizeConfig()
 
     def save(self, model_dir: str) -> None:
@@ -169,6 +178,19 @@ _SINGLE_SCALE = {"s": (1.0, 0.0, 0.0), "m": (0.0, 1.0, 0.0),
                  "l": (0.0, 0.0, 1.0), "mix": (1 / 3, 1 / 3, 1 / 3)}
 
 
+def _supervised_l1_pix(cfg: GadConfig, decoded, scale_map, batch, width, height):
+    """Masked per-pixel L1 vs the blended GT map — fused custom-VJP when
+    eligible (same-resolution default path), generic composition otherwise."""
+    seg_map = batch["seg_map"]
+    if cfg.fused_supervision and tuple(seg_map.shape[:2]) == (height, width):
+        return fused_supervision_l1(
+            decoded, batch["img_embed"], seg_map[..., 1:4], scale_map
+        )
+    gt_map, mask = blend_gt_feature_map(batch["img_embed"], seg_map, scale_map)
+    maskf = mask.astype(jnp.float32)
+    return losses.l1_map(decoded * maskf, gt_map * maskf)
+
+
 def _scale_map_fn(cfg: GadConfig, scl, scl_params, feat_map):
     """Learned 3-way granularity map, or a fixed one under --single_scale
     (reference create_scale_map, train.py:38-47,146-149)."""
@@ -203,13 +225,8 @@ def make_train_step(statics: Dict[str, Any], width: int, height: int, cfg: GadCo
         scale_map = _scale_map_fn(cfg, scl, scl_params, feat_map)  # (H, W, 3)
         seg_mixed = mixed_seg_map(batch["seg_map"], scale_map)  # (H, W) ids
 
-        gt_map, mask = blend_gt_feature_map(
-            batch["img_embed"], batch["seg_map"], scale_map
-        )  # (H, W, D), (H, W, 1)
-        maskf = mask.astype(jnp.float32)
-
         decoded = dec.apply(dec_params, feat_map)  # (H, W, D)
-        l1_pix = losses.l1_map(decoded * maskf, gt_map * maskf)  # (H, W)
+        l1_pix = _supervised_l1_pix(cfg, decoded, scale_map, batch, width, height)
         l1_feature = losses.region_balanced_l1(l1_pix, seg_mixed, cfg.max_segments)
 
         ent = losses.scale_entropy_loss(scale_map)
@@ -280,12 +297,8 @@ def make_train_step_binned(statics: Dict[str, Any], width: int, height: int, cfg
         )
         scale_map = _scale_map_fn(cfg, scl, scl_params, feat_map)
         seg_mixed = mixed_seg_map(batch["seg_map"], scale_map)
-        gt_map, mask = blend_gt_feature_map(
-            batch["img_embed"], batch["seg_map"], scale_map
-        )
-        maskf = mask.astype(jnp.float32)
         decoded = dec.apply(dec_params, feat_map)
-        l1_pix = losses.l1_map(decoded * maskf, gt_map * maskf)
+        l1_pix = _supervised_l1_pix(cfg, decoded, scale_map, batch, width, height)
         l1_feature = losses.region_balanced_l1(l1_pix, seg_mixed, cfg.max_segments)
         ent = losses.scale_entropy_loss(scale_map)
         regvar = losses.region_variance_loss(feat_map, seg_mixed, cfg.max_segments)

@@ -40,4 +40,5 @@ timeout 1800 python scripts/sam_bench.py 4 bf16 2>&1 | grep -v WARNING | tail -3
 timeout 1800 python scripts/sam_bench.py 8 bf16 2>&1 | grep -v WARNING | tail -3
 timeout 2400 python scripts/train_bench.py 2>&1 | grep -v WARNING | tail -5
 timeout 2400 env GAGS_FASTFWD=1 python scripts/train_bench.py 2>&1 | grep -v WARNING | tail -5
+timeout 2400 env GAGS_FASTFWD=1 GAGS_FSUP=1 python scripts/train_bench.py 2>&1 | grep -v WARNING | tail -5
 timeout 2400 python scripts/train_profile.py 2>&1 | grep -v WARNING | tail -30

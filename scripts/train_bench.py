@@ -25,10 +25,15 @@ _th = int(os.environ.get("GAGS_TILE_H", "32"))
 _tw = int(os.environ.get("GAGS_TILE_W", "32"))
 # GAGS_FASTFWD=1: training forward on the streaming fast kernel
 # (RasterizeConfig.fast_fwd_aligned A/B; grads untouched)
-cfg = GadConfig(max_segments=1024, raster=RasterizeConfig(
-    tile_h=_th, tile_w=_tw,
-    fast_fwd_aligned=os.environ.get("GAGS_FASTFWD", "0") == "1",
-))
+cfg = GadConfig(
+    max_segments=1024,
+    # GAGS_FSUP=1: residual-free supervision+L1 custom VJP A/B
+    fused_supervision=os.environ.get("GAGS_FSUP", "0") == "1",
+    raster=RasterizeConfig(
+        tile_h=_th, tile_w=_tw,
+        fast_fwd_aligned=os.environ.get("GAGS_FASTFWD", "0") == "1",
+    ),
+)
 state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)
 geom = jax.device_put(frozen_geometry(scene))
 cam = make_camera(W, H)

@@ -104,6 +104,99 @@ def test_all_param_groups_update(setup):
     assert int(s1.step) == int(state.step) + 1
 
 
+def test_fused_supervision_matches_generic(setup):
+    """fused_supervision_l1 is the same math as the blend+mask+l1_map
+    composition — one full train step must agree on loss and every
+    parameter update (tolerance covers reduction-order differences)."""
+    import dataclasses
+
+    state, statics, step, batch, cfg = setup
+    cfg_f = dataclasses.replace(cfg, fused_supervision=True)
+    from gags_tpu.gad.train import make_train_step as mts
+
+    raw_fused = mts(statics, W, H, cfg_f)
+    ew, rw = jnp.float32(1e-3), jnp.float32(0.1)
+    s_ref, m_ref = step(state, batch, ew, rw)
+
+    # the fixture closes over its frozen geometry — rebuild it identically
+    raw = make_scene(N, seed=0)
+    scene = GaussianScene(
+        means=jnp.asarray(raw["means"]),
+        sh=jnp.asarray(raw["sh"]),
+        opacities_raw=jnp.asarray(
+            np.log(raw["opacities"] / (1 - raw["opacities"]))
+        ),
+        scales_raw=jnp.asarray(np.log(raw["scales"])),
+        quats=jnp.asarray(raw["quats"]),
+        semantic_features=jnp.zeros((N, 8)),
+    )
+    geom = frozen_geometry(scene)
+    s_fus, m_fus = raw_fused(state, geom, batch, ew, rw)
+
+    np.testing.assert_allclose(
+        float(m_fus["loss"]), float(m_ref["loss"]), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_fus.features), np.asarray(s_ref.features),
+        rtol=1e-5, atol=1e-6,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_fus.decoder_params),
+        jax.tree_util.tree_leaves(s_ref.decoder_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_fus.scale_params),
+        jax.tree_util.tree_leaves(s_ref.scale_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_fused_supervision_vjp_matches_autodiff():
+    """Direct check of the custom VJP against jax.grad of the explicit
+    composition, including the scale-map cotangent path."""
+    from gags_tpu.gad.supervision import (
+        blend_gt_feature_map,
+        fused_supervision_l1,
+    )
+
+    rng = np.random.default_rng(7)
+    h, w, d, m = 6, 10, 16, 5
+    decoded = jnp.asarray(rng.normal(size=(h, w, d)).astype(np.float32))
+    embed = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32))
+    seg = rng.integers(-1, m, size=(h, w, 4)).astype(np.int32)
+    seg_j = jnp.asarray(seg)
+    scale = jnp.asarray(
+        rng.uniform(0.1, 1.0, size=(h, w, 3)).astype(np.float32)
+    )
+    cot = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32))
+
+    def composed(dec_, scale_):
+        gt, mask = blend_gt_feature_map(embed, seg_j, scale_)
+        maskf = mask.astype(jnp.float32)
+        l1 = jnp.mean(jnp.abs(dec_ * maskf - gt * maskf), axis=-1)
+        return jnp.sum(l1 * cot)
+
+    def fused(dec_, scale_):
+        l1 = fused_supervision_l1(dec_, embed, seg_j[..., 1:4], scale_)
+        return jnp.sum(l1 * cot)
+
+    v_ref = composed(decoded, scale)
+    v_fus = fused(decoded, scale)
+    np.testing.assert_allclose(float(v_fus), float(v_ref), rtol=1e-6)
+
+    g_ref = jax.grad(composed, argnums=(0, 1))(decoded, scale)
+    g_fus = jax.grad(fused, argnums=(0, 1))(decoded, scale)
+    for a, b in zip(g_fus, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_schedule_weights():
     cfg = GadConfig()
     assert loss_weights(1, cfg) == (1e-3, 0.0)
