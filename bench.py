@@ -45,6 +45,48 @@ def _tpu_reachable(timeout_s: float = 300.0) -> bool:
         return False
 
 
+TUNE_CACHE = "/root/repo/.gags_bench_tune.json"
+
+
+def _splat_fingerprint() -> str:
+    """Hash of the kernel-relevant sources: a cached tuning winner is only
+    trusted while the code that produced it is unchanged."""
+    import glob
+    import hashlib
+
+    h = hashlib.sha256()
+    for path in sorted(glob.glob("/root/repo/gags_tpu/splat/*.py")):
+        with open(path, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _tune_cache_load(key: dict):
+    import os
+
+    if os.environ.get("GAGS_BENCH_RETUNE") == "1":
+        return None
+    try:
+        with open(TUNE_CACHE) as f:
+            rec = json.load(f)
+        if rec.get("key") == key:
+            return rec["config"]
+    except Exception:
+        pass
+    return None
+
+
+def _tune_cache_store(key: dict, cfg) -> None:
+    import dataclasses
+
+    try:
+        with open(TUNE_CACHE, "w") as f:
+            json.dump({"key": key, "config": dataclasses.asdict(cfg)}, f,
+                      indent=1)
+    except Exception as exc:  # never let cache IO break the bench
+        print(f"# tune-cache write failed: {exc!r}", file=sys.stderr)
+
+
 def main():
     import jax
 
@@ -86,12 +128,34 @@ def main():
     )
     bg = jnp.zeros((feats.shape[1],), jnp.float32)
 
+    # persistent tuning cache: an earlier measure-battery run on this same
+    # code + shape already paid the candidate compiles (1-4 min each via
+    # the remote compile service) and validated parity — reuse its winner.
+    # GAGS_BENCH_RETUNE=1 forces a fresh tuning pass.
+    import dataclasses as _dcf
+
+    tune_key = {
+        "w": w, "h": h, "n": n, "c": int(feats.shape[1]),
+        "backend": jax.default_backend(), "splat": _splat_fingerprint(),
+    }
+    cached_cfg = None if on_cpu else _tune_cache_load(tune_key)
+    if cached_cfg is not None:
+        rcfields = {f.name for f in _dcf.fields(RasterizeConfig)}
+        cfg = RasterizeConfig(
+            **{k: v for k, v in cached_cfg.items() if k in rcfields}
+        )
+        if cfg.soa_geom:
+            from gags_tpu.splat.rasterizer import soa_geometry
+
+            means, quats, scales = soa_geometry(means, quats, scales)
+        print(f"# tuned config reused from {TUNE_CACHE}", file=sys.stderr)
+
     # bf16 self-validation ON THE HARDWARE being benched: the bf16 blend
     # must COMPILE and stay within its documented ~1e-2 contract of the
     # f32 pipeline on this exact scene, else fall back to f32 so the
     # recorded number is never missing or from a silently-broken
     # low-precision path
-    if cfg.blend_bf16:
+    if cfg.blend_bf16 and cached_cfg is None:
         import dataclasses
 
         cfg_f32 = dataclasses.replace(cfg, blend_bf16=False)
@@ -131,6 +195,7 @@ def main():
             background=bg, config=cfg,
         )
     assert int(res.overflow) == 0, f"instance budget overflow: {int(res.overflow)}"
+    assert np.isfinite(float(jnp.max(jnp.abs(res.image)))), "non-finite render"
 
     # drain timing: enqueue K frames (dispatch ~0.04 ms/frame), one
     # readback at the end; matches profiler module timelines, unlike the
@@ -157,7 +222,7 @@ def main():
     # every Mosaic version — compile + parity-guard each, then keep the
     # fastest drained variant. Any failure falls back silently, so the
     # recorded number is never missing.
-    if not on_cpu:
+    if not on_cpu and cached_cfg is None:
         import dataclasses
         import time as _time
 
@@ -264,6 +329,7 @@ def main():
             f"image_chw={cfg.image_chw} soa_geom={cfg.soa_geom}",
             file=sys.stderr,
         )
+        _tune_cache_store(tune_key, cfg)
 
     dt = timed(cfg, iters)
     fps = 1.0 / dt
