@@ -178,11 +178,15 @@ _SINGLE_SCALE = {"s": (1.0, 0.0, 0.0), "m": (0.0, 1.0, 0.0),
                  "l": (0.0, 0.0, 1.0), "mix": (1 / 3, 1 / 3, 1 / 3)}
 
 
-def _supervised_l1_pix(cfg: GadConfig, decoded, scale_map, batch, width, height):
+def supervised_l1_pix(cfg: GadConfig, decoded, scale_map, batch):
     """Masked per-pixel L1 vs the blended GT map — fused custom-VJP when
-    eligible (same-resolution default path), generic composition otherwise."""
+    eligible (supervision already at render resolution, default mode),
+    generic composition otherwise. Shared by the single-chip, DP and
+    gshard-strip loss functions (decoded carries the local render shape)."""
     seg_map = batch["seg_map"]
-    if cfg.fused_supervision and tuple(seg_map.shape[:2]) == (height, width):
+    if cfg.fused_supervision and tuple(seg_map.shape[:2]) == tuple(
+        decoded.shape[:2]
+    ):
         return fused_supervision_l1(
             decoded, batch["img_embed"], seg_map[..., 1:4], scale_map
         )
@@ -226,7 +230,7 @@ def make_train_step(statics: Dict[str, Any], width: int, height: int, cfg: GadCo
         seg_mixed = mixed_seg_map(batch["seg_map"], scale_map)  # (H, W) ids
 
         decoded = dec.apply(dec_params, feat_map)  # (H, W, D)
-        l1_pix = _supervised_l1_pix(cfg, decoded, scale_map, batch, width, height)
+        l1_pix = supervised_l1_pix(cfg, decoded, scale_map, batch)
         l1_feature = losses.region_balanced_l1(l1_pix, seg_mixed, cfg.max_segments)
 
         ent = losses.scale_entropy_loss(scale_map)
@@ -298,7 +302,7 @@ def make_train_step_binned(statics: Dict[str, Any], width: int, height: int, cfg
         scale_map = _scale_map_fn(cfg, scl, scl_params, feat_map)
         seg_mixed = mixed_seg_map(batch["seg_map"], scale_map)
         decoded = dec.apply(dec_params, feat_map)
-        l1_pix = _supervised_l1_pix(cfg, decoded, scale_map, batch, width, height)
+        l1_pix = supervised_l1_pix(cfg, decoded, scale_map, batch)
         l1_feature = losses.region_balanced_l1(l1_pix, seg_mixed, cfg.max_segments)
         ent = losses.scale_entropy_loss(scale_map)
         regvar = losses.region_variance_loss(feat_map, seg_mixed, cfg.max_segments)

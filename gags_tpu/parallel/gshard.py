@@ -30,7 +30,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gags_tpu.gad import losses
-from gags_tpu.gad.supervision import blend_gt_feature_map
+from gags_tpu.gad.train import supervised_l1_pix
 from gags_tpu.gad.train import GadConfig, TrainState
 from gags_tpu.splat import tiles
 from gags_tpu.splat.projection import effective_opacity, project_gaussians
@@ -338,12 +338,8 @@ def _strip_local_loss(
         )
         scale_map = scl.apply(scl_params, jax.lax.stop_gradient(feat_map))
         seg_mixed = _mixed_seg_map_strip(batch["seg_map"], scale_map, axis)
-        gt_map, mask = blend_gt_feature_map(
-            batch["img_embed"], batch["seg_map"], scale_map
-        )
-        maskf = mask.astype(jnp.float32)
         decoded = dec.apply(dec_params, feat_map)
-        l1_pix = losses.l1_map(decoded * maskf, gt_map * maskf)
+        l1_pix = supervised_l1_pix(cfg, decoded, scale_map, batch)
         l1_feature = losses.region_balanced_l1(
             l1_pix, seg_mixed, cfg.max_segments, axis_name=axis
         )

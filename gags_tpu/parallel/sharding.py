@@ -26,7 +26,8 @@ from gags_tpu.gad.train import GadConfig, TrainState
 from gags_tpu.scene.gaussian_data import GaussianScene
 from gags_tpu.splat.rasterizer import rasterize, rasterize_binned
 from gags_tpu.gad import losses
-from gags_tpu.gad.supervision import blend_gt_feature_map, mixed_seg_map
+from gags_tpu.gad.supervision import mixed_seg_map
+from gags_tpu.gad.train import supervised_l1_pix
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
@@ -96,10 +97,8 @@ def make_dp_train_step(
             feat_map = res.image
         scale_map = scl.apply(scl_params, jax.lax.stop_gradient(feat_map))
         seg_mixed = mixed_seg_map(batch["seg_map"], scale_map)
-        gt_map, mask = blend_gt_feature_map(batch["img_embed"], batch["seg_map"], scale_map)
-        maskf = mask.astype(jnp.float32)
         decoded = dec.apply(dec_params, feat_map)
-        l1_pix = losses.l1_map(decoded * maskf, gt_map * maskf)
+        l1_pix = supervised_l1_pix(cfg, decoded, scale_map, batch)
         l1_feature = losses.region_balanced_l1(l1_pix, seg_mixed, cfg.max_segments)
         ent = losses.scale_entropy_loss(scale_map)
         regvar = losses.region_variance_loss(feat_map, seg_mixed, cfg.max_segments)
