@@ -431,8 +431,17 @@ def main():
     p.add_argument("--devices", type=int, default=1,
                    help="camera-data-parallel training over N devices "
                         "(each iteration consumes N cameras)")
-    args = p.parse_args()
-    run(RunConfig(**vars(args)))
+    p.add_argument("--fused_supervision", action="store_true",
+                   help="residual-free supervision+L1 custom VJP "
+                        "(same math, fewer HBM round trips; see "
+                        "gad/supervision.fused_supervision_l1)")
+    args = vars(p.parse_args())
+    gad_cfg = None
+    if args.pop("fused_supervision"):
+        from gags_tpu.splat.rasterizer import auto_config
+
+        gad_cfg = GadConfig(fused_supervision=True, raster=auto_config())
+    run(RunConfig(**args), gad_cfg)
 
 
 if __name__ == "__main__":
