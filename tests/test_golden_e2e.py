@@ -30,7 +30,7 @@ from gags_tpu.utils.synthetic import make_camera, make_scene
 W, H, N, D, FDIM = 32, 16, 120, 24, 8
 ITERS = 300
 
-def _setup():
+def _setup(fused_supervision: bool = False):
     raw = make_scene(N, seed=5, scale_mean=-1.6)  # fat splats: full image coverage at 32x16
     scene = GaussianScene(
         means=jnp.asarray(raw["means"]),
@@ -61,6 +61,7 @@ def _setup():
         max_segments=8,
         feature_lr=5e-3,
         decoder_lr=5e-4,
+        fused_supervision=fused_supervision,
         raster=RasterizeConfig(tile_h=8, tile_w=16, chunk=8, interpret=True),
     )
     state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)
@@ -75,8 +76,10 @@ def _setup():
     return scene, state, statics, geom, step, batches, cams, embed, seg, cfg
 
 
-def run_distill():
-    scene, state, statics, geom, step, batches, cams, embed, seg, cfg = _setup()
+def run_distill(fused_supervision: bool = False):
+    scene, state, statics, geom, step, batches, cams, embed, seg, cfg = _setup(
+        fused_supervision
+    )
     loss = None
     for i in range(ITERS):
         ew, rw = loss_weights(i, cfg)
@@ -141,6 +144,18 @@ def test_golden_distillation_run():
     assert abs(loss - 0.008565) < 0.004, loss
     assert iou >= 0.9, iou
     assert iou16 >= 0.9, iou16  # bf16 inference preserves grounding
+
+
+@pytest.mark.slow
+def test_golden_distillation_run_fused_supervision():
+    """The residual-free fused supervision VJP must land inside the SAME
+    golden band over a full 300-iteration distillation — long-horizon
+    evidence (beyond single-step equality) that the custom VJP does not
+    drift training."""
+    loss, iou, iou16 = run_distill(fused_supervision=True)
+    assert abs(loss - 0.008565) < 0.004, loss
+    assert iou >= 0.9, iou
+    assert iou16 >= 0.9, iou16
 
 
 if __name__ == "__main__":
