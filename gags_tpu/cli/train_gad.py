@@ -69,6 +69,9 @@ class RunConfig:
     # cameras (exact mean-gradient semantics; per-camera binnings are
     # re-prepared at a uniform budget so batches stack). 1 = single chip.
     devices: int = 1
+    # on-device A/B of equivalent train-step variants at startup
+    # (gad/autotune.py); single-device runs only
+    autotune_train: bool = False
 
 
 def _make_viewer(geometry, rc: "RunConfig", total_iterations: int):
@@ -277,6 +280,19 @@ def run(rc: RunConfig, gad_cfg: GadConfig = None) -> TrainState:
         def step_fn(state, geom_, batch, ew, rw):
             s, loss = dp_step(state, geom_, batch, ew, rw)
             return s, {"loss": loss}
+    elif rc.autotune_train:
+        # on-device A/B of the numerically-equivalent step variants
+        # (streaming forward kernel, residual-free supervision VJP) —
+        # a few compiles + drain-timed steps up front, the winner runs
+        # the 30k-iteration loop
+        from gags_tpu.gad.autotune import autotune_train_step
+
+        b0 = dataset.batch(0)
+        b0.update(bin_cache[0])
+        gad_cfg, step_fn = autotune_train_step(
+            statics, dataset.width, dataset.height, gad_cfg, state, geom, b0
+        )
+        gad_cfg.save(rc.model_path)  # model dir carries the tuned config
     else:
         step_fn = make_train_step_binned(
             statics, dataset.width, dataset.height, gad_cfg
@@ -431,6 +447,9 @@ def main():
     p.add_argument("--devices", type=int, default=1,
                    help="camera-data-parallel training over N devices "
                         "(each iteration consumes N cameras)")
+    p.add_argument("--autotune_train", action="store_true",
+                   help="on-device A/B of equivalent train-step variants "
+                        "at startup; trains with the fastest")
     p.add_argument("--fused_supervision", action="store_true",
                    help="residual-free supervision+L1 custom VJP "
                         "(same math, fewer HBM round trips; see "
