@@ -257,6 +257,8 @@ def main():
                           file=sys.stderr)
                     return cfg_best, t_best
                 t = timed(cand, 8)
+                print(f"# {flags}: {t * 1e3:.2f} ms (best {t_best * 1e3:.2f})",
+                      file=sys.stderr)
                 return (cand, t) if t < t_best else (cfg_best, t_best)
             except Exception as exc:
                 print(f"# {flags} failed: {exc!r:.200} — skipped",
@@ -264,6 +266,7 @@ def main():
                 return cfg_best, t_best
 
         t0 = timed(cfg, 8)
+        print(f"# base config: {t0 * 1e3:.2f} ms", file=sys.stderr)
         cfg, t0 = try_candidate(cfg, t0, kernel_relayout=True)
         cfg, t0 = try_candidate(cfg, t0, fused_keys=True)
         cfg, t0 = try_candidate(cfg, t0, packed_out=True)

@@ -137,10 +137,13 @@ def _cumsum_lanes(x, g: int):
 
     def tri_dot(xs):
         if bf16:
+            # Mosaic's tpu.matmul requires a 32-bit accumulator (bf16
+            # preferred_element_type fails verification on hardware) — ask
+            # for f32 and narrow the result; the MXU pass is the same.
             return jax.lax.dot_general(
                 xs, tri, dimension_numbers=dn,
-                preferred_element_type=jnp.bfloat16,
-            )
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
         if TRI_MODE == "default":
             return jax.lax.dot_general(
                 xs, tri, dimension_numbers=dn,
@@ -1581,7 +1584,11 @@ def _expand_keys_kernel(
         ws_f = ws_abs.astype(jnp.float32)
         i_f = (
             (c * k + s * sb).astype(jnp.float32)
-            + jax.lax.broadcasted_iota(jnp.float32, (sb, 1), 0)
+            # Mosaic's tpu.iota only emits integer vectors — build i32,
+            # convert (values < 2^24 by the tier guard, so f32-exact)
+            + jax.lax.broadcasted_iota(jnp.int32, (sb, 1), 0).astype(
+                jnp.float32
+            )
         )  # (SB, 1) global slot ids, f32-exact (< 2^24 by the tier guard)
         mask = (i_f >= off).astype(jnp.float32)  # (SB, WS) monotone step
         cnt = jnp.sum(mask, axis=1, keepdims=True)  # (SB, 1)
