@@ -572,29 +572,33 @@ def _forward_fast_kernel(
                         # and only the (P, 1) log-T carry stays f32.
                         # Measured image error vs the f32 path ~1e-2
                         # relative (tests/test_pallas_rasterizer.py).
-                        sb = s2.astype(jnp.bfloat16)
-                        alpha = jnp.minimum(
-                            jnp.bfloat16(ALPHA_CLAMP), jnp.exp2(-sb)
-                        )
-                        live = alpha >= jnp.bfloat16(ALPHA_FLOOR)
-                        alpha = jnp.where(live, alpha, jnp.bfloat16(0))
-                        l1m = jnp.log1p(-alpha)  # ln(1 - alpha), bf16
-                        cum = _cumsum_lanes(l1m, g)
-                        lt_incl = lt.astype(jnp.bfloat16) + cum
-                        include = lt_incl >= jnp.bfloat16(LOG_T_EPS)
+                        # bf16 lives at the quantisation points (sigma
+                        # rows, ln(1-a) rows) and the two MXU passes;
+                        # every compare/select runs on exact f32
+                        # EXTENSIONS of those bf16 values — Mosaic's v5e
+                        # target rejects packed-bf16 cmpf ("Target does
+                        # not support this comparison", found on hardware
+                        # by scripts/tpu_validate.py).
+                        sf = s2.astype(jnp.bfloat16).astype(jnp.float32)
+                        alpha = jnp.minimum(ALPHA_CLAMP, jnp.exp2(-sf))
+                        alpha = jnp.where(alpha >= ALPHA_FLOOR, alpha, 0.0)
+                        l1m_b = jnp.log1p(-alpha).astype(jnp.bfloat16)
+                        cum = _cumsum_lanes(l1m_b, g)  # bf16 tri matmul
+                        cumf = cum.astype(jnp.float32)
+                        lt_incl = lt + cumf  # ln units, f32 carry
                         w = jnp.where(
-                            include,
-                            alpha * jnp.exp(lt_incl - l1m),
-                            jnp.bfloat16(0),
+                            lt_incl >= LOG_T_EPS,
+                            alpha * jnp.exp(
+                                lt_incl - l1m_b.astype(jnp.float32)
+                            ),
+                            0.0,
                         )
                         acc_ref[sl, :] += jax.lax.dot_general(
-                            w, colors,  # bf16 x bf16 -> f32 acc
+                            w.astype(jnp.bfloat16), colors,  # bf16 MXU
                             dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
-                        new_log_t.append(
-                            lt + cum[:, g - 1 : g].astype(jnp.float32)
-                        )
+                        new_log_t.append(lt + cumf[:, g - 1 : g])
                         continue
                     alpha = jnp.minimum(ALPHA_CLAMP, jnp.exp2(-s2))
                     live = alpha >= ALPHA_FLOOR
