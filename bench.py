@@ -114,8 +114,10 @@ def main():
     # inference config: 32x32 tiles (best measured shape) + unaligned
     # binning (forward-only layout: no SAT/dummy passes, opacity-aware
     # extents + ellipse-tile cull) + streaming fast kernel with bf16
-    # colour rows and the bf16 blend pipeline; budget_factor 3 fits this
-    # scene's instances with margin (overflow asserted zero below)
+    # colour rows; budget_factor 3 fits this scene's instances with
+    # margin (overflow asserted zero below). blend_bf16 is NOT assumed —
+    # it is A/B'd below like every other candidate (the f32-extension
+    # compares the Mosaic target forces made its win non-obvious).
     cfg = RasterizeConfig(
         tile_h=8 if on_cpu else 32,
         tile_w=16 if on_cpu else 32,
@@ -124,7 +126,6 @@ def main():
         aligned=False,
         fast_color_rows=not on_cpu,
         budget_factor=4 if on_cpu else 3,
-        blend_bf16=not on_cpu,
     )
     bg = jnp.zeros((feats.shape[1],), jnp.float32)
 
@@ -149,34 +150,6 @@ def main():
 
             means, quats, scales = soa_geometry(means, quats, scales)
         print(f"# tuned config reused from {TUNE_CACHE}", file=sys.stderr)
-
-    # bf16 self-validation ON THE HARDWARE being benched: the bf16 blend
-    # must COMPILE and stay within its documented ~1e-2 contract of the
-    # f32 pipeline on this exact scene, else fall back to f32 so the
-    # recorded number is never missing or from a silently-broken
-    # low-precision path
-    if cfg.blend_bf16 and cached_cfg is None:
-        import dataclasses
-
-        cfg_f32 = dataclasses.replace(cfg, blend_bf16=False)
-        try:
-            img16 = rasterize(
-                means, quats, scales, opac, feats, cam.viewmat, cam.K, w, h,
-                background=bg, config=cfg,
-            ).image
-            ref = rasterize(
-                means, quats, scales, opac, feats, cam.viewmat, cam.K, w, h,
-                background=bg, config=cfg_f32,
-            ).image
-            scale = float(jnp.max(jnp.abs(ref))) + 1e-8
-            rel = float(jnp.max(jnp.abs(img16 - ref))) / scale
-            ok = np.isfinite(rel) and rel <= 0.05
-            why = f"parity {rel:.3e} out of contract"
-        except Exception as exc:  # Mosaic/bf16 lowering failure etc.
-            ok, why = False, f"bf16 path failed: {exc!r:.200}"
-        if not ok:
-            print(f"# blend_bf16 {why} — f32 fallback", file=sys.stderr)
-            cfg = cfg_f32
 
     # honesty check: the trimmed instance budget must not drop anything —
     # grow the budget instead of dying (a crash here records NO result)
@@ -233,15 +206,23 @@ def main():
             __import__("os").environ.get("GAGS_BENCH_TUNE_BUDGET_S", "1500")
         )
 
+        # parity reference tracks the WINNER: bit-exact candidates are
+        # judged against the image they must reproduce (the current best
+        # config's), contract candidates (bf16, tile shapes) against the
+        # same at their documented tolerance — not against a stale base
+        ref_img = res.image
+        if cfg.image_chw:
+            ref_img = jnp.transpose(ref_img, (1, 2, 0))
+
         def try_candidate(cfg_best, t_best, tol=1e-5, **flags):
+            nonlocal ref_img
             if _time.monotonic() > tune_deadline:
                 print(f"# {flags} skipped: tune budget exhausted",
                       file=sys.stderr)
                 return cfg_best, t_best
-            # tol 1e-5: bit-exact kernel variants. Tile-shape/p_block
-            # candidates re-associate the f32/bf16 accumulation (chunk
-            # boundaries move), so they pass the blend contract tol
-            # instead of exactness.
+            # tol 1e-5: bit-exact kernel variants. blend_bf16 and tile-
+            # shape/p_block candidates re-associate or quantise the
+            # accumulation, so they pass the blend contract tol instead.
             cand = dataclasses.replace(cfg_best, **flags)
             try:
                 img_k = rasterize(
@@ -250,8 +231,8 @@ def main():
                 ).image
                 if cand.image_chw:  # (C, H, W) → canonical (H, W, C)
                     img_k = jnp.transpose(img_k, (1, 2, 0))
-                scale = float(jnp.max(jnp.abs(res.image))) + 1e-8
-                rel = float(jnp.max(jnp.abs(img_k - res.image))) / scale
+                scale = float(jnp.max(jnp.abs(ref_img))) + 1e-8
+                rel = float(jnp.max(jnp.abs(img_k - ref_img))) / scale
                 if not (np.isfinite(rel) and rel <= tol):
                     print(f"# {flags} parity {rel:.3e} — skipped",
                           file=sys.stderr)
@@ -259,7 +240,10 @@ def main():
                 t = timed(cand, 8)
                 print(f"# {flags}: {t * 1e3:.2f} ms (best {t_best * 1e3:.2f})",
                       file=sys.stderr)
-                return (cand, t) if t < t_best else (cfg_best, t_best)
+                if t < t_best:
+                    ref_img = img_k
+                    return cand, t
+                return cfg_best, t_best
             except Exception as exc:
                 print(f"# {flags} failed: {exc!r:.200} — skipped",
                       file=sys.stderr)
@@ -274,7 +258,17 @@ def main():
         # tensors are CHW too, so the layout is interface-fair; avoids
         # the 16->128 lane pad on the (H, W, 16) output write (~8x bytes)
         cfg, t0 = try_candidate(cfg, t0, image_chw=True)
-        # pair/early-exit shape candidates (NOT bit-exact vs the base —
+        # pair-shedding A/Bs: both are image-exact in value but move chunk
+        # boundaries (different instance sets), so f32 fuzz tol — they add
+        # binning work (extent math, cull columns) to shed blend pairs and
+        # were defaulted ON without a hardware measurement
+        cfg, t0 = try_candidate(cfg, t0, tol=1e-3, opacity_extents=False)
+        cfg, t0 = try_candidate(cfg, t0, tol=1e-3, tile_cull=False)
+        # precision candidate: bf16 alpha/transmittance pipeline (~1e-2
+        # contract). Measured, never assumed — the f32-extension compares
+        # Mosaic's target requires can eat the bandwidth saving.
+        cfg, t0 = try_candidate(cfg, t0, tol=5e-2, blend_bf16=True)
+        # pair/early-exit shape candidates (NOT bit-exact vs the winner —
         # chunk boundaries move; judged at the blend contract tol):
         # p_block 256 = finer early-exit slabs at unchanged binning;
         # 16x16 tiles = ~0.56x pairs at more chunks (wins only if the

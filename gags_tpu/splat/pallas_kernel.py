@@ -107,12 +107,16 @@ def _mxu_t(x_t: jnp.ndarray) -> jnp.ndarray:
     through the 0/1 identity); bf16 is exact in one DEFAULT pass."""
     g = x_t.shape[0]
     f32 = x_t.dtype == jnp.float32
-    return jax.lax.dot_general(
+    out = jax.lax.dot_general(
         x_t, _eye(g, x_t.dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=x_t.dtype,
+        # Mosaic requires a 32-bit matmul accumulator ("Expected matmul acc
+        # to be 32-bit", found on hardware) — accumulate f32 and cast back:
+        # still exact, every bf16 value round-trips through f32
+        preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST if f32 else None,
     )
+    return out if f32 else out.astype(x_t.dtype)
 
 
 SCAN_BLOCK = 128  # tri-matmul width; cumsum cost stays LINEAR in chunk size

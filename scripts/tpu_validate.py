@@ -70,7 +70,9 @@ for flags in (
               f"(max abs diff {float(jnp.max(jnp.abs(img_v - img_b))):.2e})",
               flush=True)
     except Exception as exc:
-        print(f"{flags}: COMPILE/RUN FAIL {exc!r:.300}", flush=True)
+        # full text: the Mosaic error names the exact MLIR op that the
+        # target rejected — truncating it costs a hardware round trip
+        print(f"{flags}: COMPILE/RUN FAIL {exc}", flush=True)
 
 # layout variants: SoA geometry (lane-major inputs, component projection
 # core + direct u16 tables) and channel-major final image — both claim
