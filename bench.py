@@ -237,7 +237,7 @@ def main():
                     print(f"# {flags} parity {rel:.3e} — skipped",
                           file=sys.stderr)
                     return cfg_best, t_best
-                t = timed(cand, 8)
+                t = timed(cand, 16)
                 print(f"# {flags}: {t * 1e3:.2f} ms (best {t_best * 1e3:.2f})",
                       file=sys.stderr)
                 if t < t_best:
@@ -249,7 +249,7 @@ def main():
                       file=sys.stderr)
                 return cfg_best, t_best
 
-        t0 = timed(cfg, 8)
+        t0 = timed(cfg, 16)
         print(f"# base config: {t0 * 1e3:.2f} ms", file=sys.stderr)
         cfg, t0 = try_candidate(cfg, t0, kernel_relayout=True)
         cfg, t0 = try_candidate(cfg, t0, fused_keys=True)
@@ -309,7 +309,7 @@ def main():
                 scale = float(jnp.max(jnp.abs(ref_k))) + 1e-8
                 rel = float(jnp.max(jnp.abs(img_k - ref_k))) / scale
                 if np.isfinite(rel) and rel <= 1e-5:
-                    t = timed(cand, 8, geom=geom_t)
+                    t = timed(cand, 16, geom=geom_t)
                     if t < t0:
                         cfg, t0 = cand, t
                         means, quats, scales = geom_t

@@ -356,17 +356,20 @@ def _forward_fast_kernel(
         bg, out, gbuf (2, 8, SEG), cbuf (2, C, SEG), acc, sems (4,)) — the
         XLA side reassembled the gathered u16 rows and transposed them
         lane-major (~2 ms of relayout copies per frame at 768k instances).
-      * rows_k == K (in-kernel relayout): refs = (rows_hbm (M, K) u16, bg,
-        out, rbuf (2, SEG, K) u16, acc, sems (2,)) — the kernel DMAs the
-        gathered rows untouched, reassembles the u16 halves in-register,
-        and recovers the lane-major layout with EXACT 0/1 identity
-        matmuls on the (otherwise idle) MXU: transposition is not a
-        contraction, but dot_general(x_T (G, D), I (G, G)) contracting
-        dim 0 with dim 0 IS x (D, G), and with a 0/1 identity each output
-        element is one 1.0*x product plus exact zeros (HIGHEST-precision
-        f32 splits reconstruct x error-free). K = 16 geometry u16 halves
-        + colour columns (C bf16 bit-halves, or 2C u16 halves when
-        col_f32). Deletes the XLA transposes/reassembly from the frame.
+      * rows_k == K (in-kernel relayout): refs = (rows_hbm (M, 128) u16
+        — K logical columns zero-padded to the 128-lane physical width —
+        bg, out, rbuf (2, SEG, 128) u16, acc, sems (2,)) — the kernel
+        DMAs the gathered rows untouched, selects the K logical columns
+        with an exact 0/1 matmul on the f32 extension, and recovers the
+        lane-major layout with EXACT 0/1 identity matmuls on the
+        (otherwise idle) MXU: transposition is not a contraction, but
+        dot_general(x_T (G, D), I (G, G)) contracting dim 0 with dim 0
+        IS x (D, G), and with a 0/1 matrix each output element is one
+        1.0*x product plus exact zeros (HIGHEST-precision f32 splits
+        reconstruct x error-free; u16 values < 2^16 are exact f32).
+        K = 16 geometry u16 halves + colour columns (C bf16 bit-halves,
+        or 2C u16 halves when col_f32). Deletes the XLA
+        transposes/reassembly from the frame.
     """
     if rows_k:
         rows_hbm, bg_ref, out_ref, rbuf, acc_ref, sems = refs
@@ -475,16 +478,32 @@ def _forward_fast_kernel(
             # 1 - T_after_last_included exactly — no min-tracking needed.
             k, log_t = carry
             if rows_k:
-                # in-kernel relayout: reassemble the chunk's u16 halves in-
-                # register and recover lane-major rows with one exact
-                # identity matmul (see _mxu_t)
-                hw = rbuf[slot, pl.ds(k * g, g), :]  # (G, K) u16
-                geom_t = jax.lax.bitcast_convert_type(
-                    (hw[:, :GEOM_ROWS].astype(jnp.uint32) << 16)
-                    | hw[:, GEOM_ROWS : 2 * GEOM_ROWS].astype(jnp.uint32),
+                # in-kernel relayout: the rows buffer is zero-padded to the
+                # 128-lane physical width — Mosaic cannot lane-slice sub-128
+                # spans of an i16 VMEM block ("Slice shape along dimension 1
+                # must be aligned to tiling (128)", hardware-found). Select
+                # the rows_k logical columns with an exact 0/1 MXU matmul on
+                # the f32 extension (u16 values < 2^16 are exact f32;
+                # HIGHEST splits reconstruct each 1.0*x product error-free),
+                # transpose with the same trick, then reassemble the u16
+                # halves from SUBLANE slices (8-aligned, supported).
+                hw = rbuf[slot, pl.ds(k * g, g), :]  # (G, 128) u16
+                # Mosaic has no direct u16->f32 cast; widen to i32 first
+                hwf = hw.astype(jnp.int32).astype(jnp.float32)
+                lsel = jax.lax.broadcasted_iota(jnp.int32, (128, rows_k), 0)
+                jsel = jax.lax.broadcasted_iota(jnp.int32, (128, rows_k), 1)
+                sel = (lsel == jsel).astype(jnp.float32)
+                tmp = jax.lax.dot_general(
+                    hwf, sel, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (G, K) f32 — the first rows_k lanes, exactly
+                all_t = _mxu_t(tmp)  # (K, G) f32, exact
+                rows = jax.lax.bitcast_convert_type(
+                    (all_t[:GEOM_ROWS].astype(jnp.uint32) << 16)
+                    | all_t[GEOM_ROWS : 2 * GEOM_ROWS].astype(jnp.uint32),
                     jnp.float32,
-                )  # (G, 8)
-                rows = _mxu_t(geom_t)  # (8, G) f32, exact
+                )  # (8, G)
             else:
                 rows = gbuf[slot, :, pl.ds(k * g, g)]  # (8, G) f32
             # constants folded into the per-lane conic rows: sigma2 =
@@ -507,17 +526,21 @@ def _forward_fast_kernel(
                 mlog = jnp.where(opm > 0.0, -jnp.log2(opm), jnp.float32(1e4))
             cdt = jnp.bfloat16 if blend_bf16 else jnp.float32
             if rows_k:
-                cw = hw[:, 2 * GEOM_ROWS :]  # (G, C) bf16 bits or (G, 2C) u16
+                # colour columns ride the same transposed selection;
+                # sublane slices (8-aligned — colours are padded to
+                # multiples of 8) replace the unsupported lane slices
+                cbits = all_t[2 * GEOM_ROWS :]  # (C or 2C, G) u16 patterns
                 if col_f32:
-                    cc2 = cw.shape[1] // 2
-                    col_t = jax.lax.bitcast_convert_type(
-                        (cw[:, :cc2].astype(jnp.uint32) << 16)
-                        | cw[:, cc2:].astype(jnp.uint32),
+                    cc2 = cbits.shape[0] // 2
+                    col_rows = jax.lax.bitcast_convert_type(
+                        (cbits[:cc2].astype(jnp.uint32) << 16)
+                        | cbits[cc2:].astype(jnp.uint32),
                         jnp.float32,
-                    )  # (G, C) f32
+                    ).astype(cdt)  # (C, G)
                 else:
-                    col_t = jax.lax.bitcast_convert_type(cw, jnp.bfloat16)
-                col_rows = _mxu_t(col_t.astype(cdt))  # (C, G), exact
+                    col_rows = jax.lax.bitcast_convert_type(
+                        cbits.astype(jnp.uint16), jnp.bfloat16
+                    ).astype(cdt)  # (C, G)
             else:
                 col_rows = cbuf[slot, :, pl.ds(k * g, g)].astype(cdt)
             colors = jnp.concatenate(
@@ -753,18 +776,19 @@ def tile_blend_forward_fast(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "col_f32", "tiles_x", "tiles_y", "tile_h", "tile_w", "chunk",
-        "p_block", "seg_chunks", "mxu_sigma", "blend_bf16", "packed_out",
-        "interpret",
+        "col_f32", "logical_cols", "tiles_x", "tiles_y", "tile_h", "tile_w",
+        "chunk", "p_block", "seg_chunks", "mxu_sigma", "blend_bf16",
+        "packed_out", "interpret",
     ),
 )
 def tile_blend_forward_fast_rows(
-    rows_inst: jnp.ndarray,  # (M', 16 + Cc) u16 gathered instance rows
+    rows_inst: jnp.ndarray,  # (M', 128) u16: 16+Cc logical cols zero-padded
     tile_starts: jnp.ndarray,
     tile_counts: jnp.ndarray,
     bg: jnp.ndarray | None = None,
     *,
     col_f32: bool,
+    logical_cols: int,
     tiles_x: int,
     tiles_y: int,
     tile_h: int,
@@ -778,16 +802,19 @@ def tile_blend_forward_fast_rows(
     interpret: bool = False,
 ):
     """In-kernel-relayout variant of `tile_blend_forward_fast`: consumes the
-    gathered u16 instance rows UNTRANSPOSED ((M', K): 16 geometry bit-half
-    columns then colour columns — C bf16 bit columns, or 2C u16 halves when
-    col_f32) and performs reassembly + lane-major transposition inside the
-    kernel (exact identity matmuls on the idle MXU), deleting the XLA-side
-    relayout copies (~2 ms/frame at 768k instances). Same sentinel-slack
-    contract as the classic entry; returns (T, P, C+1)."""
+    gathered u16 instance rows UNTRANSPOSED ((M', 128): `logical_cols` =
+    16 geometry bit-half columns then colour columns — C bf16 bit columns,
+    or 2C u16 halves when col_f32 — zero-padded to the 128-lane physical
+    width, since Mosaic cannot lane-slice sub-128 spans of an i16 VMEM
+    block) and performs column selection + reassembly + lane-major
+    transposition inside the kernel (exact 0/1 matmuls on the idle MXU),
+    deleting the XLA-side relayout copies (~2 ms/frame at 768k instances).
+    Same sentinel-slack contract as the classic entry; returns (T, P, C+1)."""
     num_tiles = tiles_x * tiles_y
     p = tile_h * tile_w
     k_cols = rows_inst.shape[1]
-    c = (k_cols - 2 * GEOM_ROWS) // (2 if col_f32 else 1)
+    assert k_cols == 128, "rows table must be padded to 128 u16 lanes"
+    c = (logical_cols - 2 * GEOM_ROWS) // (2 if col_f32 else 1)
     m = rows_inst.shape[0]
     p_block = min(p_block, p)
     assert p % p_block == 0
@@ -810,7 +837,7 @@ def tile_blend_forward_fast_rows(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, seg_chunks * chunk, k_cols), jnp.uint16),
+            pltpu.VMEM((2, seg_chunks * chunk, 128), jnp.uint16),
             pltpu.VMEM((p, c + 1), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -820,7 +847,7 @@ def tile_blend_forward_fast_rows(
     kernel = functools.partial(
         _forward_fast_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
         g=chunk, p_block=p_block, mxu_sigma=mxu_sigma, blend_bf16=blend_bf16,
-        rows_k=k_cols, col_f32=col_f32, packed_out=packed_out,
+        rows_k=logical_cols, col_f32=col_f32, packed_out=packed_out,
     )
     (out,) = pl.pallas_call(
         kernel,

@@ -509,17 +509,28 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, 
             )  # (N+1, Cp)
         else:
             col_u16 = tiles.u16_halves(colors_pad)  # (N+1, 2Cp)
-        got = jnp.concatenate([geom_u16, col_u16], axis=1)[inst_gid]
         packed = cfg.packed_out
-        if cfg.kernel_relayout:
+        k_logical = 16 + col_u16.shape[1]
+        if cfg.kernel_relayout and k_logical <= 128:
             # no XLA relayout at all: the kernel reassembles the u16 rows
-            # and recovers the lane-major layout in-register
+            # and recovers the lane-major layout in-register. The table is
+            # zero-padded to the 128-lane physical width BEFORE the gather
+            # (row gathers are per-row bound, so the wider rows are ~free;
+            # Mosaic cannot lane-slice sub-128 spans of an i16 VMEM block,
+            # so the kernel needs the full physical width).
+            table = jnp.concatenate(
+                [geom_u16, col_u16,
+                 jnp.zeros((geom_u16.shape[0], 128 - k_logical), jnp.uint16)],
+                axis=1,
+            )
+            got = table[inst_gid]
             out = pk.tile_blend_forward_fast_rows(
                 got,
                 tile_starts,
                 tile_counts,
                 bg,
                 col_f32=not cfg.fast_color_rows,
+                logical_cols=k_logical,
                 tiles_x=tiles_x,
                 tiles_y=tiles_y,
                 tile_h=cfg.tile_h,
@@ -534,6 +545,7 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, 
             if packed:
                 return out[:, :c_true, :], out[:, -1:, :]
             return out[..., :c_true], out[..., -1:]
+        got = jnp.concatenate([geom_u16, col_u16], axis=1)[inst_gid]
         if _TRANSPOSE_U16:
             # A/B experiment (GAGS_T16=1): ONE u16 transpose of the whole
             # gathered table (half the relayout bytes of the two f32/bf16

@@ -57,8 +57,12 @@ def device_time_drain(fn: Callable, *args, k: int = 30, warmup: int = 2) -> floa
     """Steady-state seconds per execution: enqueue k, drain once.
 
     Dispatch is ~0.04 ms/call on the tunnel backend, so enqueue time is
-    negligible and the single end-of-run readback (~35 ms) amortises to
-    ~1 ms at k=30. Cross-checked against profiler module timelines
+    negligible. The single end-of-run readback is NOT: its round-trip
+    varies with tunnel health (35 ms on a good day, >100 ms observed) and
+    inflates every frame by latency/k — enough to mis-rank kernel
+    candidates at small k. It is therefore measured directly on the idle
+    device (forcing an already-complete output is a pure round-trip) and
+    subtracted. Cross-checked against profiler module timelines
     (back-to-back executions, zero gaps); the slope method was observed
     to overestimate by ~30% on this backend for unknown reasons.
     """
@@ -66,7 +70,10 @@ def device_time_drain(fn: Callable, *args, k: int = 30, warmup: int = 2) -> floa
     for _ in range(max(warmup, 1)):
         out = fn(*args)
     _force(out)
-    return _run(fn, args, k) / k
+    t0 = time.perf_counter()
+    _force(out)  # device idle, result ready: pure readback round-trip
+    rb = time.perf_counter() - t0
+    return max((_run(fn, args, k) - rb) / k, 1e-9)
 
 
 def report(name: str, fn: Callable, *args, **kw) -> float:
