@@ -499,9 +499,12 @@ def _forward_fast_kernel(
                     precision=jax.lax.Precision.HIGHEST,
                 )  # (G, K) f32 — the first rows_k lanes, exactly
                 all_t = _mxu_t(tmp)  # (K, G) f32, exact
+                # reassembly in i32 (Mosaic has no f32->u32 cast); the
+                # shift wraps into the sign bit with the intended 32-bit
+                # pattern, so the bitcast is still exact
                 rows = jax.lax.bitcast_convert_type(
-                    (all_t[:GEOM_ROWS].astype(jnp.uint32) << 16)
-                    | all_t[GEOM_ROWS : 2 * GEOM_ROWS].astype(jnp.uint32),
+                    (all_t[:GEOM_ROWS].astype(jnp.int32) << 16)
+                    | all_t[GEOM_ROWS : 2 * GEOM_ROWS].astype(jnp.int32),
                     jnp.float32,
                 )  # (8, G)
             else:
@@ -533,13 +536,17 @@ def _forward_fast_kernel(
                 if col_f32:
                     cc2 = cbits.shape[0] // 2
                     col_rows = jax.lax.bitcast_convert_type(
-                        (cbits[:cc2].astype(jnp.uint32) << 16)
-                        | cbits[cc2:].astype(jnp.uint32),
+                        (cbits[:cc2].astype(jnp.int32) << 16)
+                        | cbits[cc2:].astype(jnp.int32),
                         jnp.float32,
                     ).astype(cdt)  # (C, G)
                 else:
+                    # a bf16 value's f32 extension has bit pattern
+                    # (bits16 << 16): recover the f32 directly (no
+                    # f32->u16 cast in Mosaic), then round to cdt —
+                    # exact for cdt=bf16 (value is representable)
                     col_rows = jax.lax.bitcast_convert_type(
-                        cbits.astype(jnp.uint16), jnp.bfloat16
+                        cbits.astype(jnp.int32) << 16, jnp.float32
                     ).astype(cdt)  # (C, G)
             else:
                 col_rows = cbuf[slot, :, pl.ds(k * g, g)].astype(cdt)
