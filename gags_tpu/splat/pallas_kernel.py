@@ -415,6 +415,13 @@ def _forward_fast_kernel(
     nchunks = jnp.where(count > 0, pl.cdiv(lead + count, g), 0)
     nseg = pl.cdiv(nchunks, cpseg)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
+    if rows_k:
+        # loop-invariant 0/1 lane-selection matrix for the in-kernel
+        # relayout (picks the first rows_k of 128 physical lanes); built
+        # once per tile, not per chunk
+        _lsel = jax.lax.broadcasted_iota(jnp.int32, (128, rows_k), 0)
+        _jsel = jax.lax.broadcasted_iota(jnp.int32, (128, rows_k), 1)
+        sel = (_lsel == _jsel).astype(jnp.float32)
 
     acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
@@ -490,9 +497,6 @@ def _forward_fast_kernel(
                 hw = rbuf[slot, pl.ds(k * g, g), :]  # (G, 128) u16
                 # Mosaic has no direct u16->f32 cast; widen to i32 first
                 hwf = hw.astype(jnp.int32).astype(jnp.float32)
-                lsel = jax.lax.broadcasted_iota(jnp.int32, (128, rows_k), 0)
-                jsel = jax.lax.broadcasted_iota(jnp.int32, (128, rows_k), 1)
-                sel = (lsel == jsel).astype(jnp.float32)
                 tmp = jax.lax.dot_general(
                     hwf, sel, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,

@@ -40,6 +40,7 @@ from gags_tpu.splat.projection import (
 import os as _os
 
 _TRANSPOSE_U16 = _os.environ.get("GAGS_T16", "0") == "1"
+_WARNED_KREL_DISABLED = False
 # A/B experiment flag (GAGS_KREL=1): skip the XLA relayout entirely and let
 # the fast kernel reassemble + transpose the gathered u16 rows in-register
 # (RasterizeConfig.kernel_relayout). Numerics identical; drain-time decides.
@@ -101,7 +102,10 @@ class RasterizeConfig:
     # drop instances whose tile has no pixel above the alpha floor
     # (tiles.ellipse_tile_keep) — sheds the corner tiles of each splat's
     # bbox, image-exact. Ignored on aligned (training) binnings.
-    tile_cull: bool = True
+    # Default OFF: hardware-measured +5.4 ms/frame at 720p/250k (the cull
+    # columns' compute outweighs the pair shed — BENCH_r03: 31.0 ms with
+    # cull vs 25.6 without); autotune re-tries it per shape.
+    tile_cull: bool = False
     # feed the gathered u16 instance rows straight into the fast kernel,
     # which reassembles + transposes them in-register (exact identity
     # matmuls on the idle MXU) — deletes the XLA relayout copies (~2 ms
@@ -511,6 +515,19 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, 
             col_u16 = tiles.u16_halves(colors_pad)  # (N+1, 2Cp)
         packed = cfg.packed_out
         k_logical = 16 + col_u16.shape[1]
+        if cfg.kernel_relayout and k_logical > 128:
+            # silent fallback would mislead A/B runs that believe the flag
+            # is active — surface it once per process
+            global _WARNED_KREL_DISABLED
+            if not _WARNED_KREL_DISABLED:
+                _WARNED_KREL_DISABLED = True
+                import warnings
+
+                warnings.warn(
+                    f"kernel_relayout requested but disabled: row width "
+                    f"{k_logical} > 128 lanes (e.g. many colour channels "
+                    "with col_f32); using the classic relayout path."
+                )
         if cfg.kernel_relayout and k_logical <= 128:
             # no XLA relayout at all: the kernel reassembles the u16 rows
             # and recovers the lane-major layout in-register. The table is

@@ -70,10 +70,32 @@ def device_time_drain(fn: Callable, *args, k: int = 30, warmup: int = 2) -> floa
     for _ in range(max(warmup, 1)):
         out = fn(*args)
     _force(out)
-    t0 = time.perf_counter()
-    _force(out)  # device idle, result ready: pure readback round-trip
-    rb = time.perf_counter() - t0
-    return max((_run(fn, args, k) - rb) / k, 1e-9)
+    # The round-trip varies sample to sample (tunnel jitter): a single
+    # outlier sample would shift every candidate by delta_rb/k, the same
+    # order as the effects being ranked. Take the min of several samples
+    # (min, not median: readback cannot complete faster than the true
+    # round-trip, so the minimum is the least-contaminated estimate).
+    rb = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        _force(out)  # device idle, result ready: pure readback round-trip
+        rb = min(rb, time.perf_counter() - t0)
+    total = _run(fn, args, k)
+    if rb > 0.5 * total:
+        # Readback dominates the run: subtracting would leave noise (or a
+        # ~0 value that always wins candidate ranking). Re-measure with a
+        # longer run so the work term dominates.
+        total = _run(fn, args, 4 * k)
+        k = 4 * k
+        if rb > 0.5 * total:
+            import warnings
+
+            warnings.warn(
+                f"device_time_drain: readback ({rb*1e3:.1f} ms) exceeds half "
+                f"the {k}-iteration run ({total*1e3:.1f} ms); timing is "
+                "latency-dominated and unreliable at this granularity."
+            )
+    return max((total - rb) / k, 1e-9)
 
 
 def report(name: str, fn: Callable, *args, **kw) -> float:

@@ -1,0 +1,147 @@
+"""End-to-end GAS stage wall-clock: prompts → SAM decode → upscale/
+stability → host filtering → NMS → 224² crops → CLIP embed, per image.
+
+sam_bench.py covers only the encoder; this measures the reference's hot
+loop #2 (`preprocess.py:186-330` — the per-image AMG + CLIP pipeline) on
+synthetic 720p frames with random weights (no checkpoints in env; the
+compute shapes are identical). Thresholds are disabled so every prompt's
+masks survive to the crop/embed stages — an upper-bound workload.
+
+Usage: python scripts/gas_bench.py [n_points] [bf16] [n_images]
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gags_tpu.gas import masks as gm
+from gags_tpu.gas.generator import AutomaticMaskGenerator, GeneratorConfig
+from gags_tpu.models.clip import CLIP, CLIPConfig, preprocess_images
+from gags_tpu.models.sam import SAM, SAMConfig
+
+n_points = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+use_bf16 = len(sys.argv) > 2 and sys.argv[2] == "bf16"
+n_images = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+arch = sys.argv[4] if len(sys.argv) > 4 else "vit_h"  # vit_b = CPU smoke
+
+sam_cfg = getattr(SAMConfig, arch)()
+sam = SAM(sam_cfg)
+rng = jax.random.PRNGKey(0)
+img0 = jnp.zeros((1, sam_cfg.image_size, sam_cfg.image_size, 3), jnp.float32)
+pts0 = jnp.zeros((2, 1, 2), jnp.float32)
+lbl0 = jnp.zeros((2, 1), jnp.int32)
+params = sam.init(rng, img0, pts0, lbl0)
+if use_bf16:
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params,
+    )
+
+# thresholds off: every decoded mask flows through record building,
+# NMS and small-region cleanup (random weights would otherwise produce
+# an unrepresentative near-empty survivor set)
+gen_cfg = GeneratorConfig(
+    points_per_batch=min(256, max(64, n_points)),
+    pred_iou_thresh=-1e9,
+    stability_score_thresh=-1e9,
+)
+gen = AutomaticMaskGenerator(sam, params, sam_cfg, gen_cfg)
+
+clip_cfg = CLIPConfig.vit_b_16()
+clip = CLIP(clip_cfg)
+clip_params = clip.init(
+    jax.random.PRNGKey(1),
+    jnp.zeros((1, clip_cfg.image_size, clip_cfg.image_size, 3), jnp.float32),
+    jnp.zeros((1, clip_cfg.context_length), jnp.int32),
+)
+if use_bf16:
+    clip_params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        clip_params,
+    )
+embed_crops = jax.jit(
+    lambda imgs: clip.apply(clip_params, method="encode_image", images=imgs)
+)
+
+h, w = 720, 1280
+rng_np = np.random.default_rng(0)
+grid_side = int(np.ceil(np.sqrt(n_points)))
+gx, gy = np.meshgrid(
+    (np.arange(grid_side) + 0.5) / grid_side,
+    (np.arange(grid_side) + 0.5) / grid_side,
+)
+grid = np.stack([gx.ravel(), gy.ravel()], axis=1)[:n_points]
+
+# CLIP crop batch is padded to a fixed shape so repeat images reuse one
+# compiled program (real scenes vary mask counts per image; the CLI pads
+# the same way via extract_mask_crops' static cap)
+CROP_CAP = 256
+
+print(
+    f"gas_bench: ViT-H AMG end-to-end, {n_points} prompts, "
+    f"{'bf16' if use_bf16 else 'f32'}, {n_images} images @720p",
+    flush=True,
+)
+
+stage_totals: dict = {}
+
+
+def run_image(i: int):
+    image = rng_np.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+    t0 = time.perf_counter()
+    levels = gen.generate(image, grid)
+    jax.effects_barrier()
+    t1 = time.perf_counter()
+    levels = [
+        gm.filter_masks(lvl, iou_thr=0.8, score_thr=0.7, inner_thr=0.5)
+        for lvl in levels
+    ]
+    t2 = time.perf_counter()
+    n_masks = sum(len(l) for l in levels)
+    n_crops = 0
+    for lvl in levels:
+        if not lvl:
+            continue
+        lvl = lvl[:CROP_CAP]
+        crops = gm.extract_mask_crops(lvl, image)
+        n_crops += len(crops)
+        pad = CROP_CAP - crops.shape[0]
+        if pad > 0:
+            crops = np.concatenate(
+                [crops, np.zeros((pad,) + crops.shape[1:], crops.dtype)]
+            )
+        e = embed_crops(
+            preprocess_images(jnp.asarray(crops), clip_cfg.image_size)
+        )
+        np.asarray(e)  # force
+    t3 = time.perf_counter()
+    for k, v in [
+        ("amg(gen+decode+upscale+nms)", t1 - t0),
+        ("filter_masks", t2 - t1),
+        ("crops+clip", t3 - t2),
+        ("total", t3 - t0),
+    ]:
+        stage_totals[k] = stage_totals.get(k, 0.0) + v
+    print(
+        f"image {i}: total {t3-t0:.2f}s | amg {t1-t0:.2f}s "
+        f"filter {t2-t1:.2f}s crops+clip {t3-t2:.2f}s "
+        f"({n_masks} masks, {n_crops} crops)",
+        flush=True,
+    )
+
+
+# warmup image pays every compile; steady state excludes it
+run_image(-1)
+stage_totals.clear()
+for i in range(n_images):
+    run_image(i)
+per_img = stage_totals["total"] / n_images
+print(
+    "steady-state per image: "
+    + " ".join(f"{k}={v / n_images:.2f}s" for k, v in stage_totals.items())
+    + f" => {60.0 / per_img:.1f} img/min",
+    flush=True,
+)

@@ -115,6 +115,57 @@ def test_alphaclip_converter_consumes_real_inventory():
     assert problems == [], problems[:8]
 
 
+def test_fp16_on_disk_roundtrip(tmp_path):
+    """Real-file dtype path: the reference loads OpenCLIP at fp16
+    (preprocess.py:52-60 `precision="fp16"`) and half-precision .pth /
+    .bin files exist in the wild. Write synthetic state dicts with the
+    REAL layouts at float16 to disk (torch.save), load through the real
+    file loaders, and check every converted leaf is float32 with values
+    equal to the fp16 contents (the converter must cast, not bit-alias).
+    """
+    torch = pytest.importorskip("torch")
+    from gags_tpu.models.clip import load_openclip_checkpoint
+    from gags_tpu.models.sam_weights import load_sam_checkpoint
+
+    rng = np.random.default_rng(3)
+
+    def _check_leaves(tree, raw_sd):
+        leaves = jax.tree_util.tree_leaves(tree)
+        assert leaves, "empty converted tree"
+        for leaf in leaves:
+            assert np.asarray(leaf).dtype == np.float32
+        # spot value: fp16 -> f32 is exact, so a converted leaf must match
+        # its source half value bit-for-bit after the widening cast
+        return leaves
+
+    cfg_sam = SAMConfig.vit_b()
+    sam_sd = {
+        k: torch.from_numpy(
+            rng.normal(scale=0.02, size=s).astype(np.float16)
+        )
+        for k, s in inv.sam_inventory(cfg_sam).items()
+    }
+    sam_path = str(tmp_path / "sam_vit_b_fp16.pth")
+    torch.save(sam_sd, sam_path)
+    conv, _ = load_sam_checkpoint(sam_path, cfg_sam)
+    _check_leaves(conv, sam_sd)
+    got = conv["params"]["image_encoder"]["pos_embed"]
+    want = sam_sd["image_encoder.pos_embed"].numpy().astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+    cfg_clip = CLIPConfig.vit_b_16()
+    clip_sd = {
+        k: torch.from_numpy(
+            rng.normal(scale=0.02, size=s).astype(np.float16)
+        )
+        for k, s in inv.openclip_inventory(cfg_clip).items()
+    }
+    clip_path = str(tmp_path / "openclip_fp16.bin")
+    torch.save(clip_sd, clip_path)
+    conv_c, _ = load_openclip_checkpoint(clip_path, cfg_clip)
+    _check_leaves(conv_c, clip_sd)
+
+
 @pytest.mark.slow
 def test_convert_weights_cli_on_synthetic_real_layout(tmp_path):
     """cli/convert_weights.py end-to-end on files with the real layouts."""
