@@ -214,7 +214,8 @@ def main():
         if cfg.image_chw:
             ref_img = jnp.transpose(ref_img, (1, 2, 0))
 
-        def try_candidate(cfg_best, t_best, tol=1e-5, **flags):
+        def try_candidate(cfg_best, t_best, tol=1e-5, check_overflow=False,
+                          **flags):
             nonlocal ref_img
             if _time.monotonic() > tune_deadline:
                 print(f"# {flags} skipped: tune budget exhausted",
@@ -225,10 +226,17 @@ def main():
             # accumulation, so they pass the blend contract tol instead.
             cand = dataclasses.replace(cfg_best, **flags)
             try:
-                img_k = rasterize(
+                res_k = rasterize(
                     means, quats, scales, opac, feats, cam.viewmat, cam.K,
                     w, h, background=bg, config=cand,
-                ).image
+                )
+                if check_overflow and int(res_k.overflow) > 0:
+                    # a tiny-visibility drop could pass the image-parity
+                    # gate; budget candidates must not drop ANY instance
+                    print(f"# {flags} overflow {int(res_k.overflow)} — "
+                          "skipped", file=sys.stderr)
+                    return cfg_best, t_best
+                img_k = res_k.image
                 if cand.image_chw:  # (C, H, W) → canonical (H, W, C)
                     img_k = jnp.transpose(img_k, (1, 2, 0))
                 scale = float(jnp.max(jnp.abs(ref_img))) + 1e-8
@@ -251,9 +259,11 @@ def main():
 
         t0 = timed(cfg, 16)
         print(f"# base config: {t0 * 1e3:.2f} ms", file=sys.stderr)
-        cfg, t0 = try_candidate(cfg, t0, kernel_relayout=True)
+        # kernel_relayout / packed_out candidates removed: ruled out by
+        # the r4 battery (NOTES.md round-4 — layout_probe shows krel's
+        # (M,128)-u16 stream is the 8.4x-penalized layout; both lost
+        # every leg on two bases). Flags remain for explicit configs.
         cfg, t0 = try_candidate(cfg, t0, fused_keys=True)
-        cfg, t0 = try_candidate(cfg, t0, packed_out=True)
         # channel-major (C, H, W) deliverable — the reference's torch
         # tensors are CHW too, so the layout is interface-fair; avoids
         # the 16->128 lane pad on the (H, W, 16) output write (~8x bytes)
@@ -278,10 +288,40 @@ def main():
         # bf16 pipeline shifted the a/b balance — NOTES round-3)
         shape_tol = 5e-2 if cfg.blend_bf16 else 1e-3
         cfg, t0 = try_candidate(cfg, t0, tol=shape_tol, p_block=256)
+        # tile-shape candidates BEFORE budget trims: a shape change moves
+        # the instance count, and a trimmed budget would overflow →
+        # parity-reject the shape for the wrong reason (r4: 16x16 at
+        # bf=2.0 failed parity 1.2e-1 purely from overflow drops)
+        # smaller tiles mean MORE instances — give each shape the budget
+        # its rect count needs (r4: 16x16 overflowed even at bf=3); the
+        # trim loop below re-shrinks whatever shape wins
         cfg, t0 = try_candidate(
-            cfg, t0, tol=shape_tol, tile_h=16, tile_w=16,
-            p_block=min(cfg.p_block, 256),
+            cfg, t0, tol=shape_tol, check_overflow=True,
+            tile_h=16, tile_w=16, p_block=min(cfg.p_block, 256),
+            budget_factor=max(cfg.budget_factor, 4.0),
         )
+        # 16x32: ~0.75x pairs at ~1.2x instances — bf16_sweep had it at
+        # parity with 32x32 (21.36 vs 21.53)
+        if (cfg.tile_h, cfg.tile_w) == (32, 32):
+            cfg, t0 = try_candidate(
+                cfg, t0, tol=shape_tol, check_overflow=True,
+                tile_h=16, tile_w=32, p_block=min(cfg.p_block, 512),
+                budget_factor=max(cfg.budget_factor, 3.0),
+            )
+        # budget trim LAST (depends on the final shape's instance count):
+        # with overflow == 0 the same instances flow through a shorter
+        # expand/sort/gather chain (bit-exact — checked); each step down
+        # shrinks every M-length stream proportionally. r4: 22.54 ->
+        # 20.37 ms (2.5/2.2/2.0 all zero-overflow at 32x32/720p).
+        for bf in (2.5, 2.2, 2.0):
+            if cfg.budget_factor <= bf:
+                continue
+            new_cfg, new_t = try_candidate(
+                cfg, t0, check_overflow=True, budget_factor=bf
+            )
+            if new_cfg is cfg:
+                break  # overflow or slower — tighter ones won't win
+            cfg, t0 = new_cfg, new_t
         # lane-major geometry (SoA): a scene store layout choice, bit-
         # identical math — avoids streaming the lane-padded (N, 3/4)
         # arrays through projection (scripts/layout_probe.py)
@@ -326,7 +366,8 @@ def main():
             f"# autotune: blend_bf16={cfg.blend_bf16} "
             f"kernel_relayout={cfg.kernel_relayout} "
             f"fused_keys={cfg.fused_keys} packed_out={cfg.packed_out} "
-            f"image_chw={cfg.image_chw} soa_geom={cfg.soa_geom}",
+            f"image_chw={cfg.image_chw} soa_geom={cfg.soa_geom} "
+            f"budget_factor={cfg.budget_factor} p_block={cfg.p_block}",
             file=sys.stderr,
         )
         _tune_cache_store(tune_key, cfg)

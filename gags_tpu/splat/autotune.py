@@ -95,6 +95,13 @@ def load_persisted(width, height, n, c, *, allow_bf16=False):
             cfg = dataclasses.replace(
                 cfg, blend_bf16=False, fast_color_rows=False
             )
+        if cfg.budget_factor < 3.0:
+            # a trimmed budget was verified overflow-free only on the
+            # SCENE it was tuned on; the store key is shape-only, so a
+            # denser same-shape scene would silently drop instances.
+            # Floor at the battery-asserted 3.0 for persisted reuse —
+            # bench/autotune runs that can assert overflow keep the trim.
+            cfg = dataclasses.replace(cfg, budget_factor=3.0)
         return cfg
     except Exception:
         return None
@@ -115,14 +122,15 @@ def persist(width, height, n, c, cfg) -> None:
     except Exception as exc:  # cache IO must never break a render
         print(f"# tune-cache write failed: {exc!r}", file=sys.stderr)
 
-# numerically identical variants (exact kernels; see their docstrings)
+# numerically identical variants (exact kernels; see their docstrings).
+# kernel_relayout and packed_out were RULED OUT by the r4 battery
+# (layout_probe: the (M,128)-u16 DMA stream krel rides is the 8.4x-slow
+# layout; both lost every drain on two bases — NOTES.md round-4) and no
+# longer burn a candidate compile here; the flags remain available for
+# explicit configs.
 EXACT_VARIANTS: Sequence[dict] = (
     {},
-    {"kernel_relayout": True},
     {"fused_keys": True},
-    {"packed_out": True},
-    {"kernel_relayout": True, "fused_keys": True},
-    {"kernel_relayout": True, "fused_keys": True, "packed_out": True},
 )
 # the bf16 blend pipeline trades ~1e-2 relative image error for half the
 # VPU/VMEM stream — only offered when the caller opts in (feature

@@ -740,7 +740,12 @@ def tile_blend_forward_fast(
     c = color_inst.shape[0]
     m = geom_inst.shape[1]
     p_block = min(p_block, p)
-    assert p % p_block == 0
+    if p % p_block:
+        # non-power-of-two tile areas: largest common divisor keeps the
+        # requested slab size a clean split of the pixel block
+        import math
+
+        p_block = math.gcd(p, p_block)
     assert p % min(128, p) == 0
     if bg is None:
         bg = jnp.zeros((c,), jnp.float32)
@@ -828,7 +833,12 @@ def tile_blend_forward_fast_rows(
     c = (logical_cols - 2 * GEOM_ROWS) // (2 if col_f32 else 1)
     m = rows_inst.shape[0]
     p_block = min(p_block, p)
-    assert p % p_block == 0
+    if p % p_block:
+        # non-power-of-two tile areas: largest common divisor keeps the
+        # requested slab size a clean split of the pixel block
+        import math
+
+        p_block = math.gcd(p, p_block)
     assert p % min(128, p) == 0
     if bg is None:
         bg = jnp.zeros((c,), jnp.float32)

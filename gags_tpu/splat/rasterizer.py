@@ -68,7 +68,14 @@ class RasterizeConfig:
     tile_h: int = 32
     tile_w: int = 32
     chunk: int = 128
-    budget_factor: int = 4  # instance budget = factor * N
+    # instance budget = factor * N (fractional OK — the binner rounds the
+    # budget to the chunk size). Every M-length stream (expand, key sort,
+    # row gather) scales with it: at 720p/250k the bench scene uses only
+    # 62% of a 3.0x budget, so trimming the factor is a proportional,
+    # exact win wherever overflow stays zero (overflow is surfaced and
+    # asserted by bench/battery runs; autotune only keeps zero-overflow
+    # winners).
+    budget_factor: float = 4.0
     budget: Optional[int] = None  # explicit override
     interpret: bool = False  # Pallas interpreter mode (CPU tests)
     geometry_grads: bool = False  # full VJP (means/quats/scales/opacities)
@@ -79,8 +86,12 @@ class RasterizeConfig:
     aligned: bool = True
     # inference (aligned=False) blend tuning: pixel-slab size inside the
     # fast kernel, and bf16 colour rows (halves the colour gather + DMA
-    # bytes; feature output error ~1e-3 relative, geometry math unaffected)
-    p_block: int = 1024
+    # bytes; feature output error ~1e-3 relative, geometry math unaffected).
+    # 256 measured best at 32x32/720p (r4 battery: 20.5 vs 22.0 ms with
+    # blend_bf16; scripts/slab_probe.py shows (256, 128) elementwise
+    # chains run ~4x cheaper per op than whole-(1024, 128) blocks —
+    # temporaries stay near the register file instead of streaming VMEM).
+    p_block: int = 256
     fast_color_rows: bool = False
     # sigma as a (P, 8) @ (8, G) MXU bilinear form in tile-centred coords
     # instead of ~9 materialised (P, G) VPU ops; polynomial-expansion
@@ -149,7 +160,7 @@ class RasterizeConfig:
     def instance_budget(self, n: int) -> int:
         if self.budget is not None:
             return self.budget
-        return max(self.budget_factor * n, 4 * self.chunk)
+        return max(int(self.budget_factor * n), 4 * self.chunk)
 
 
 def auto_config(**overrides) -> "RasterizeConfig":

@@ -24,17 +24,19 @@ means, quats, scales, opac = (
 feats = jnp.asarray(raw["features"])
 cam = make_camera(W, H)
 bg = jnp.zeros((16,), jnp.float32)
+# r4 battery: bf=2 overflowed by 661646 (valid ~2.66M) and every
+# kernel_relayout leg lost — fractional budgets (2.7/2.8 hold the valid
+# set with margin) + fused_keys on the now-default no-cull base instead.
 VARIANTS = [
     dict(budget_factor=3, fast_color_rows=True),
     dict(budget_factor=3, fast_color_rows=True, blend_bf16=True),
-    dict(budget_factor=2, fast_color_rows=True, blend_bf16=True),
-    dict(budget_factor=2, fast_color_rows=True, blend_bf16=True,
-         kernel_relayout=True),
-    dict(budget_factor=2, fast_color_rows=True, blend_bf16=True,
-         kernel_relayout=True, fused_keys=True),
-    dict(budget_factor=2, fast_color_rows=True, blend_bf16=True,
-         kernel_relayout=True, fused_keys=True, packed_out=True,
-         image_chw=True),
+    dict(budget_factor=2.8, fast_color_rows=True, blend_bf16=True),
+    dict(budget_factor=2.8, fast_color_rows=True, blend_bf16=True,
+         fused_keys=True),
+    dict(budget_factor=2.7, fast_color_rows=True, blend_bf16=True,
+         fused_keys=True),
+    dict(budget_factor=2.7, fast_color_rows=True, blend_bf16=True,
+         fused_keys=True, image_chw=True),
 ]
 for v in VARIANTS:
     cfg = RasterizeConfig(tile_h=32, tile_w=32, aligned=False, **v)

@@ -45,7 +45,11 @@ def stage(name, fn, arg, k=20):
     return dt
 
 
-for fused in (False, True):
+# r4 fix: the first battery passed cull_rows to BOTH legs, so "fused=1"
+# timed the 14.8 ms cull kernel, not the fusion (tile_cull defaults OFF
+# since r4) — time the production no-cull base, plus one cull leg for
+# the record.
+for fused, use_cull in ((False, False), (True, False), (True, True)):
     @jax.jit
     def binf(m2, rx, ry, d, cr, _f=fused):
         return tiles.bin_gaussians(
@@ -53,8 +57,10 @@ for fused in (False, True):
             aligned=False, radii_y=ry, cull_rows=cr, fused_keys=_f,
         ).inst_gid
 
-    stage(f"bin_gaussians fused={int(fused)}",
-          lambda m2: binf(m2, proj.radii_x, proj.radii_y, proj.depths, cull),
+    cr_arg = cull if use_cull else None
+    stage(f"bin_gaussians fused={int(fused)} cull={int(use_cull)}",
+          lambda m2: binf(m2, proj.radii_x, proj.radii_y, proj.depths,
+                          cr_arg),
           proj.means2d)
 
 # --- separable pieces at matched sizes -----------------------------------

@@ -23,16 +23,20 @@ REPS = 24  # chain applications per kernel call (amortise call overhead)
 
 
 def chain(x, lt, dtype):
+    # compares/selects run on f32 EXTENSIONS of the working dtype — the
+    # Mosaic v5e target has no packed-bf16 cmpf ("Target does not support
+    # this comparison", r4 battery), matching the production bf16 blend
+    # leg which does the same.
     one = jnp.asarray(1.0, dtype)
     half = jnp.asarray(0.5, dtype)
-    floor = jnp.asarray(1.0 / 255.0, dtype)
     s2 = x * half + one
     alpha = jnp.minimum(jnp.asarray(0.999, dtype), jnp.exp2(-s2))
-    live = alpha >= floor
+    af = alpha.astype(jnp.float32)
+    live = af >= jnp.float32(1.0 / 255.0)
     alpha = jnp.where(live, alpha, jnp.asarray(0, dtype))
     l1m = jnp.log1p(-alpha)
     cum = l1m + lt
-    include = cum >= jnp.asarray(-8.0, dtype)
+    include = cum.astype(jnp.float32) >= jnp.float32(-8.0)
     w = jnp.where(include, alpha * jnp.exp2(cum - l1m), jnp.asarray(0, dtype))
     return w + s2 * jnp.asarray(1e-3, dtype)
 

@@ -10,6 +10,8 @@ import pytest
 
 from tests.test_e2e_gad import _build_fixture
 
+pytestmark = pytest.mark.slow  # integration tier: full suite still runs them; `-m 'not slow'` is the fast iteration tier
+
 
 def _run_cli(module, argv, monkeypatch):
     import importlib

@@ -12,6 +12,8 @@ from gags_tpu.scene.dataset import detect_and_load
 from gags_tpu.utils.synthetic import make_scene
 from gags_tpu.core.camera import look_at
 
+pytestmark = pytest.mark.slow  # integration tier: full suite still runs them; `-m 'not slow'` is the fast iteration tier
+
 
 def _build_fixture(root, n_cams=4, n_gauss=60, w=32, h=16, n_masks=5):
     rng = np.random.default_rng(0)

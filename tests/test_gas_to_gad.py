@@ -20,6 +20,8 @@ from gags_tpu.gas.prompts import build_mindepth_point_grid
 from gags_tpu.models.sam import SAM, SAMConfig
 from gags_tpu.models.clip import CLIP, CLIPConfig, preprocess_images
 
+pytestmark = pytest.mark.slow  # integration tier: full suite still runs them; `-m 'not slow'` is the fast iteration tier
+
 
 @pytest.mark.slow
 def test_gas_pipeline_to_gad_training(tmp_path):

@@ -27,6 +27,8 @@ from gags_tpu.splat.render import render
 from gags_tpu.query.relevancy import max_across_levels
 from gags_tpu.utils.synthetic import make_camera, make_scene
 
+pytestmark = pytest.mark.slow  # integration tier: full suite still runs them; `-m 'not slow'` is the fast iteration tier
+
 W, H, N, D, FDIM = 32, 16, 120, 24, 8
 ITERS = 300
 

@@ -24,6 +24,9 @@ from gags_tpu.parallel import (
 from gags_tpu.scene.gaussian_data import GaussianScene
 from gags_tpu.splat.rasterizer import RasterizeConfig, rasterize
 from gags_tpu.utils.synthetic import make_camera, make_scene
+import pytest
+
+pytestmark = pytest.mark.slow  # integration tier: full suite still runs them; `-m 'not slow'` is the fast iteration tier
 
 N, W, H = 75, 32, 32  # H = 8 devices * tile_h 4 — no pad rows
 RCFG = RasterizeConfig(tile_h=4, tile_w=16, chunk=8, interpret=True)

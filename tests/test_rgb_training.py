@@ -21,6 +21,8 @@ from gags_tpu.splat.rasterizer import RasterizeConfig
 from gags_tpu.splat.render import render
 from gags_tpu.utils.synthetic import make_scene, make_camera
 
+pytestmark = pytest.mark.slow  # integration tier: full suite still runs them; `-m 'not slow'` is the fast iteration tier
+
 W, H, N = 32, 16, 50
 RCFG = RasterizeConfig(tile_h=8, tile_w=16, chunk=8, budget_factor=8,
                        interpret=True, geometry_grads=True)
