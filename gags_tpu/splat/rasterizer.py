@@ -156,6 +156,17 @@ class RasterizeConfig:
     # GRADIENTS are unchanged bit-for-bit (the backward kernels recompute
     # from the same inputs). Default off — A/B via train_bench.
     fast_fwd_aligned: bool = False
+    # canonicalise per-instance grad rows before the ReductionLayout
+    # gather: the backward kernel emits (C, M) and the transposed view
+    # poisons the u16 table to lane-major, turning the (Mp,)-row gather
+    # per-row-STRIDED — HLO-profiled 17.5 ms/step at 360p/300k (r4
+    # battery 2, fusion.9) vs ~2.6 ms for a canonical-table row gather
+    # (layout_probe: 8.4x penalty on non-lane-major u16 row reads). An
+    # identity dot on the idle MXU materialises (M, C) row-major;
+    # HIGHEST f32 splits reconstruct error-free (same exactness argument
+    # as kernel_relayout), so gradients are bit-identical. Default off
+    # until the hardware A/B (GAGS_GCANON=1 train_bench leg).
+    grad_canon: bool = False
 
     def instance_budget(self, n: int) -> int:
         if self.budget is not None:
@@ -697,6 +708,16 @@ def _reduce_by_rank(grad_inst_t, red_slot, red_rank, red_block, n, cfg):
     Pallas one-hot-matmul reduction (sorted_segment_sum). Replaces
     jax.ops.segment_sum, whose scatter-add lowering cost ~59 ms/step."""
     cdim = grad_inst_t.shape[1]
+    if cfg.grad_canon:
+        # exact identity dot: out[m, c] = grad[m, c] * 1.0 (+ 0-products)
+        # — forces a canonical row-major materialisation so the red_slot
+        # row gather below is per-row, not per-element (see RasterizeConfig
+        # .grad_canon). HIGHEST splits make f32 1.0*x products error-free.
+        eye = jnp.eye(cdim, dtype=grad_inst_t.dtype)
+        grad_inst_t = jax.lax.dot_general(
+            grad_inst_t, eye, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
     rows_ext = jnp.concatenate(
         [grad_inst_t, jnp.zeros((1, cdim), grad_inst_t.dtype)], axis=0
     )
