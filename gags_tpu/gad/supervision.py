@@ -72,19 +72,32 @@ def fused_supervision_l1(
 
     img_embed is treated as data: its cotangent is returned as zeros (the
     train step never differentiates w.r.t. the supervision embeddings).
+
+    All internal math runs on FLAT (H*W, D) arrays: the r4 battery-2 HLO
+    profile showed the 3-D (H, W, 512) gather terms each paying an
+    unfused f16->f32 convert (1.14 ms) plus a {2,1,0}->{1,2,0} layout
+    copy (1.43 ms) to satisfy the reduce/conv fusions' layout choice —
+    ~7.7 ms/step at 360p/512-d. 2-D arrays leave XLA no 3-D layout
+    freedom; the boundary reshapes are bitcasts on canonical layouts and
+    the per-element math/reduction order is unchanged (bit-identical).
     """
-    gt, maskf = _fused_sup_primal(decoded, img_embed, seg_sml, scale_map)
-    return jnp.mean(jnp.abs(decoded * maskf - gt * maskf), axis=-1)
+    h, w, d = decoded.shape
+    gt, maskf = _fused_sup_primal(
+        img_embed, seg_sml.reshape(-1, 3), scale_map.reshape(-1, 3)
+    )
+    dec2 = decoded.reshape(-1, d)
+    return jnp.mean(jnp.abs(dec2 * maskf - gt * maskf), axis=-1).reshape(h, w)
 
 
-def _fused_sup_primal(decoded, img_embed, seg_sml, scale_map):
+def _fused_sup_primal(img_embed, seg2, scale2):
     # EXACTLY the same-resolution fast path of blend_gt_feature_map: three
-    # gather+fma terms, one loop fusion (see that function's comment)
-    maskf = jnp.all(seg_sml != -1, axis=-1).astype(jnp.float32)[..., None]
+    # gather+fma terms, one loop fusion (see that function's comment).
+    # seg2/scale2 are flat (P, 3); returns ((P, D), (P, 1)).
+    maskf = jnp.all(seg2 != -1, axis=-1).astype(jnp.float32)[..., None]
 
     def term(g):
-        f = img_embed[seg_sml[..., g] % img_embed.shape[0]].astype(jnp.float32)
-        return f * scale_map[..., g : g + 1]
+        f = img_embed[seg2[..., g] % img_embed.shape[0]].astype(jnp.float32)
+        return f * scale2[..., g : g + 1]
 
     return term(0) + term(1) + term(2), maskf
 
@@ -98,17 +111,21 @@ def _fused_sup_fwd(decoded, img_embed, seg_sml, scale_map):
 
 def _fused_sup_bwd(res, g):
     decoded, img_embed, seg_sml, scale_map = res
-    gt, maskf = _fused_sup_primal(decoded, img_embed, seg_sml, scale_map)
-    d = decoded.shape[-1]
-    sgn = jnp.sign(decoded * maskf - gt * maskf)  # (H, W, D)
-    gm = (g / d)[..., None] * maskf  # (H, W, 1)
-    d_decoded = gm * sgn
+    h, w, d = decoded.shape
+    seg2 = seg_sml.reshape(-1, 3)
+    gt, maskf = _fused_sup_primal(img_embed, seg2, scale_map.reshape(-1, 3))
+    dec2 = decoded.reshape(-1, d)
+    sgn = jnp.sign(dec2 * maskf - gt * maskf)  # (P, D)
+    gm = (g.reshape(-1) / d)[..., None] * maskf  # (P, 1)
+    d_decoded = (gm * sgn).reshape(h, w, d)
 
     def d_scale_term(k):
-        f = img_embed[seg_sml[..., k] % img_embed.shape[0]].astype(jnp.float32)
-        return -jnp.sum(sgn * f, axis=-1) * gm[..., 0]  # (H, W)
+        f = img_embed[seg2[..., k] % img_embed.shape[0]].astype(jnp.float32)
+        return -jnp.sum(sgn * f, axis=-1) * gm[..., 0]  # (P,)
 
-    d_scale = jnp.stack([d_scale_term(k) for k in range(3)], axis=-1)
+    d_scale = jnp.stack(
+        [d_scale_term(k) for k in range(3)], axis=-1
+    ).reshape(h, w, 3)
     import numpy as np
 
     d_seg = np.zeros(seg_sml.shape, dtype=jax.dtypes.float0)
