@@ -7,8 +7,9 @@ import numpy as np, jax, jax.numpy as jnp
 from gags_tpu.splat.rasterizer import RasterizeConfig, rasterize
 from gags_tpu.utils.synthetic import make_scene, make_camera
 
-th = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-tw = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+_ints = [a for a in sys.argv[1:] if a.isdigit()]
+th = int(_ints[0]) if _ints else 32
+tw = int(_ints[1]) if len(_ints) > 1 else 32
 N, W, H = 250_000, 1280, 720
 raw = make_scene(N, seed=0, extent=3.0)
 m, q, s, o = (jnp.asarray(raw[k]) for k in ("means", "quats", "scales", "opacities"))
