@@ -15,4 +15,5 @@ timeout 2400 env GAGS_GCANON=1 GAGS_FSUP=1 python scripts/train_bench.py 2>&1 | 
 timeout 3600 python scripts/gas_bench.py 64 bf16 4 2>&1 | grep -v WARNING | tail -25
 timeout 1200 python scripts/infer_profile.py tuned 2>&1 | grep -v WARNING | tail -60
 timeout 2400 python scripts/tile16_sweep.py 2>&1 | grep -v WARNING
+timeout 1800 python scripts/hbm_report.py 2>&1 | grep -v WARNING
 timeout 1800 python bench.py 2>&1 | grep -v WARNING | tail -12
