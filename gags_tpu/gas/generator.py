@@ -179,19 +179,57 @@ class AutomaticMaskGenerator:
 
         self._upscale = _upscale
 
+    def encode_images(
+        self, images: List[np.ndarray], pad_to: "int | None" = None
+    ) -> List[jnp.ndarray]:
+        """Batch-encode several images through the ViT encoder at once.
+
+        The encoder's measured sweet spot on one v5e is batch 4 with bf16
+        params (106 ms/img vs 154 single-image f32 — r4 battery); the
+        per-image AMG decode loop stays sequential, so callers batch the
+        ENCODER only: feed each returned embedding back via
+        `generate(..., embed=...)`. `pad_to` repeats the last image up to
+        a fixed batch size so a dataset's final partial group reuses the
+        full-group compilation instead of paying a fresh one (~25-40 s on
+        the tunnel). Counterpart of the reference's per-image
+        predictor.set_image loop (preprocess.py:186-330), which cannot
+        batch.
+        """
+        from gags_tpu.models.sam import preprocess_sam_image
+
+        if not images:
+            return []
+        batches = [
+            preprocess_sam_image(img, self.sam_cfg.image_size)[0]
+            for img in images
+        ]
+        n = len(batches)
+        if pad_to is not None and n < pad_to:
+            batches = batches + [batches[-1]] * (pad_to - n)
+        embeds = self._encode(jnp.concatenate(batches, axis=0))
+        return [embeds[i : i + 1] for i in range(n)]
+
     def generate(
-        self, image: np.ndarray, point_grid: np.ndarray
+        self, image: np.ndarray, point_grid: np.ndarray,
+        embed: "jnp.ndarray | None" = None,
     ) -> Tuple[List[dict], List[dict], List[dict], List[dict]]:
         """image: uint8 (H, W, 3); point_grid: (P, 2) normalised [0,1].
+
+        `embed`: optional precomputed (1, ...) image embedding from
+        `encode_images` (the resize geometry (nh, nw) is recomputed from
+        the image shape — it is a pure function of (h, w)).
 
         Returns (masks_default, masks_s, masks_m, masks_l) — SAM-style dicts
         with segmentation/area/bbox/predicted_iou/stability_score.
         """
-        from gags_tpu.models.sam import preprocess_sam_image
+        from gags_tpu.models.sam import preprocess_sam_image, resize_geometry
 
         h, w = image.shape[:2]
-        batch, (nh, nw) = preprocess_sam_image(image, self.sam_cfg.image_size)
-        embed = self._encode(jnp.asarray(batch))
+        if embed is None:
+            batch, (nh, nw) = preprocess_sam_image(image, self.sam_cfg.image_size)
+            embed = self._encode(jnp.asarray(batch))
+        else:
+            nh, nw = resize_geometry(h, w, self.sam_cfg.image_size)
 
         cfg = self.cfg
         n_pts = len(point_grid)

@@ -479,12 +479,18 @@ SAM_IMAGE_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
 SAM_IMAGE_STD = np.array([58.395, 57.12, 57.375], np.float32)
 
 
+def resize_geometry(h: int, w: int, size: int = 1024) -> Tuple[int, int]:
+    """(nh, nw) of ResizeLongestSide — the pure geometry part of
+    preprocess_sam_image, for callers holding a precomputed embedding."""
+    scale = size / max(h, w)
+    return int(round(h * scale)), int(round(w * scale))
+
+
 def preprocess_sam_image(img: np.ndarray, size: int = 1024) -> Tuple[np.ndarray, Tuple[int, int]]:
     """uint8 (H, W, 3) → (1, size, size, 3) normalised, long side = size,
     zero-padded bottom/right (SAM's ResizeLongestSide + pad)."""
     h, w = img.shape[:2]
-    scale = size / max(h, w)
-    nh, nw = int(round(h * scale)), int(round(w * scale))
+    nh, nw = resize_geometry(h, w, size)
     from PIL import Image as PILImage
 
     resized = np.asarray(

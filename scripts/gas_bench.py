@@ -89,10 +89,11 @@ print(
 stage_totals: dict = {}
 
 
-def run_image(i: int):
-    image = rng_np.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+def run_image(i: int, embed=None, image=None):
+    if image is None:
+        image = rng_np.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
     t0 = time.perf_counter()
-    levels = gen.generate(image, grid)
+    levels = gen.generate(image, grid, embed=embed)
     jax.effects_barrier()
     t1 = time.perf_counter()
     levels = [
@@ -140,8 +141,31 @@ for i in range(n_images):
     run_image(i)
 per_img = stage_totals["total"] / n_images
 print(
-    "steady-state per image: "
+    "steady-state per image (single-image encode): "
     + " ".join(f"{k}={v / n_images:.2f}s" for k, v in stage_totals.items())
     + f" => {60.0 / per_img:.1f} img/min",
+    flush=True,
+)
+
+# batched-encoder pipeline (cli/gas.py --encoder_batch): one ViT pass
+# per group of 4 images, AMG loop per image on the precomputed embeds
+EB = 4
+images = [
+    rng_np.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+    for _ in range(max(n_images, EB))
+]
+gen.encode_images(images[:EB], pad_to=EB)  # pay the batch-4 compile
+stage_totals.clear()
+t0 = time.perf_counter()
+for g0 in range(0, len(images), EB):
+    grp = images[g0 : g0 + EB]
+    embeds = gen.encode_images(grp, pad_to=EB)
+    for j, (img, emb) in enumerate(zip(grp, embeds)):
+        run_image(g0 + j, embed=emb, image=img)
+t1 = time.perf_counter()
+n_run = len(images)
+print(
+    f"== batched-encoder pipeline: {(t1-t0)/n_run:.2f}s/img "
+    f"({n_run/(t1-t0)*60:.1f} img/min, encoder batch {EB}) ==",
     flush=True,
 )

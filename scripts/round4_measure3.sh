@@ -17,3 +17,4 @@ timeout 1200 python scripts/infer_profile.py tuned 2>&1 | grep -v WARNING | tail
 timeout 2400 python scripts/tile16_sweep.py 2>&1 | grep -v WARNING
 timeout 1800 python scripts/hbm_report.py 2>&1 | grep -v WARNING
 timeout 1800 python bench.py 2>&1 | grep -v WARNING | tail -12
+timeout 1200 python scripts/slab_probe.py 2>&1 | grep -v WARNING

@@ -34,7 +34,10 @@ def chain(x, lt, dtype):
     af = alpha.astype(jnp.float32)
     live = af >= jnp.float32(1.0 / 255.0)
     alpha = jnp.where(live, alpha, jnp.asarray(0, dtype))
-    l1m = jnp.log1p(-alpha)
+    # log1p is also not legalized on packed bf16 (r4 battery 2: Mosaic
+    # "failed to legalize math.log1p" on vector<...x2xbf16>) — run it on
+    # the f32 extension like the compares
+    l1m = jnp.log1p(-alpha.astype(jnp.float32)).astype(dtype)
     cum = l1m + lt
     include = cum.astype(jnp.float32) >= jnp.float32(-8.0)
     w = jnp.where(include, alpha * jnp.exp2(cum - l1m), jnp.asarray(0, dtype))

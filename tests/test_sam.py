@@ -130,3 +130,30 @@ def test_blocked_rel_attention_matches_naive():
 
     out = _blocked_rel_attention(q, k * scale, v, rh, rw, h, w, row_block=8)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_generate_with_precomputed_embed_matches(tiny_sam):
+    """encode_images + generate(embed=...) must equal the single-image
+    path exactly (same encoder program, geometry recomputed from shape);
+    the pad_to repeat must not leak padded embeddings."""
+    cfg, model, params = tiny_sam
+    gen = AutomaticMaskGenerator(
+        model, params, cfg,
+        GeneratorConfig(points_per_batch=8, pred_iou_thresh=-10.0,
+                        stability_score_thresh=-1.0, min_mask_region_area=0),
+    )
+    rng = np.random.default_rng(5)
+    images = [
+        rng.integers(0, 255, (48, 64, 3), np.uint8) for _ in range(3)
+    ]
+    grid = rng.uniform(0.1, 0.9, (4, 2))
+    embeds = gen.encode_images(images, pad_to=4)
+    assert len(embeds) == 3
+    for img, emb in zip(images, embeds):
+        base = gen.generate(img, grid)
+        fast = gen.generate(img, grid, embed=emb)
+        for lb, lf in zip(base, fast):
+            assert len(lb) == len(lf)
+            for rb, rf in zip(lb, lf):
+                assert np.array_equal(rb["segmentation"], rf["segmentation"])
+                assert rb["predicted_iou"] == rf["predicted_iou"]
