@@ -19,7 +19,19 @@ scene = GaussianScene(
     scales_raw=jnp.asarray(np.log(raw["scales"])), quats=jnp.asarray(raw["quats"]),
     semantic_features=jnp.zeros((N, 16)),
 )
-cfg = GadConfig(max_segments=1024)
+import os as _os
+
+from gags_tpu.splat.rasterizer import RasterizeConfig as _RC
+
+# same env A/B legs as train_bench so profiles attribute the same code
+cfg = GadConfig(
+    max_segments=1024,
+    fused_supervision=_os.environ.get("GAGS_FSUP", "0") == "1",
+    raster=_RC(
+        fast_fwd_aligned=_os.environ.get("GAGS_FASTFWD", "0") == "1",
+        grad_canon=_os.environ.get("GAGS_GCANON", "0") == "1",
+    ),
+)
 state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)
 geom = jax.device_put(frozen_geometry(scene))
 cam = make_camera(W, H)
