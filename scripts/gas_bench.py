@@ -89,6 +89,32 @@ print(
 stage_totals: dict = {}
 
 
+def with_retries(fn, *args, attempts: int = 4, base_sleep: float = 30.0, **kw):
+    """Retry through transient tunnel failures (remote_compile broken
+    pipes killed this leg in two consecutive batteries mid-encoder; the
+    tunnel recovered minutes later both times). Non-transient errors
+    re-raise immediately; a genuinely dead tunnel exhausts the attempts
+    and the leg's outer `timeout` still bounds the run."""
+    for attempt in range(attempts):
+        try:
+            return fn(*args, **kw)
+        except Exception as exc:  # noqa: BLE001 — filtered below
+            msg = repr(exc)
+            transient = any(
+                s in msg for s in ("UNAVAILABLE", "Broken pipe", "transport",
+                                   "DEADLINE_EXCEEDED", "Connection reset")
+            )
+            if not transient or attempt == attempts - 1:
+                raise
+            sleep = base_sleep * (attempt + 1)
+            print(
+                f"transient backend error (attempt {attempt + 1}/{attempts}):"
+                f" {msg:.200} — retrying in {sleep:.0f}s",
+                flush=True,
+            )
+            time.sleep(sleep)
+
+
 def run_image(i: int, embed=None, image=None):
     if image is None:
         image = rng_np.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
@@ -135,10 +161,10 @@ def run_image(i: int, embed=None, image=None):
 
 
 # warmup image pays every compile; steady state excludes it
-run_image(-1)
+with_retries(run_image, -1)
 stage_totals.clear()
 for i in range(n_images):
-    run_image(i)
+    with_retries(run_image, i)
 per_img = stage_totals["total"] / n_images
 print(
     "steady-state per image (single-image encode): "
@@ -154,14 +180,14 @@ images = [
     rng_np.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
     for _ in range(max(n_images, EB))
 ]
-gen.encode_images(images[:EB], pad_to=EB)  # pay the batch-4 compile
+with_retries(gen.encode_images, images[:EB], pad_to=EB)  # batch-4 compile
 stage_totals.clear()
 t0 = time.perf_counter()
 for g0 in range(0, len(images), EB):
     grp = images[g0 : g0 + EB]
-    embeds = gen.encode_images(grp, pad_to=EB)
+    embeds = with_retries(gen.encode_images, grp, pad_to=EB)
     for j, (img, emb) in enumerate(zip(grp, embeds)):
-        run_image(g0 + j, embed=emb, image=img)
+        with_retries(run_image, g0 + j, embed=emb, image=img)
 t1 = time.perf_counter()
 n_run = len(images)
 print(
