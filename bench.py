@@ -288,6 +288,12 @@ def main():
         # bf16 pipeline shifted the a/b balance — NOTES round-3)
         shape_tol = 5e-2 if cfg.blend_bf16 else 1e-3
         cfg, t0 = try_candidate(cfg, t0, tol=shape_tol, p_block=256)
+        # chunk 256: halves the per-chunk fixed cost (~0.56 us/chunk —
+        # loop bookkeeping + per-lane coefficient prep), same MACs per
+        # splat (the tri scan stays 128-blocked). Accumulation
+        # association moves (carry adds, one colour matmul per 256) →
+        # contract tol, not bit-exact.
+        cfg, t0 = try_candidate(cfg, t0, tol=shape_tol, chunk=256)
         # tile-shape candidates BEFORE budget trims: a shape change moves
         # the instance count, and a trimmed budget would overflow →
         # parity-reject the shape for the wrong reason (r4: 16x16 at
@@ -322,6 +328,20 @@ def main():
             if new_cfg is cfg:
                 break  # overflow or slower — tighter ones won't win
             cfg, t0 = new_cfg, new_t
+        # greedy-order guard: a non-32x32 shape that won by a hair at its
+        # larger required budget can lose to 32x32 AFTER the trim (r4:
+        # 16x32 at bf=3 beat 32x32 at bf=3 by 0.06 ms, but 32x32 trims to
+        # bf=2.2 and wins by 1.2). Re-offer the trimmed 32x32 directly.
+        if (cfg.tile_h, cfg.tile_w) != (32, 32):
+            for bf in (2.2, 2.5):
+                new_cfg, new_t = try_candidate(
+                    cfg, t0, tol=shape_tol, check_overflow=True,
+                    tile_h=32, tile_w=32, p_block=min(cfg.p_block, 256),
+                    budget_factor=bf,
+                )
+                if new_cfg is not cfg:
+                    cfg, t0 = new_cfg, new_t
+                    break
         # lane-major geometry (SoA): a scene store layout choice, bit-
         # identical math — avoids streaming the lane-padded (N, 3/4)
         # arrays through projection (scripts/layout_probe.py)
@@ -364,9 +384,9 @@ def main():
                       file=sys.stderr)
         print(
             f"# autotune: blend_bf16={cfg.blend_bf16} "
-            f"kernel_relayout={cfg.kernel_relayout} "
-            f"fused_keys={cfg.fused_keys} packed_out={cfg.packed_out} "
+            f"fused_keys={cfg.fused_keys} "
             f"image_chw={cfg.image_chw} soa_geom={cfg.soa_geom} "
+            f"tile={cfg.tile_h}x{cfg.tile_w} chunk={cfg.chunk} "
             f"budget_factor={cfg.budget_factor} p_block={cfg.p_block}",
             file=sys.stderr,
         )

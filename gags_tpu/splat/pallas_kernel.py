@@ -91,34 +91,6 @@ def _tri_incl(g: int) -> jnp.ndarray:
     return (r <= c).astype(jnp.float32)
 
 
-def _eye(g: int, dtype=jnp.float32) -> jnp.ndarray:
-    """(G, G) 0/1 identity for exact MXU transposes: dot_general(x_T (G, D),
-    I (G, G)) contracting dim 0 with dim 0 equals x (D, G) exactly — each
-    output is one 1.0*x product plus zeros (order-independent)."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
-    return (r == c).astype(dtype)
-
-
-def _mxu_t(x_t: jnp.ndarray) -> jnp.ndarray:
-    """Exact (G, D) -> (D, G) transpose as one tiny identity matmul (the MXU
-    is idle in the VPU-bound blend; Mosaic lacks cheap skinny transposes).
-    f32 uses HIGHEST (error-free 3-way bf16 splits reconstruct each value
-    through the 0/1 identity); bf16 is exact in one DEFAULT pass."""
-    g = x_t.shape[0]
-    f32 = x_t.dtype == jnp.float32
-    out = jax.lax.dot_general(
-        x_t, _eye(g, x_t.dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        # Mosaic requires a 32-bit matmul accumulator ("Expected matmul acc
-        # to be 32-bit", found on hardware) — accumulate f32 and cast back:
-        # still exact, every bf16 value round-trips through f32
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST if f32 else None,
-    )
-    return out if f32 else out.astype(x_t.dtype)
-
-
 SCAN_BLOCK = 128  # tri-matmul width; cumsum cost stays LINEAR in chunk size
 
 
@@ -315,13 +287,58 @@ def _forward_kernel(
 
 INV_LN2 = 1.0 / math.log(2.0)
 LOG2_T_EPS = math.log2(1e-4)
+LOG2_ALPHA_CLAMP = math.log2(ALPHA_CLAMP)
+
+
+def _tri_strict(g: int) -> jnp.ndarray:
+    """(G, G) ones where row < col: the EXCLUSIVE prefix operand."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+    return (r < c).astype(jnp.float32)
+
+
+def _cumsum_lanes_pair(x, g: int):
+    """(inclusive, exclusive) lane prefix sums, both f32, one shared carry.
+
+    Used by the bf16 blend pipeline: x is the bf16 log(1-alpha) row; both
+    tri operands are exact 0/1 matrices and the MXU accumulates f32, so
+    the exclusive prefix (T before each splat) costs one extra idle-MXU
+    pass instead of an f32 re-extension + subtract of the bf16 row on the
+    VPU (packed-bf16 elementwise measured ~3x slower per pair than f32 on
+    this Mosaic — r4 slab probe)."""
+    b = min(SCAN_BLOCK, g)
+    tri_i = _tri_incl(b).astype(x.dtype)
+    tri_x = _tri_strict(b).astype(x.dtype)
+    dn = (((1,), (0,)), ((), ()))
+
+    inc_blocks, exc_blocks = [], []
+    carry = jnp.zeros((x.shape[0], 1), jnp.float32)
+    for s in range(g // b):
+        xs = x[:, s * b : (s + 1) * b]
+        inc_s = carry + jax.lax.dot_general(
+            xs, tri_i, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        exc_s = carry + jax.lax.dot_general(
+            xs, tri_x, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        carry = inc_s[:, b - 1 : b]
+        inc_blocks.append(inc_s)
+        exc_blocks.append(exc_s)
+    if len(inc_blocks) == 1:
+        return inc_blocks[0], exc_blocks[0]
+    return (
+        jnp.concatenate(inc_blocks, axis=1),
+        jnp.concatenate(exc_blocks, axis=1),
+    )
 
 
 def _forward_fast_kernel(
     # scalar prefetch
     tile_starts_ref,
     tile_counts_ref,
-    # inputs + output + scratch (layout depends on rows_k, see below)
+    # inputs + output + scratch
     *refs,
     tiles_x: int,
     tile_h: int,
@@ -330,9 +347,6 @@ def _forward_fast_kernel(
     p_block: int,
     mxu_sigma: bool,
     blend_bf16: bool,
-    rows_k: int = 0,
-    col_f32: bool = False,
-    packed_out: bool = False,
 ):
     """Inference-only forward blend (unaligned ranges), VMEM-traffic-dieted.
 
@@ -342,39 +356,32 @@ def _forward_fast_kernel(
     barely move it — each (P, G) f32 elementwise op streams ~0.5 MB
     through VMEM (~57 ns measured), so cost ≈ #materialised (P, G) ops.
     This kernel cuts them: per-lane (1, G) work replaces (P, G) work
-    wherever possible (range masking folded into the opacity row, the
-    0.5x and 1/ln2 constants folded into the conic rows so the alpha
-    transcendental is a bare exp2), the select chain is collapsed, and the
-    pixel dimension is processed in `p_block` slabs so live temporaries
-    fit closer to the register file. Numerics are exact f32 (same alpha
-    floor/clamp/early-stop semantics); colour rows may be bf16
-    (fast_color_rows) — colour matmul error ~1e-3 relative, geometry math
-    unaffected.
+    wherever possible (range masking folded into the opacity row; the
+    0.5x, 1/ln2, -1 sign, opacity, PSD clamp and 0.999 alpha-clamp
+    constants ALL fold into the per-lane conic rows and one per-lane
+    bound, so the whole alpha pipeline is min + exp2 + floor-select),
+    and the pixel dimension is processed in `p_block` slabs so live
+    temporaries fit closer to the register file. Numerics are exact f32
+    (same alpha floor/clamp/early-stop semantics — the 0.999 clamp moves
+    into the exponent domain, a <=1-ulp reassociation); colour rows may
+    be bf16 (fast_color_rows) — colour matmul error ~1e-3 relative,
+    geometry math unaffected.
 
-    Two input layouts:
-      * rows_k == 0 (classic): refs = (geom_hbm (8, M) f32, col_hbm (C, M),
-        bg, out, gbuf (2, 8, SEG), cbuf (2, C, SEG), acc, sems (4,)) — the
-        XLA side reassembled the gathered u16 rows and transposed them
-        lane-major (~2 ms of relayout copies per frame at 768k instances).
-      * rows_k == K (in-kernel relayout): refs = (rows_hbm (M, 128) u16
-        — K logical columns zero-padded to the 128-lane physical width —
-        bg, out, rbuf (2, SEG, 128) u16, acc, sems (2,)) — the kernel
-        DMAs the gathered rows untouched, selects the K logical columns
-        with an exact 0/1 matmul on the f32 extension, and recovers the
-        lane-major layout with EXACT 0/1 identity matmuls on the
-        (otherwise idle) MXU: transposition is not a contraction, but
-        dot_general(x_T (G, D), I (G, G)) contracting dim 0 with dim 0
-        IS x (D, G), and with a 0/1 matrix each output element is one
-        1.0*x product plus exact zeros (HIGHEST-precision f32 splits
-        reconstruct x error-free; u16 values < 2^16 are exact f32).
-        K = 16 geometry u16 halves + colour columns (C bf16 bit-halves,
-        or 2C u16 halves when col_f32). Deletes the XLA
-        transposes/reassembly from the frame.
-    """
-    if rows_k:
-        rows_hbm, bg_ref, out_ref, rbuf, acc_ref, sems = refs
-    else:
-        geom_hbm, col_hbm, bg_ref, out_ref, gbuf, cbuf, acc_ref, sems = refs
+    refs = (geom_hbm (8, M) f32, col_hbm (C, M), bg, out,
+    gbuf (2, 8, SEG), cbuf (2, C, SEG), acc, sems (4,)).
+
+    The blend_bf16 pipeline keeps every ELEMENTWISE op in f32 — the r4
+    slab probe measured packed-bf16 elementwise chains ~3x SLOWER per
+    pair than f32 on this Mosaic (262 vs 82 ps at slab 256) — and spends
+    bf16 only where it wins: the two MXU operand streams (log(1-a) rows
+    into the transmittance tri-matmul, blend weights into the colour
+    matmul) and the colour rows themselves. Transmittance runs in LN
+    units (the tri matrix stays an exact 0/1 operand; no INV_LN2
+    constants to round to bf16); a second strictly-triangular MXU pass
+    yields the EXCLUSIVE prefix directly, so the backward-shift
+    `lt_incl - l1m` (an f32 re-extension of a bf16 row, two ops) is
+    replaced by idle-MXU work."""
+    geom_hbm, col_hbm, bg_ref, out_ref, gbuf, cbuf, acc_ref, sems = refs
     t = pl.program_id(0)
     start = tile_starts_ref[t]
     count = tile_counts_ref[t]
@@ -385,7 +392,7 @@ def _forward_fast_kernel(
     t_eps = jnp.float32(LOG_T_EPS if blend_bf16 else LOG2_T_EPS)
     nb = p // p_block
     # segment width (chunks per DMA * g)
-    seg_w = rbuf.shape[1] if rows_k else gbuf.shape[2]
+    seg_w = gbuf.shape[2]
     cpseg = seg_w // g
 
     # per-tile pixel coordinates, per p-block (static python loop)
@@ -415,13 +422,6 @@ def _forward_fast_kernel(
     nchunks = jnp.where(count > 0, pl.cdiv(lead + count, g), 0)
     nseg = pl.cdiv(nchunks, cpseg)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
-    if rows_k:
-        # loop-invariant 0/1 lane-selection matrix for the in-kernel
-        # relayout (picks the first rows_k of 128 physical lanes); built
-        # once per tile, not per chunk
-        _lsel = jax.lax.broadcasted_iota(jnp.int32, (128, rows_k), 0)
-        _jsel = jax.lax.broadcasted_iota(jnp.int32, (128, rows_k), 1)
-        sel = (_lsel == _jsel).astype(jnp.float32)
 
     acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
@@ -430,13 +430,6 @@ def _forward_fast_kernel(
         # `cpseg` chunks — per-chunk (24, 128) DMAs left the loop latency-
         # bound (~3 us/chunk measured with compute ~1 us; see fast_sweep)
         off = pl.multiple_of(base + s * seg_w, g)
-        if rows_k:
-            return (
-                pltpu.make_async_copy(
-                    rows_hbm.at[pl.ds(off, seg_w), :], rbuf.at[slot],
-                    sems.at[slot],
-                ),
-            )
         a = pltpu.make_async_copy(
             geom_hbm.at[:, pl.ds(off, seg_w)], gbuf.at[slot], sems.at[slot]
         )
@@ -484,76 +477,34 @@ def _forward_fast_kernel(
             # c); since the included set is a prefix, sum(w) telescopes to
             # 1 - T_after_last_included exactly — no min-tracking needed.
             k, log_t = carry
-            if rows_k:
-                # in-kernel relayout: the rows buffer is zero-padded to the
-                # 128-lane physical width — Mosaic cannot lane-slice sub-128
-                # spans of an i16 VMEM block ("Slice shape along dimension 1
-                # must be aligned to tiling (128)", hardware-found). Select
-                # the rows_k logical columns with an exact 0/1 MXU matmul on
-                # the f32 extension (u16 values < 2^16 are exact f32;
-                # HIGHEST splits reconstruct each 1.0*x product error-free),
-                # transpose with the same trick, then reassemble the u16
-                # halves from SUBLANE slices (8-aligned, supported).
-                hw = rbuf[slot, pl.ds(k * g, g), :]  # (G, 128) u16
-                # Mosaic has no direct u16->f32 cast; widen to i32 first
-                hwf = hw.astype(jnp.int32).astype(jnp.float32)
-                tmp = jax.lax.dot_general(
-                    hwf, sel, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (G, K) f32 — the first rows_k lanes, exactly
-                all_t = _mxu_t(tmp)  # (K, G) f32, exact
-                # reassembly in i32 (Mosaic has no f32->u32 cast); the
-                # shift wraps into the sign bit with the intended 32-bit
-                # pattern, so the bitcast is still exact
-                rows = jax.lax.bitcast_convert_type(
-                    (all_t[:GEOM_ROWS].astype(jnp.int32) << 16)
-                    | all_t[GEOM_ROWS : 2 * GEOM_ROWS].astype(jnp.int32),
-                    jnp.float32,
-                )  # (8, G)
-            else:
-                rows = gbuf[slot, :, pl.ds(k * g, g)]  # (8, G) f32
-            # constants folded into the per-lane conic rows: sigma2 =
-            # sigma * log2(e) so alpha = op * exp2(-sigma2); 0.5 absorbed
-            ca = rows[2:3, :] * (0.5 * INV_LN2)
-            cb = rows[3:4, :] * INV_LN2
-            cc = rows[4:5, :] * (0.5 * INV_LN2)
+            rows = gbuf[slot, :, pl.ds(k * g, g)]  # (8, G) f32
+            # constants folded into the per-lane conic rows. mxu_sigma
+            # additionally folds the -1 sign so the matmul emits
+            # log2(alpha_unclamped) = -sigma*log2(e) + log2(op) directly:
+            # alpha = exp2(min(s2n, bound)) with NO negation op.
+            csign = -1.0 if mxu_sigma else 1.0
+            ca = rows[2:3, :] * (csign * 0.5 * INV_LN2)
+            cb = rows[3:4, :] * (csign * INV_LN2)
+            cc = rows[4:5, :] * (csign * 0.5 * INV_LN2)
             # unaligned head/tail masking folded into the opacity LANE row
             j = (s * cpseg + k) * g + lane
             opm = jnp.where(
                 (j >= lead) & (j < lead + count), rows[5:6, :], 0.0
             )
             if mxu_sigma:
-                # opacity folded into the sigma matmul: alpha =
-                # exp2(log2(op) - s2), so the (P, G) `op *` multiply
-                # disappears; masked/sentinel lanes (op = 0) get a large
-                # finite offset that underflows exp2 to exactly 0. The
-                # geometric max(s2, 0) clamp becomes max(s2', mlog) —
-                # same semantics, shifted by the fold.
-                mlog = jnp.where(opm > 0.0, -jnp.log2(opm), jnp.float32(1e4))
+                # ONE per-lane bound replaces three (P, G) ops: the PSD
+                # sigma >= 0 clamp (negatives are fp noise at the centre;
+                # the reference keeps these splats), the opacity bound
+                # alpha <= op, and the 0.999 alpha clamp — all are upper
+                # bounds on log2(alpha). Masked/sentinel lanes (op = 0)
+                # bound to -1e4, which underflows exp2 to exactly 0.
+                m2c = jnp.where(
+                    opm > 0.0,
+                    jnp.minimum(jnp.log2(opm), jnp.float32(LOG2_ALPHA_CLAMP)),
+                    jnp.float32(-1e4),
+                )
             cdt = jnp.bfloat16 if blend_bf16 else jnp.float32
-            if rows_k:
-                # colour columns ride the same transposed selection;
-                # sublane slices (8-aligned — colours are padded to
-                # multiples of 8) replace the unsupported lane slices
-                cbits = all_t[2 * GEOM_ROWS :]  # (C or 2C, G) u16 patterns
-                if col_f32:
-                    cc2 = cbits.shape[0] // 2
-                    col_rows = jax.lax.bitcast_convert_type(
-                        (cbits[:cc2].astype(jnp.int32) << 16)
-                        | cbits[cc2:].astype(jnp.int32),
-                        jnp.float32,
-                    ).astype(cdt)  # (C, G)
-                else:
-                    # a bf16 value's f32 extension has bit pattern
-                    # (bits16 << 16): recover the f32 directly (no
-                    # f32->u16 cast in Mosaic), then round to cdt —
-                    # exact for cdt=bf16 (value is representable)
-                    col_rows = jax.lax.bitcast_convert_type(
-                        cbits.astype(jnp.int32) << 16, jnp.float32
-                    ).astype(cdt)  # (C, G)
-            else:
-                col_rows = cbuf[slot, :, pl.ds(k * g, g)].astype(cdt)
+            col_rows = cbuf[slot, :, pl.ds(k * g, g)].astype(cdt)
             colors = jnp.concatenate(
                 [
                     col_rows,
@@ -562,8 +513,8 @@ def _forward_fast_kernel(
                 axis=0,
             )  # (C + 1, G)
             if mxu_sigma:
-                # polynomial coefficients of sigma2 in tile-centred (u, v):
-                # all per-lane (1, G) work
+                # polynomial coefficients of log2(alpha) in tile-centred
+                # (u, v): all per-lane (1, G) work (signs folded above)
                 du = rows[0:1, :] - ox
                 dv = rows[1:2, :] - oy
                 a2du = 2.0 * (ca * du)
@@ -575,7 +526,7 @@ def _forward_fast_kernel(
                         cc,
                         -(a2du + bdv),
                         -(2.0 * (cc * dv) + cb * du),
-                        0.5 * (a2du * du) + dv * (cb * du + cc * dv) + mlog,
+                        0.5 * (a2du * du) + dv * (cb * du + cc * dv) + m2c,
                         jnp.zeros_like(ca),
                         jnp.zeros_like(ca),
                     ],
@@ -590,63 +541,52 @@ def _forward_fast_kernel(
                 sl = slice(b * p_block, (b + 1) * p_block)
                 lt = log_t[sl]
                 if mxu_sigma:
-                    s2 = jax.lax.dot_general(
+                    s2n = jax.lax.dot_general(
                         x_feat[sl], coef,  # (Pb, 8) x (8, G)
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST,
-                    )
-                    # exact sigma >= 0 (PSD conic): negatives are pure fp
-                    # noise at the centre — clamp against the folded
-                    # opacity floor (= mlog + max(geom_sigma, 0);
-                    # reference keeps these splats, masking would
-                    # wrongly skip them)
-                    s2 = jnp.maximum(s2, mlog)
+                    )  # log2(alpha), unclamped
+                    alpha = jnp.exp2(jnp.minimum(s2n, m2c))
+                    # the 1/255 floor stays a VALUE-domain test (exactly
+                    # the oracle's semantics: an exponent-domain threshold
+                    # would flip inclusion of floor-adjacent splats by the
+                    # rounding of log2(1/255))
+                    alpha = jnp.where(alpha >= ALPHA_FLOOR, alpha, 0.0)
                     if blend_bf16:
-                        # precision-for-bandwidth mode: every (Pb, G) temp
-                        # past the sigma matmul is bf16 (half the VMEM
-                        # stream), transmittance runs in LN units on an
-                        # exact 0/1 tri matmul with a bf16-out MXU pass,
-                        # and only the (P, 1) log-T carry stays f32.
-                        # Measured image error vs the f32 path ~1e-2
-                        # relative (tests/test_pallas_rasterizer.py).
-                        # bf16 lives at the quantisation points (sigma
-                        # rows, ln(1-a) rows) and the two MXU passes;
-                        # every compare/select runs on exact f32
-                        # EXTENSIONS of those bf16 values — Mosaic's v5e
-                        # target rejects packed-bf16 cmpf ("Target does
-                        # not support this comparison", found on hardware
-                        # by scripts/tpu_validate.py).
-                        sf = s2.astype(jnp.bfloat16).astype(jnp.float32)
-                        alpha = jnp.minimum(ALPHA_CLAMP, jnp.exp2(-sf))
-                        alpha = jnp.where(alpha >= ALPHA_FLOOR, alpha, 0.0)
+                        # precision-for-bandwidth mode, ELEMENTWISE-f32:
+                        # the r4 slab probe measured packed-bf16
+                        # elementwise ~3x slower per pair than f32 on this
+                        # Mosaic, so bf16 appears ONLY as MXU operands
+                        # (l1m rows, blend weights, colour rows). The
+                        # strictly-triangular second MXU pass provides the
+                        # exclusive prefix (T before each splat) without
+                        # re-extending the bf16 l1m row to f32. Measured
+                        # image error vs the f32 path ~1e-2 relative
+                        # (tests/test_pallas_rasterizer.py). Transmittance
+                        # runs in LN units: the tri operands stay exact
+                        # 0/1 matrices with no INV_LN2 rounding.
                         l1m_b = jnp.log1p(-alpha).astype(jnp.bfloat16)
-                        cum = _cumsum_lanes(l1m_b, g)  # bf16 tri matmul
-                        cumf = cum.astype(jnp.float32)
-                        lt_incl = lt + cumf  # ln units, f32 carry
-                        w = jnp.where(
-                            lt_incl >= LOG_T_EPS,
-                            alpha * jnp.exp(
-                                lt_incl - l1m_b.astype(jnp.float32)
-                            ),
-                            0.0,
-                        )
+                        inc, exc = _cumsum_lanes_pair(l1m_b, g)  # f32 out
+                        lt_i = lt + inc  # ln units, f32 carry
+                        earg = jnp.where(
+                            lt_i >= LOG_T_EPS, lt + exc, jnp.float32(-1e4)
+                        )  # excluded splats underflow exp to exactly 0
+                        w = alpha * jnp.exp(earg)
                         acc_ref[sl, :] += jax.lax.dot_general(
                             w.astype(jnp.bfloat16), colors,  # bf16 MXU
                             dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
-                        new_log_t.append(lt + cumf[:, g - 1 : g])
+                        new_log_t.append(lt_i[:, g - 1 : g])
                         continue
-                    alpha = jnp.minimum(ALPHA_CLAMP, jnp.exp2(-s2))
-                    live = alpha >= ALPHA_FLOOR
                 else:
                     dx = px_full[sl] - mx  # (Pb, G)
                     dy = py_full[sl] - my
                     s2 = (ca * dx) * dx + (cb * dx + cc * dy) * dy
                     alpha = jnp.minimum(ALPHA_CLAMP, opm * jnp.exp2(-s2))
                     live = (s2 >= 0.0) & (alpha >= ALPHA_FLOOR)
-                alpha = jnp.where(live, alpha, 0.0)
+                    alpha = jnp.where(live, alpha, 0.0)
                 l1m = jnp.log1p(-alpha) * INV_LN2  # log2(1 - alpha)
                 cum = _cumsum_lanes(l1m, g)
                 lt_incl = lt + cum
@@ -680,22 +620,8 @@ def _forward_fast_kernel(
     # T after the last included splat = 1 - sum of included blend weights
     # (exact telescoping; clamp shields the ~1-ulp fp overshoot)
     t_fin = jnp.maximum(1.0 - aw_fin, 0.0)
-    if packed_out:
-        # channel-major (C+1, P) output block: the (T, P, C+1) layout pads
-        # its 17-lane minor dim to 128 in HBM (XLA (8, 128) tiling — ~7.5x
-        # the bytes); with P on lanes the pad is only 17->24 sublanes.
-        # Exact 128-block identity-matmul transposes (see _mxu_t).
-        fin = jnp.concatenate(
-            [acc_ref[:, :c] + t_fin * bg_ref[0:1, :], 1.0 - t_fin], axis=1
-        )  # (P, C+1)
-        blk = min(128, p)
-        for b in range(p // blk):
-            out_ref[0, :, pl.ds(b * blk, blk)] = _mxu_t(
-                fin[b * blk : (b + 1) * blk, :]
-            )
-    else:
-        out_ref[0, :, :c] = acc_ref[:, :c] + t_fin * bg_ref[0:1, :]
-        out_ref[0, :, c : c + 1] = 1.0 - t_fin
+    out_ref[0, :, :c] = acc_ref[:, :c] + t_fin * bg_ref[0:1, :]
+    out_ref[0, :, c : c + 1] = 1.0 - t_fin
 
 
 SEG_CHUNKS = 8  # chunks streamed per segment DMA in the fast kernel
@@ -705,7 +631,7 @@ SEG_CHUNKS = 8  # chunks streamed per segment DMA in the fast kernel
     jax.jit,
     static_argnames=(
         "tiles_x", "tiles_y", "tile_h", "tile_w", "chunk", "p_block",
-        "seg_chunks", "mxu_sigma", "blend_bf16", "packed_out", "interpret",
+        "seg_chunks", "mxu_sigma", "blend_bf16", "interpret",
     ),
 )
 def tile_blend_forward_fast(
@@ -724,12 +650,9 @@ def tile_blend_forward_fast(
     seg_chunks: int = SEG_CHUNKS,
     mxu_sigma: bool = True,
     blend_bf16: bool = False,
-    packed_out: bool = False,
     interpret: bool = False,
 ):
-    """Inference forward blend over unaligned ranges. Returns (T, P, C+1),
-    or channel-major (T, C+1, P) with packed_out (see the kernel epilogue:
-    avoids the 17->128 lane pad of the HBM output tiling).
+    """Inference forward blend over unaligned ranges. Returns (T, P, C+1).
 
     Instance arrays must carry >= seg_chunks*chunk rows of sentinel slack
     past the last tile range (zero rows — the rasterizer pads the gather
@@ -751,7 +674,7 @@ def tile_blend_forward_fast(
         bg = jnp.zeros((c,), jnp.float32)
     bg2d = bg.reshape(1, c).astype(jnp.float32)
 
-    out_block = (1, c + 1, p) if packed_out else (1, p, c + 1)
+    out_block = (1, p, c + 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -777,7 +700,6 @@ def tile_blend_forward_fast(
     kernel = functools.partial(
         _forward_fast_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
         g=chunk, p_block=p_block, mxu_sigma=mxu_sigma, blend_bf16=blend_bf16,
-        packed_out=packed_out,
     )
     (out,) = pl.pallas_call(
         kernel,
@@ -786,97 +708,6 @@ def tile_blend_forward_fast(
         cost_estimate=_fwd_cost(num_tiles, p, chunk, c, m),
         interpret=interpret,
     )(tile_starts, tile_counts, geom_inst, color_inst, bg2d)
-    return out
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "col_f32", "logical_cols", "tiles_x", "tiles_y", "tile_h", "tile_w",
-        "chunk", "p_block", "seg_chunks", "mxu_sigma", "blend_bf16",
-        "packed_out", "interpret",
-    ),
-)
-def tile_blend_forward_fast_rows(
-    rows_inst: jnp.ndarray,  # (M', 128) u16: 16+Cc logical cols zero-padded
-    tile_starts: jnp.ndarray,
-    tile_counts: jnp.ndarray,
-    bg: jnp.ndarray | None = None,
-    *,
-    col_f32: bool,
-    logical_cols: int,
-    tiles_x: int,
-    tiles_y: int,
-    tile_h: int,
-    tile_w: int,
-    chunk: int = 128,
-    p_block: int = 1024,
-    seg_chunks: int = SEG_CHUNKS,
-    mxu_sigma: bool = True,
-    blend_bf16: bool = False,
-    packed_out: bool = False,
-    interpret: bool = False,
-):
-    """In-kernel-relayout variant of `tile_blend_forward_fast`: consumes the
-    gathered u16 instance rows UNTRANSPOSED ((M', 128): `logical_cols` =
-    16 geometry bit-half columns then colour columns — C bf16 bit columns,
-    or 2C u16 halves when col_f32 — zero-padded to the 128-lane physical
-    width, since Mosaic cannot lane-slice sub-128 spans of an i16 VMEM
-    block) and performs column selection + reassembly + lane-major
-    transposition inside the kernel (exact 0/1 matmuls on the idle MXU),
-    deleting the XLA-side relayout copies (~2 ms/frame at 768k instances).
-    Same sentinel-slack contract as the classic entry; returns (T, P, C+1)."""
-    num_tiles = tiles_x * tiles_y
-    p = tile_h * tile_w
-    k_cols = rows_inst.shape[1]
-    assert k_cols == 128, "rows table must be padded to 128 u16 lanes"
-    c = (logical_cols - 2 * GEOM_ROWS) // (2 if col_f32 else 1)
-    m = rows_inst.shape[0]
-    p_block = min(p_block, p)
-    if p % p_block:
-        # non-power-of-two tile areas: largest common divisor keeps the
-        # requested slab size a clean split of the pixel block
-        import math
-
-        p_block = math.gcd(p, p_block)
-    assert p % min(128, p) == 0
-    if bg is None:
-        bg = jnp.zeros((c,), jnp.float32)
-    bg2d = bg.reshape(1, c).astype(jnp.float32)
-
-    out_block = (1, c + 1, p) if packed_out else (1, p, c + 1)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, c), lambda t, *_: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                out_block, lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, seg_chunks * chunk, 128), jnp.uint16),
-            pltpu.VMEM((p, c + 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    if blend_bf16 and not mxu_sigma:
-        raise ValueError("blend_bf16 requires mxu_sigma")
-    kernel = functools.partial(
-        _forward_fast_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
-        g=chunk, p_block=p_block, mxu_sigma=mxu_sigma, blend_bf16=blend_bf16,
-        rows_k=logical_cols, col_f32=col_f32, packed_out=packed_out,
-    )
-    (out,) = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((num_tiles,) + out_block[1:], jnp.float32)],
-        cost_estimate=_fwd_cost(num_tiles, p, chunk, c, m),
-        interpret=interpret,
-    )(tile_starts, tile_counts, rows_inst, bg2d)
     return out
 
 
@@ -1589,7 +1420,7 @@ def _expand_keys_kernel(
     lane-difference of the monotone step mask, so the per-slot rank
     attributes come from one EXACT (SB, WS) @ (WS, 16) HIGHEST matmul
     against the windowed table (0/1 one-hot x f32-exact integer values —
-    error-free; see _mxu_t note). All integer arithmetic runs in f32
+    error-free). All integer arithmetic runs in f32
     (every operand < 2^24, exact); dy = slot // pw uses one correctly-
     rounded division plus a +-1 fixup (|fl(q) - q| <= q*2^-23 < 1 at
     q < 2^20).
@@ -1986,3 +1817,40 @@ def tile_blend_backward(
         interpret=interpret,
     )(tile_starts, tile_counts, inst_data, grad_tile_colors, zeros)
     return grad_colors
+
+
+def canonical_rows(x: jnp.ndarray, *, block_rows: int = 2048,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Identity copy through a Pallas kernel: forces a CANONICAL row-major
+    materialisation of `x` (same values, bit-exact).
+
+    Why a kernel for a copy: XLA layout assignment propagates a consumer
+    gather's lane-major layout choice BACKWARD through plain XLA identity
+    ops — the r4 battery-3 A/B measured an identity `dot_general` flat
+    (104.5 vs 105.1 ms/step) because the {0,1} layout simply walked
+    through the dot into its operand. Pallas custom-call operands are
+    layout-pinned to the default (row-major) layout, so propagation stops
+    here and the downstream u16-table row gather runs per-row instead of
+    per-element (layout_probe: 8.4x penalty on lane-major u16 row reads;
+    HLO profile: fusion.9 = 17.5 ms/step at 360p/300k).
+    """
+    m, cols = x.shape
+    mp = -(-m // block_rows) * block_rows
+    xp = jnp.pad(x, ((0, mp - m), (0, 0))) if mp != m else x
+
+    def kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(mp // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, cols), x.dtype),
+        interpret=interpret,
+    )(xp)
+    return out[:m] if mp != m else out

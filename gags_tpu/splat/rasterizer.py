@@ -40,19 +40,18 @@ from gags_tpu.splat.projection import (
 import os as _os
 
 _TRANSPOSE_U16 = _os.environ.get("GAGS_T16", "0") == "1"
-_WARNED_KREL_DISABLED = False
-# A/B experiment flag (GAGS_KREL=1): skip the XLA relayout entirely and let
-# the fast kernel reassemble + transpose the gathered u16 rows in-register
-# (RasterizeConfig.kernel_relayout). Numerics identical; drain-time decides.
-# Applied via auto_config ONLY (the impl reads cfg, never the env).
-_KERNEL_RELAYOUT = _os.environ.get("GAGS_KREL", "0") == "1"
-# A/B experiment flag (GAGS_PACKED=1): channel-major blend output
-# (RasterizeConfig.packed_out). Bit-exact; drain-time decides.
-_PACKED_OUT = _os.environ.get("GAGS_PACKED", "0") == "1"
+# RULED OUT on hardware (r4 battery, deleted per VERDICT r3 #3) — the
+# rulings, so they are not re-staged:
+#   * kernel_relayout (in-kernel u16 reassembly + identity-matmul
+#     transposes): lost every leg on two bases (33.8 vs 31.2 ms; 28.8 vs
+#     26.5; stage-drain 24.5 vs 21.6 bf16). layout_probe explains why:
+#     its (M, 128)-u16 DMA stream is exactly the 8.4x-penalised
+#     non-lane-major u16 read layout.
+#   * packed_out (channel-major (T, C+1, P) blend output): 33.1/26.4 ms
+#     vs bases — the suspected 17->128 output lane pad does not exist
+#     (layout_probe HWC/CHW write ratio 0.8).
 # A/B experiment flag (GAGS_CHW=1): channel-major (C, H, W) FINAL image
-# (RasterizeConfig.image_chw). Bit-exact transpose of the default layout;
-# avoids the same 16/17 -> 128 lane pad on the full-resolution output
-# write that packed_out avoids on the tile buffer. Drain-time decides.
+# (RasterizeConfig.image_chw). Bit-exact transpose of the default layout.
 _IMAGE_CHW = _os.environ.get("GAGS_CHW", "0") == "1"
 # NOTE: soa_geom deliberately has NO env flag: it changes the CALL
 # contract (transposed geometry args), so flipping it globally would
@@ -117,22 +116,12 @@ class RasterizeConfig:
     # columns' compute outweighs the pair shed — BENCH_r03: 31.0 ms with
     # cull vs 25.6 without); autotune re-tries it per shape.
     tile_cull: bool = False
-    # feed the gathered u16 instance rows straight into the fast kernel,
-    # which reassembles + transposes them in-register (exact identity
-    # matmuls on the idle MXU) — deletes the XLA relayout copies (~2 ms
-    # per frame at 768k instances). Inference fast path only; numerics
-    # identical to the XLA relayout (both exact).
-    kernel_relayout: bool = False
     # fused expansion+gather+cull+key Pallas kernel for the unaligned
     # binning (tiles/pallas_kernel.expand_keys): deletes the (M,)-row
     # gather and the XLA key chain. Exact same keys; unaligned narrow-key
-    # tiers only (no-op elsewhere).
+    # tiers only (no-op elsewhere). Measured -6.4 ms/frame at 1080p/1M,
+    # neutral at 720p (r4 battery 2) — autotune decides per shape.
     fused_keys: bool = False
-    # channel-major (T, C+1, P) blend output + matching image epilogue:
-    # probes/avoids the suspected 17->128 lane pad of the (T, P, C+1) HBM
-    # tiling (~7.5x the output bytes at C=16). Exact identity-matmul
-    # transposes in the kernel epilogue; inference fast path only.
-    packed_out: bool = False
     # channel-major (C, H, W) FINAL image: with C=16 on the minor dim the
     # default (H, W, C) output pads 16 -> 128 lanes in HBM ((8, 128)
     # tiling) — ~8x the write bytes of the frame's deliverable (59 -> 472
@@ -161,11 +150,13 @@ class RasterizeConfig:
     # poisons the u16 table to lane-major, turning the (Mp,)-row gather
     # per-row-STRIDED — HLO-profiled 17.5 ms/step at 360p/300k (r4
     # battery 2, fusion.9) vs ~2.6 ms for a canonical-table row gather
-    # (layout_probe: 8.4x penalty on non-lane-major u16 row reads). An
-    # identity dot on the idle MXU materialises (M, C) row-major;
-    # HIGHEST f32 splits reconstruct error-free (same exactness argument
-    # as kernel_relayout), so gradients are bit-identical. Default off
-    # until the hardware A/B (GAGS_GCANON=1 train_bench leg).
+    # (layout_probe: 8.4x penalty on non-lane-major u16 row reads).
+    # Implemented as a Pallas identity copy (pallas_kernel.canonical_rows,
+    # bit-exact): an XLA identity dot measured FLAT in battery 3 because
+    # layout assignment propagated the gather's layout choice backward
+    # through it; custom-call operands are layout-pinned, so propagation
+    # stops at the kernel boundary. Default off until the hardware A/B
+    # (GAGS_GCANON=1 train_bench leg).
     grad_canon: bool = False
 
     def instance_budget(self, n: int) -> int:
@@ -180,14 +171,9 @@ def auto_config(**overrides) -> "RasterizeConfig":
     import jax
 
     overrides.setdefault("interpret", jax.default_backend() == "cpu")
-    # GAGS_PACKED=1 A/B rides auto_config (not the blend impl: callers
-    # like gshard pick their epilogue from the cfg, so the flag must be
-    # visible in the config, never a hidden impl-level override)
-    overrides.setdefault("packed_out", _PACKED_OUT)
-    overrides.setdefault("image_chw", _IMAGE_CHW)
     # env A/B flags ride the CONFIG (never hidden impl-level overrides:
     # autotune/bench labels must describe what actually ran)
-    overrides.setdefault("kernel_relayout", _KERNEL_RELAYOUT)
+    overrides.setdefault("image_chw", _IMAGE_CHW)
     from gags_tpu.splat import tiles as _tiles
 
     overrides.setdefault("fused_keys", _tiles._FUSED_KEYS)
@@ -212,18 +198,6 @@ def _tiles_to_image(tile_img, tiles_x, tiles_y, tile_h, tile_w, height, width):
     return img[:height, :width]
 
 
-def _tiles_to_image_packed(tile_img, tiles_x, tiles_y, tile_h, tile_w, height, width):
-    """Channel-major (T, C, P) tile-major → (H, W, C) with border crop
-    (packed_out kernel layout: P on lanes avoids the C+1 -> 128 lane pad
-    of the HBM output tiling)."""
-    c = tile_img.shape[1]
-    img = tile_img.reshape(tiles_y, tiles_x, c, tile_h, tile_w)
-    img = img.transpose(0, 3, 1, 4, 2).reshape(
-        tiles_y * tile_h, tiles_x * tile_w, c
-    )
-    return img[:height, :width]
-
-
 def _tiles_to_image_chw(tile_img, tiles_x, tiles_y, tile_h, tile_w, height, width):
     """(T, P, C) tile-major → (C, H, W) channel-major with border crop.
 
@@ -232,16 +206,6 @@ def _tiles_to_image_chw(tile_img, tiles_x, tiles_y, tile_h, tile_w, height, widt
     c = tile_img.shape[-1]
     img = tile_img.reshape(tiles_y, tiles_x, tile_h, tile_w, c)
     img = img.transpose(4, 0, 2, 1, 3).reshape(
-        c, tiles_y * tile_h, tiles_x * tile_w
-    )
-    return img[:, :height, :width]
-
-
-def _tiles_to_image_packed_chw(tile_img, tiles_x, tiles_y, tile_h, tile_w, height, width):
-    """Channel-major (T, C, P) tile-major → (C, H, W) with border crop."""
-    c = tile_img.shape[1]
-    img = tile_img.reshape(tiles_y, tiles_x, c, tile_h, tile_w)
-    img = img.transpose(2, 0, 3, 1, 4).reshape(
         c, tiles_y * tile_h, tiles_x * tile_w
     )
     return img[:, :height, :width]
@@ -256,18 +220,15 @@ def soa_geometry(means, quats, scales):
 
 
 def _image_epilogue(cfg):
-    """Pick the tile→image converters for (cfg.packed_out, cfg.image_chw).
+    """Pick the tile→image converters for cfg.image_chw.
 
-    Returns (to_img, to_alpha); to_alpha always yields (H, W). Both flags
-    are inference-only (aligned=False) — the aligned training paths keep
+    Returns (to_img, to_alpha); to_alpha always yields (H, W). image_chw
+    is inference-only (aligned=False) — the aligned training paths keep
     the (T, P, C) kernel layout and (H, W, C) images."""
-    packed = cfg.packed_out and not cfg.aligned
-    chw = cfg.image_chw and not cfg.aligned
-    if chw:
-        f = _tiles_to_image_packed_chw if packed else _tiles_to_image_chw
+    if cfg.image_chw and not cfg.aligned:
+        f = _tiles_to_image_chw
         return f, lambda *a: f(*a)[0]
-    f = _tiles_to_image_packed if packed else _tiles_to_image
-    return f, lambda *a: f(*a)[..., 0]
+    return _tiles_to_image, lambda *a: _tiles_to_image(*a)[..., 0]
 
 
 def _image_to_tiles(img, tiles_x, tiles_y, tile_h, tile_w):
@@ -535,55 +496,6 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, 
             )  # (N+1, Cp)
         else:
             col_u16 = tiles.u16_halves(colors_pad)  # (N+1, 2Cp)
-        packed = cfg.packed_out
-        k_logical = 16 + col_u16.shape[1]
-        if cfg.kernel_relayout and k_logical > 128:
-            # silent fallback would mislead A/B runs that believe the flag
-            # is active — surface it once per process
-            global _WARNED_KREL_DISABLED
-            if not _WARNED_KREL_DISABLED:
-                _WARNED_KREL_DISABLED = True
-                import warnings
-
-                warnings.warn(
-                    f"kernel_relayout requested but disabled: row width "
-                    f"{k_logical} > 128 lanes (e.g. many colour channels "
-                    "with col_f32); using the classic relayout path."
-                )
-        if cfg.kernel_relayout and k_logical <= 128:
-            # no XLA relayout at all: the kernel reassembles the u16 rows
-            # and recovers the lane-major layout in-register. The table is
-            # zero-padded to the 128-lane physical width BEFORE the gather
-            # (row gathers are per-row bound, so the wider rows are ~free;
-            # Mosaic cannot lane-slice sub-128 spans of an i16 VMEM block,
-            # so the kernel needs the full physical width).
-            table = jnp.concatenate(
-                [geom_u16, col_u16,
-                 jnp.zeros((geom_u16.shape[0], 128 - k_logical), jnp.uint16)],
-                axis=1,
-            )
-            got = table[inst_gid]
-            out = pk.tile_blend_forward_fast_rows(
-                got,
-                tile_starts,
-                tile_counts,
-                bg,
-                col_f32=not cfg.fast_color_rows,
-                logical_cols=k_logical,
-                tiles_x=tiles_x,
-                tiles_y=tiles_y,
-                tile_h=cfg.tile_h,
-                tile_w=cfg.tile_w,
-                chunk=cfg.chunk,
-                p_block=cfg.p_block,
-                mxu_sigma=cfg.mxu_sigma,
-                blend_bf16=cfg.blend_bf16,
-                packed_out=packed,
-                interpret=cfg.interpret,
-            )
-            if packed:
-                return out[:, :c_true, :], out[:, -1:, :]
-            return out[..., :c_true], out[..., -1:]
         got = jnp.concatenate([geom_u16, col_u16], axis=1)[inst_gid]
         if _TRANSPOSE_U16:
             # A/B experiment (GAGS_T16=1): ONE u16 transpose of the whole
@@ -632,11 +544,8 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, 
             p_block=cfg.p_block,
             mxu_sigma=cfg.mxu_sigma,
             blend_bf16=cfg.blend_bf16,
-            packed_out=packed,
             interpret=cfg.interpret,
         )
-        if packed:
-            return out[:, :c_true, :], out[:, -1:, :]
         return out[..., :c_true], out[..., -1:]
     # training path: ONE row-major gather of geometry + colours together
     # (contiguous 8+C floats per index), one transpose to lane-major
@@ -709,15 +618,12 @@ def _reduce_by_rank(grad_inst_t, red_slot, red_rank, red_block, n, cfg):
     jax.ops.segment_sum, whose scatter-add lowering cost ~59 ms/step."""
     cdim = grad_inst_t.shape[1]
     if cfg.grad_canon:
-        # exact identity dot: out[m, c] = grad[m, c] * 1.0 (+ 0-products)
-        # — forces a canonical row-major materialisation so the red_slot
-        # row gather below is per-row, not per-element (see RasterizeConfig
-        # .grad_canon). HIGHEST splits make f32 1.0*x products error-free.
-        eye = jnp.eye(cdim, dtype=grad_inst_t.dtype)
-        grad_inst_t = jax.lax.dot_general(
-            grad_inst_t, eye, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # Pallas identity copy: forces a canonical row-major
+        # materialisation so the red_slot row gather below is per-row,
+        # not per-element (see RasterizeConfig.grad_canon — an XLA
+        # identity dot measured flat because layout assignment walked the
+        # gather's layout choice straight through it).
+        grad_inst_t = pk.canonical_rows(grad_inst_t, interpret=cfg.interpret)
     rows_ext = jnp.concatenate(
         [grad_inst_t, jnp.zeros((1, cdim), grad_inst_t.dtype)], axis=0
     )

@@ -29,14 +29,17 @@ bg = jnp.zeros((16,), jnp.float32)
 # set with margin) + fused_keys on the now-default no-cull base instead.
 VARIANTS = [
     dict(budget_factor=3, fast_color_rows=True),
-    dict(budget_factor=3, fast_color_rows=True, blend_bf16=True),
-    dict(budget_factor=2.8, fast_color_rows=True, blend_bf16=True),
-    dict(budget_factor=2.8, fast_color_rows=True, blend_bf16=True,
-         fused_keys=True),
     dict(budget_factor=2.7, fast_color_rows=True, blend_bf16=True,
          fused_keys=True),
     dict(budget_factor=2.7, fast_color_rows=True, blend_bf16=True,
          fused_keys=True, image_chw=True),
+    # chunk 256: at ~2.66M valid instances the per-chunk fixed cost
+    # (~0.56 us) is ~11 ms/frame — halving the chunk count is the
+    # largest single 1080p lever after the r4 blend diet
+    dict(budget_factor=2.7, fast_color_rows=True, blend_bf16=True,
+         fused_keys=True, image_chw=True, chunk=256),
+    dict(budget_factor=2.7, fast_color_rows=True, blend_bf16=True,
+         fused_keys=True, image_chw=True, chunk=256, p_block=128),
 ]
 for v in VARIANTS:
     cfg = RasterizeConfig(tile_h=32, tile_w=32, aligned=False, **v)

@@ -15,7 +15,7 @@ Contracts asserted per case:
   * bf16 colour rows (fast_color_rows) within 5e-3 (documented ~1e-3
     colour quantisation);
   * bf16 blend within its documented 5e-2 relative contract;
-  * kernel_relayout / fused_keys are BIT-IDENTICAL to the classic
+  * fused_keys / layout variants are BIT-IDENTICAL to the classic
     pipeline at equal precision (exact identity-matmul transposes /
     exact one-hot key construction).
 
@@ -39,15 +39,11 @@ W, H, F = 96, 48, 50.0
 N_SEEDS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 VARIANTS = [
     {},
-    {"kernel_relayout": True},
     {"fused_keys": True},
-    {"packed_out": True},
-    {"kernel_relayout": True, "fused_keys": True, "packed_out": True},
     # layout variants: SoA geometry (transposed inputs) and channel-major
     # final image (output canonicalised below) — bit-identical contracts
     {"soa_geom": True},
-    {"soa_geom": True, "image_chw": True, "packed_out": True,
-     "kernel_relayout": True, "fused_keys": True},
+    {"soa_geom": True, "image_chw": True, "fused_keys": True},
 ]
 
 worst = {"f32": 0.0, "rows16": 0.0, "bf16": 0.0}

@@ -14,7 +14,7 @@ cd /root/repo
 #    precision-pin audit — the ONLY place these can be caught)
 timeout 2400 python scripts/tpu_validate.py 2>&1 | grep -v WARNING
 
-# 2) headline bench (self-tunes {krel, fkeys, packed, chw, soa, shapes}
+# 2) headline bench (self-tunes {fkeys, chunk, chw, soa, shapes}
 #    with parity guards; prints chosen flags on stderr)
 timeout 2400 python bench.py
 timeout 1800 env GAGS_T16=1 python bench.py
@@ -27,10 +27,10 @@ timeout 2400 python scripts/bf16_sweep.py 2>&1 | grep -v WARNING
 # 4) stage-level attribution for the winning pipeline
 timeout 1200 python scripts/stage_drain.py 2>&1 | grep -v WARNING
 timeout 1200 python scripts/stage_drain.py 32 32 bf16 2>&1 | grep -v WARNING
-timeout 1200 python scripts/stage_drain.py 32 32 bf16 krel fkeys 2>&1 | grep -v WARNING
-timeout 1200 python scripts/stage_drain.py 32 32 bf16 krel fkeys packed 2>&1 | grep -v WARNING
-timeout 1200 python scripts/stage_drain.py 32 32 bf16 krel fkeys packed chw 2>&1 | grep -v WARNING
-timeout 1200 python scripts/stage_drain.py 32 32 bf16 krel fkeys packed chw soa 2>&1 | grep -v WARNING
+timeout 1200 python scripts/stage_drain.py 32 32 bf16 fkeys 2>&1 | grep -v WARNING
+timeout 1200 python scripts/stage_drain.py 32 32 bf16 fkeys chunk256 2>&1 | grep -v WARNING
+timeout 1200 python scripts/stage_drain.py 32 32 bf16 fkeys chw 2>&1 | grep -v WARNING
+timeout 1200 python scripts/stage_drain.py 32 32 bf16 fkeys chw soa 2>&1 | grep -v WARNING
 timeout 1200 python scripts/bin_drain.py 2>&1 | grep -v WARNING
 
 # 5) secondary benches

@@ -6,7 +6,7 @@ bench FPS honestly: full = prepare (project+bin+geom) + permutes +
 blend impl + tiles->image. Geometry is always a jit ARG (never closed
 over — XLA constant-folds closures and the probe lies).
 
-Usage: python scripts/stage_drain.py [tile_h tile_w] [bf16] [krel] [fkeys] [packed] [chw] [soa]
+Usage: python scripts/stage_drain.py [tile_h tile_w] [bf16] [chunk256] [fkeys] [chw] [soa]
 """
 import sys
 
@@ -36,17 +36,16 @@ cam = make_camera(W, H)
 cfg = RasterizeConfig(tile_h=th, tile_w=tw, aligned=False,
                       fast_color_rows=True, budget_factor=3,
                       blend_bf16=bf16,
-                      kernel_relayout="krel" in args,
+                      chunk=256 if "chunk256" in args else 128,
                       fused_keys="fkeys" in args,
-                      packed_out="packed" in args,
                       image_chw="chw" in args,
                       soa_geom="soa" in args)
 if cfg.soa_geom:  # lane-major geometry: scene store layout choice
     means = jnp.asarray(means.T)
     quats = jnp.asarray(quats.T)
     scales = jnp.asarray(scales.T)
-print(f"cfg: {th}x{tw} bf16={bf16} krel={cfg.kernel_relayout} "
-      f"fkeys={cfg.fused_keys} packed={cfg.packed_out} "
+print(f"cfg: {th}x{tw} bf16={bf16} chunk={cfg.chunk} "
+      f"fkeys={cfg.fused_keys} "
       f"chw={cfg.image_chw} soa={cfg.soa_geom}", flush=True)
 bg = jnp.zeros((16,), jnp.float32)
 tiles_x, tiles_y = -(-W // tw), -(-H // th)

@@ -49,14 +49,12 @@ print(f"blend_bf16 rel max err: {err_16:.2e} {'OK' if err_16 < 5e-2 else 'FAIL'}
       "(contract ~1e-2 relative: bf16 alpha/transmittance pipeline)", flush=True)
 
 # ---- 1c. staged-kernel BIT-exactness on hardware -------------------------
-# kernel_relayout / fused_keys claim bit-identity with the classic
-# pipeline via HIGHEST-pinned identity/one-hot matmuls; CPU tests run
-# under jax_default_matmul_precision=highest and cannot catch a missing
+# fused_keys claims bit-identity with the classic pipeline via
+# HIGHEST-pinned one-hot matmuls; CPU tests run under
+# jax_default_matmul_precision=highest and cannot catch a missing
 # pin or a Mosaic lowering surprise — only this check can.
 for flags in (
-    {"kernel_relayout": True},
     {"fused_keys": True},
-    {"kernel_relayout": True, "fused_keys": True},
 ):
     try:
         cfg_v = RasterizeConfig(aligned=False, fast_color_rows=True, **flags)

@@ -49,9 +49,7 @@ def test_autotune_picks_parity_guarded_config():
     ref = rasterize(
         means, quats, scales, op, col, vm, K, W, H,
         background=jnp.zeros((16,), jnp.float32),
-        config=dataclasses.replace(
-            cfg, kernel_relayout=False, fused_keys=False
-        ),
+        config=dataclasses.replace(cfg, fused_keys=False),
     )
     np.testing.assert_array_equal(np.asarray(res.image), np.asarray(ref.image))
 
