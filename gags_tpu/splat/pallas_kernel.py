@@ -716,10 +716,9 @@ def _backward_kernel(
     tile_counts_ref,
     data_hbm,  # (8+C, M) — only the 8 geometry rows are read
     gout_ref,  # (1, P, C) upstream gradient block
-    grad_colors_hbm,  # output, (C, M) in HBM; pre-zeroed via aliasing
+    grad_colors_hbm,  # output, (M, C) ROW-major in HBM; pre-zeroed via aliasing
     buf,  # (2, 8, G) input double buffer (geometry rows only)
-    gcol,  # (2, C, G) output double buffer
-    gout_t,  # (C, P) scratch: transposed cotangent (hoisted out of the loop)
+    gcol,  # (2, G, C) output double buffer
     sems,  # (4,): 2 input slots + 2 output slots
     *,
     tiles_x: int,
@@ -727,10 +726,10 @@ def _backward_kernel(
     tile_w: int,
     g: int,
 ):
-    """d L / d colors_inst, written chunk-by-chunk into (C, M).
+    """d L / d colors_inst, written chunk-by-chunk into ROW-major (M, C).
 
     Recomputes blend weights (no residuals are stored by the forward):
-    grad_colors[c, j] = sum_p gout[p, c] * w[p, j] — one MXU matmul/chunk.
+    grad_colors[j, c] = sum_p w[p, j] * gout[p, c] — one MXU matmul/chunk.
     Input loads AND gradient writes are double-buffered; the output buffer
     arrives pre-zeroed (aliased), so chunks skipped by per-pixel early
     termination need no zero-fill pass.
@@ -742,9 +741,7 @@ def _backward_kernel(
 
     px, py = _pixel_coords(t, tiles_x, tile_h, tile_w, p)
     nchunks = pl.cdiv(count, g)
-    # one transpose per tile so the per-chunk gradient matmul is the
-    # canonical (C, P) @ (P, G) MXU form (no per-chunk relayout of w)
-    gout_t[:, :] = gout_ref[0, :, :].T
+    gout = gout_ref[0, :, :]  # (P, C)
 
     def dma_in(k, slot):
         off = pl.multiple_of(start + k * g, g)
@@ -753,9 +750,19 @@ def _backward_kernel(
         )
 
     def dma_out(k, slot):
+        # ROW-major (M, C) gradient output: a G-row span of (M, C) is one
+        # contiguous HBM write (the old (C, M) layout wrote C strided
+        # spans), and — decisively — the downstream ReductionLayout
+        # u16-table build + red_slot row gather see a CANONICAL array.
+        # The (C, M) output's transposed view poisoned that gather to
+        # per-element stride (HLO fusion.9 = 17.5 ms/step at 360p/300k),
+        # and every XLA- or Pallas-side relayout attempt LOST (identity
+        # dot: flat — layout walks through it; Pallas canonical copy:
+        # +7 ms — XLA materialises the pathological transpose before the
+        # custom call). Emitting rows from the kernel is conversion-free.
         off = pl.multiple_of(start + k * g, g)
         return pltpu.make_async_copy(
-            gcol.at[slot], grad_colors_hbm.at[:, pl.ds(off, g)], sems.at[2 + slot]
+            gcol.at[slot], grad_colors_hbm.at[pl.ds(off, g), :], sems.at[2 + slot]
         )
 
     @pl.when(nchunks > 0)
@@ -783,13 +790,16 @@ def _backward_kernel(
         def _():
             dma_out(k - 2, slot).wait()
 
+        # grad[j, c] = sum_p w[p, j] gout[p, c]: ONE dim-0/dim-0
+        # contraction — no transpose of w or gout anywhere (the MXU
+        # handles the transposed-lhs form natively)
         gcol[slot] = jax.lax.dot_general(
-            gout_t[:, :],  # (C, P)
             w,  # (P, G)
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            gout,  # (P, C)
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )
+        )  # (G, C)
         dma_out(k, slot).start()
         return k + 1, new_log_t
 
@@ -1770,7 +1780,9 @@ def tile_blend_backward(
     chunk: int = 128,
     interpret: bool = False,
 ):
-    """Returns grad wrt per-instance colours, shape (C, M).
+    """Returns grad wrt per-instance colours, ROW-major shape (M, C) — the
+    layout the downstream ReductionLayout u16-table build + row gather
+    want (see _backward_kernel.dma_out's note).
 
     Rows past the last tile's padded range are never written — callers must
     rely on the sentinel Gaussian id to drop them in the segment-sum.
@@ -1793,23 +1805,22 @@ def tile_blend_backward(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, GEOM_ROWS, chunk), jnp.float32),
-            pltpu.VMEM((2, c, chunk), jnp.float32),
-            pltpu.VMEM((c, p), jnp.float32),
+            pltpu.VMEM((2, chunk, c), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
 
-    def kernel(ts, tc, data, gout, _zeros, out, buf, gcol, gout_t, sems):
+    def kernel(ts, tc, data, gout, _zeros, out, buf, gcol, sems):
         _backward_kernel(
-            ts, tc, data, gout, out, buf, gcol, gout_t, sems,
+            ts, tc, data, gout, out, buf, gcol, sems,
             tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w, g=chunk,
         )
 
-    zeros = jnp.zeros((c, m), jnp.float32)
+    zeros = jnp.zeros((m, c), jnp.float32)
     (grad_colors,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((c, m), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((m, c), jnp.float32)],
         # +2 scalar-prefetch operands precede the tensor inputs in the
         # aliasing index space: zeros is tensor input #2 → operand index 4
         input_output_aliases={4: 0},
@@ -1817,40 +1828,3 @@ def tile_blend_backward(
         interpret=interpret,
     )(tile_starts, tile_counts, inst_data, grad_tile_colors, zeros)
     return grad_colors
-
-
-def canonical_rows(x: jnp.ndarray, *, block_rows: int = 2048,
-                   interpret: bool = False) -> jnp.ndarray:
-    """Identity copy through a Pallas kernel: forces a CANONICAL row-major
-    materialisation of `x` (same values, bit-exact).
-
-    Why a kernel for a copy: XLA layout assignment propagates a consumer
-    gather's lane-major layout choice BACKWARD through plain XLA identity
-    ops — the r4 battery-3 A/B measured an identity `dot_general` flat
-    (104.5 vs 105.1 ms/step) because the {0,1} layout simply walked
-    through the dot into its operand. Pallas custom-call operands are
-    layout-pinned to the default (row-major) layout, so propagation stops
-    here and the downstream u16-table row gather runs per-row instead of
-    per-element (layout_probe: 8.4x penalty on lane-major u16 row reads;
-    HLO profile: fusion.9 = 17.5 ms/step at 360p/300k).
-    """
-    m, cols = x.shape
-    mp = -(-m // block_rows) * block_rows
-    xp = jnp.pad(x, ((0, mp - m), (0, 0))) if mp != m else x
-
-    def kernel(x_ref, o_ref):
-        o_ref[...] = x_ref[...]
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(mp // block_rows,),
-        in_specs=[
-            pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp, cols), x.dtype),
-        interpret=interpret,
-    )(xp)
-    return out[:m] if mp != m else out

@@ -145,19 +145,17 @@ class RasterizeConfig:
     # GRADIENTS are unchanged bit-for-bit (the backward kernels recompute
     # from the same inputs). Default off — A/B via train_bench.
     fast_fwd_aligned: bool = False
-    # canonicalise per-instance grad rows before the ReductionLayout
-    # gather: the backward kernel emits (C, M) and the transposed view
-    # poisons the u16 table to lane-major, turning the (Mp,)-row gather
-    # per-row-STRIDED — HLO-profiled 17.5 ms/step at 360p/300k (r4
-    # battery 2, fusion.9) vs ~2.6 ms for a canonical-table row gather
-    # (layout_probe: 8.4x penalty on non-lane-major u16 row reads).
-    # Implemented as a Pallas identity copy (pallas_kernel.canonical_rows,
-    # bit-exact): an XLA identity dot measured FLAT in battery 3 because
-    # layout assignment propagated the gather's layout choice backward
-    # through it; custom-call operands are layout-pinned, so propagation
-    # stops at the kernel boundary. Default off until the hardware A/B
-    # (GAGS_GCANON=1 train_bench leg).
-    grad_canon: bool = False
+    # NOTE (grad-row layout, r4): the backward kernel emits per-instance
+    # colour grads ROW-major (M, C) directly — the earlier (C, M) output's
+    # transposed view poisoned the ReductionLayout u16 table to
+    # lane-major, turning its (Mp,)-row gather per-element-strided
+    # (HLO-profiled 17.5 ms/step at 360p/300k, fusion.9; layout_probe:
+    # 8.4x penalty on lane-major u16 row reads). Repair-in-place attempts
+    # all LOST: an XLA identity dot measured flat (layout assignment
+    # walks straight through it) and a Pallas identity copy measured
+    # +7 ms (XLA materialises the pathological transpose before the
+    # custom call). Emitting rows from the kernel is conversion-free —
+    # there is no config knob because there is nothing left to choose.
 
     def instance_budget(self, n: int) -> int:
         if self.budget is not None:
@@ -617,13 +615,6 @@ def _reduce_by_rank(grad_inst_t, red_slot, red_rank, red_block, n, cfg):
     Pallas one-hot-matmul reduction (sorted_segment_sum). Replaces
     jax.ops.segment_sum, whose scatter-add lowering cost ~59 ms/step."""
     cdim = grad_inst_t.shape[1]
-    if cfg.grad_canon:
-        # Pallas identity copy: forces a canonical row-major
-        # materialisation so the red_slot row gather below is per-row,
-        # not per-element (see RasterizeConfig.grad_canon — an XLA
-        # identity dot measured flat because layout assignment walked the
-        # gather's layout choice straight through it).
-        grad_inst_t = pk.canonical_rows(grad_inst_t, interpret=cfg.interpret)
     rows_ext = jnp.concatenate(
         [grad_inst_t, jnp.zeros((1, cdim), grad_inst_t.dtype)], axis=0
     )
@@ -660,9 +651,9 @@ def _blend_bwd(grid_dims, cfg, res, g):
         tile_w=cfg.tile_w,
         chunk=cfg.chunk,
         interpret=cfg.interpret,
-    )  # (C, M)
+    )  # (M, C) row-major — feeds the reduction gather conversion-free
     grad_colors = _reduce_by_rank(
-        grad_inst.T, red_slot, red_rank, red_block, n, cfg
+        grad_inst, red_slot, red_rank, red_block, n, cfg
     )[:, :c_true]
     return (
         grad_colors,

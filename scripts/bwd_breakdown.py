@@ -36,11 +36,11 @@ bwd = jax.jit(lambda g, s, c, go: pk.tile_blend_backward(g, s, c, go,
     tiles_x=tiles_x, tiles_y=tiles_y, tile_h=cfg.tile_h, tile_w=cfg.tile_w, chunk=cfg.chunk))
 gr = t("bwd kernel", bwd, gi, b.tile_starts, b.tile_counts, gout)
 
-seg = jax.jit(lambda g, i: jax.ops.segment_sum(g.T, i, num_segments=N+1)[:N])
+seg = jax.jit(lambda g, i: jax.ops.segment_sum(g, i, num_segments=N+1)[:N])
 t("segment_sum", seg, gr, b.inst_gid)
 
 # sorted-segment-sum alternative
 perm = jnp.argsort(b.inst_gid)
 ids_sorted = b.inst_gid[perm]
-seg2 = jax.jit(lambda g, p, i: jax.ops.segment_sum(g.T[p], i, num_segments=N+1, indices_are_sorted=True)[:N])
+seg2 = jax.jit(lambda g, p, i: jax.ops.segment_sum(g[p], i, num_segments=N+1, indices_are_sorted=True)[:N])
 t("permute+sorted segsum", seg2, gr, perm, ids_sorted)

@@ -32,9 +32,6 @@ cfg = GadConfig(
     raster=RasterizeConfig(
         tile_h=_th, tile_w=_tw,
         fast_fwd_aligned=os.environ.get("GAGS_FASTFWD", "0") == "1",
-        # GAGS_GCANON=1: canonical-layout grad rows before the reduction
-        # gather (kills the 17.5 ms strided gather — battery-2 profile)
-        grad_canon=os.environ.get("GAGS_GCANON", "0") == "1",
     ),
 )
 state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)

@@ -29,7 +29,6 @@ cfg = GadConfig(
     fused_supervision=_os.environ.get("GAGS_FSUP", "0") == "1",
     raster=_RC(
         fast_fwd_aligned=_os.environ.get("GAGS_FASTFWD", "0") == "1",
-        grad_canon=_os.environ.get("GAGS_GCANON", "0") == "1",
     ),
 )
 state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)

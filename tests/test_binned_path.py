@@ -73,32 +73,3 @@ def test_binned_gradients_match():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
 
 
-def test_grad_canon_bit_identical():
-    """grad_canon (canonical-layout grad rows before the ReductionLayout
-    gather — RasterizeConfig.grad_canon) must be BIT-identical: the
-    identity dot is 1.0*x products under HIGHEST f32 splits."""
-    import dataclasses
-
-    raw = make_scene(N, seed=3)
-    cam = make_camera(W, H)
-    means = jnp.asarray(raw["means"])
-    quats = jnp.asarray(raw["quats"])
-    scales = jnp.asarray(raw["scales"])
-    opac = jnp.asarray(raw["opacities"])
-    feats = jnp.asarray(raw["features"])
-    tgt = jnp.asarray(np.random.default_rng(4).normal(size=(H, W, 16)), jnp.float32)
-    binned = prepare_binning(means, quats, scales, cam.viewmat, cam.K, W, H, CFG)
-
-    def loss(f, cfg):
-        img, _ = rasterize_binned(
-            means, quats, scales, opac, f, cam.viewmat, cam.K,
-            binned.inst_gid, binned.tile_starts, binned.tile_counts, W, H,
-            config=cfg, order=binned.order,
-            red_slot=binned.red.slot_to_pos, red_rank=binned.red.slot_rank,
-            red_block=binned.red.chunk_block,
-        )
-        return jnp.mean(jnp.abs(img - tgt))
-
-    g_base = jax.grad(loss)(feats, CFG)
-    g_canon = jax.grad(loss)(feats, dataclasses.replace(CFG, grad_canon=True))
-    assert np.array_equal(np.asarray(g_base), np.asarray(g_canon))

@@ -760,16 +760,3 @@ def test_chunk_size_value_equivalent(bf16):
     tol = 5e-2 if bf16 else 1e-3
     assert np.abs(np.asarray(a.image) - np.asarray(b.image)).max() <= tol * scale
     assert int(b.overflow) == 0
-
-
-@pytest.mark.parametrize("cols,m", [(16, 100), (16, 257), (8, 2048), (24, 5000)])
-def test_canonical_rows_identity(cols, m):
-    """pallas_kernel.canonical_rows is a bit-exact identity (its only job
-    is forcing a canonical layout at the custom-call boundary), including
-    the non-multiple-of-block padding path."""
-    from gags_tpu.splat import pallas_kernel as pk
-
-    rng = np.random.default_rng(3)
-    x = jnp.asarray(rng.normal(size=(m, cols)).astype(np.float32))
-    y = pk.canonical_rows(x, block_rows=512, interpret=True)
-    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
