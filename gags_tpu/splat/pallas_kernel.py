@@ -718,7 +718,8 @@ def _backward_kernel(
     gout_ref,  # (1, P, C) upstream gradient block
     grad_colors_hbm,  # output, (M, C) ROW-major in HBM; pre-zeroed via aliasing
     buf,  # (2, 8, G) input double buffer (geometry rows only)
-    gcol,  # (2, G, C) output double buffer
+    gcol0,  # (G, C) output buffer, even chunks
+    gcol1,  # (G, C) output buffer, odd chunks
     sems,  # (4,): 2 input slots + 2 output slots
     *,
     tiles_x: int,
@@ -749,7 +750,7 @@ def _backward_kernel(
             data_hbm.at[:GEOM_ROWS, pl.ds(off, g)], buf.at[slot], sems.at[slot]
         )
 
-    def dma_out(k, slot):
+    def dma_out(k, which):
         # ROW-major (M, C) gradient output: a G-row span of (M, C) is one
         # contiguous HBM write (the old (C, M) layout wrote C strided
         # spans), and — decisively — the downstream ReductionLayout
@@ -760,9 +761,17 @@ def _backward_kernel(
         # dot: flat — layout walks through it; Pallas canonical copy:
         # +7 ms — XLA materialises the pathological transpose before the
         # custom call). Emitting rows from the kernel is conversion-free.
+        #
+        # `which` is a PYTHON int: the (G, C) double buffer is two separate
+        # refs selected by pl.when predication, NOT a (2, G, C) stack
+        # indexed at the traced slot — C (e.g. 16) is lane-padded to 128,
+        # and Mosaic rejects memref_slice on the padded minor dim ("slice
+        # shape along dimension 2 must be aligned to tiling (128)"); found
+        # on-hardware only (interpret mode doesn't enforce tiling).
+        ref = gcol0 if which == 0 else gcol1
         off = pl.multiple_of(start + k * g, g)
         return pltpu.make_async_copy(
-            gcol.at[slot], grad_colors_hbm.at[pl.ds(off, g), :], sems.at[2 + slot]
+            ref, grad_colors_hbm.at[pl.ds(off, g), :], sems.at[2 + which]
         )
 
     @pl.when(nchunks > 0)
@@ -785,22 +794,37 @@ def _backward_kernel(
         alpha = _chunk_alpha(buf[slot], px, py)
         w, _, new_log_t = _blend_weights(alpha, log_t, g)
 
-        # reclaim this gcol slot before overwriting (write from 2 chunks ago)
-        @pl.when(k >= 2)
-        def _():
-            dma_out(k - 2, slot).wait()
-
         # grad[j, c] = sum_p w[p, j] gout[p, c]: ONE dim-0/dim-0
         # contraction — no transpose of w or gout anywhere (the MXU
         # handles the transposed-lhs form natively)
-        gcol[slot] = jax.lax.dot_general(
+        res = jax.lax.dot_general(
             w,  # (P, G)
             gout,  # (P, C)
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (G, C)
-        dma_out(k, slot).start()
+
+        # reclaim this parity's buffer (write from 2 chunks ago), store,
+        # and kick the write — predicated per buffer (see dma_out's note)
+        @pl.when(slot == 0)
+        def _():
+            @pl.when(k >= 2)
+            def _():
+                dma_out(k - 2, 0).wait()
+
+            gcol0[:, :] = res
+            dma_out(k, 0).start()
+
+        @pl.when(slot == 1)
+        def _():
+            @pl.when(k >= 2)
+            def _():
+                dma_out(k - 2, 1).wait()
+
+            gcol1[:, :] = res
+            dma_out(k, 1).start()
+
         return k + 1, new_log_t
 
     init = (jnp.zeros((), jnp.int32), jnp.zeros((p, 1), jnp.float32))
@@ -811,13 +835,21 @@ def _backward_kernel(
     def _():
         dma_in(k_done, jax.lax.rem(k_done, 2)).wait()
 
-    @pl.when(k_done >= 2)
+    @pl.when(jnp.logical_and(k_done >= 2, jax.lax.rem(k_done, 2) == 0))
     def _():
-        dma_out(k_done - 2, jax.lax.rem(k_done, 2)).wait()
+        dma_out(k_done - 2, 0).wait()
 
-    @pl.when(k_done >= 1)
+    @pl.when(jnp.logical_and(k_done >= 2, jax.lax.rem(k_done, 2) == 1))
     def _():
-        dma_out(k_done - 1, jax.lax.rem(k_done - 1, 2)).wait()
+        dma_out(k_done - 2, 1).wait()
+
+    @pl.when(jnp.logical_and(k_done >= 1, jax.lax.rem(k_done - 1, 2) == 0))
+    def _():
+        dma_out(k_done - 1, 0).wait()
+
+    @pl.when(jnp.logical_and(k_done >= 1, jax.lax.rem(k_done - 1, 2) == 1))
+    def _():
+        dma_out(k_done - 1, 1).wait()
 
 
 def _backward_full_kernel(
@@ -1805,14 +1837,15 @@ def tile_blend_backward(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, GEOM_ROWS, chunk), jnp.float32),
-            pltpu.VMEM((2, chunk, c), jnp.float32),
+            pltpu.VMEM((chunk, c), jnp.float32),
+            pltpu.VMEM((chunk, c), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
 
-    def kernel(ts, tc, data, gout, _zeros, out, buf, gcol, sems):
+    def kernel(ts, tc, data, gout, _zeros, out, buf, gcol0, gcol1, sems):
         _backward_kernel(
-            ts, tc, data, gout, out, buf, gcol, sems,
+            ts, tc, data, gout, out, buf, gcol0, gcol1, sems,
             tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w, g=chunk,
         )
 

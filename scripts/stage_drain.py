@@ -33,8 +33,9 @@ means, quats, scales, opac = (
 )
 feats = jnp.asarray(raw["features"])
 cam = make_camera(W, H)
+bfac = next((float(a.split("=")[1]) for a in args if a.startswith("bf=")), 3.0)
 cfg = RasterizeConfig(tile_h=th, tile_w=tw, aligned=False,
-                      fast_color_rows=True, budget_factor=3,
+                      fast_color_rows=True, budget_factor=bfac,
                       blend_bf16=bf16,
                       chunk=256 if "chunk256" in args else 128,
                       fused_keys="fkeys" in args,
@@ -44,7 +45,7 @@ if cfg.soa_geom:  # lane-major geometry: scene store layout choice
     means = jnp.asarray(means.T)
     quats = jnp.asarray(quats.T)
     scales = jnp.asarray(scales.T)
-print(f"cfg: {th}x{tw} bf16={bf16} chunk={cfg.chunk} "
+print(f"cfg: {th}x{tw} bf16={bf16} chunk={cfg.chunk} bf={cfg.budget_factor} "
       f"fkeys={cfg.fused_keys} "
       f"chw={cfg.image_chw} soa={cfg.soa_geom}", flush=True)
 bg = jnp.zeros((16,), jnp.float32)
@@ -133,3 +134,39 @@ print(f"\nderived: bin = {1000*(t_prep - t_proj):.3f} ms, "
       f"fixed-binning frame = {1000*t_blend:.3f} ms, "
       f"residual (full - prep - blend) = {1000*(t_full - t_prep - t_blend):.3f} ms")
 print(f"fps(full) = {1.0/t_full:.1f}")
+
+# ---- sub-attribution of the blend stage (non-SoA path only) ----
+# Each piece jitted separately with data-dependent inputs as ARGS; the
+# fused stage above is the honest stage time — these assign owners to
+# it (separately-timed pieces can sum above the fused time because XLA
+# overlaps DMA across the fusion boundary).
+if not cfg.soa_geom:
+    @jax.jit
+    def permutes(f, g, order, invo):
+        return (permute_rows(f, order, invo[: order.shape[0]]),
+                permute_rows(g, order_ext(order), invo))
+
+    rows_f, rows_g = permutes(feats, geom, b.order, inv_perm)
+    t_perm = stage(
+        "  permutes (colour+geom)",
+        lambda f: permutes(f, geom, b.order, inv_perm), feats)
+
+    @jax.jit
+    def kernel_only(rf, rg, gid, starts, counts):
+        return _blend_fwd_impl(rf, rg, gid, starts, counts, bg,
+                               (tiles_x, tiles_y), cfg)
+
+    ti0, _ = kernel_only(rows_f, rows_g, b.inst_gid, b.tile_starts,
+                         b.tile_counts)
+    t_kern = stage(
+        "  blend kernel",
+        lambda rf: kernel_only(rf, rows_g, b.inst_gid, b.tile_starts,
+                               b.tile_counts)[0],
+        rows_f,
+    )
+
+    t_img = stage(
+        "  tiles->image epilogue",
+        lambda t: _to_img(t, tiles_x, tiles_y, th, tw, H, W), ti0)
+    print(f"  (sub-sum = {1000*(t_perm + t_kern + t_img):.3f} ms "
+          f"vs fused stage {1000*t_blend:.3f} ms)")
