@@ -122,6 +122,44 @@ for name, a, b in zip(["means", "quats", "scales", "opac", "colors"], g_ref, g_t
     rel = np.abs(a - b).max() / scale
     print(f"grad {name}: rel max err {rel:.2e} {'OK' if rel < 5e-3 else 'FAIL'}", flush=True)
 
+# ---- 2b. binned training-path colour grads -------------------------------
+# Compiles tile_blend_backward (the GAD step's colour backward), which NO
+# other leg touches: battery 6 proved the full-VJP leg above can pass
+# while this kernel fails Mosaic (the (2, G, C) gcol memref_slice bug was
+# train_bench-only). Parity: binned colour grad vs the classic rasterize
+# grad on the same scene.
+from gags_tpu.splat.rasterizer import prepare_binning, rasterize_binned
+
+cfg_t = RasterizeConfig(budget_factor=8)
+binned = prepare_binning(m2, q2, s2, cam.viewmat, cam.K, 128, 128, cfg_t)
+tgt16 = jnp.asarray(
+    np.random.default_rng(3).uniform(0, 1, (128, 128, 16)).astype(np.float32)
+)
+c16 = jnp.asarray(raw2["features"])
+
+def loss_binned(f):
+    img_, _ = rasterize_binned(
+        m2, q2, s2, o2, f, cam.viewmat, cam.K,
+        binned.inst_gid, binned.tile_starts, binned.tile_counts,
+        128, 128, config=cfg_t, order=binned.order,
+        red_slot=binned.red.slot_to_pos, red_rank=binned.red.slot_rank,
+        red_block=binned.red.chunk_block,
+    )
+    return jnp.mean(jnp.abs(img_ - tgt16))
+
+def loss_classic(f):
+    r = rasterize(m2, q2, s2, o2, f, cam.viewmat, cam.K, 128, 128, config=cfg_t)
+    return jnp.mean(jnp.abs(r.image - tgt16))
+
+try:
+    gb = np.asarray(jax.jit(jax.grad(loss_binned))(c16))
+    gc_ = np.asarray(jax.jit(jax.grad(loss_classic))(c16))
+    relb = np.abs(gb - gc_).max() / (np.abs(gc_).max() + 1e-8)
+    print(f"binned colour grad (tile_blend_backward): rel max err {relb:.2e} "
+          f"{'OK' if relb < 5e-4 else 'FAIL'}", flush=True)
+except Exception as exc:
+    print(f"binned colour grad: COMPILE/RUN FAIL {exc!r:.300}", flush=True)
+
 # ---- 3. headline FPS ------------------------------------------------------
 raw3 = make_scene(250_000, seed=0, extent=3.0)
 m3, q3, s3, o3 = (jnp.asarray(raw3[k]) for k in ("means", "quats", "scales", "opacities"))
