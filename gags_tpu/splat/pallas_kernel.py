@@ -716,18 +716,20 @@ def _backward_kernel(
     tile_counts_ref,
     data_hbm,  # (8+C, M) — only the 8 geometry rows are read
     gout_ref,  # (1, P, C) upstream gradient block
-    grad_colors_hbm,  # output, (M, C) ROW-major in HBM; pre-zeroed via aliasing
+    grad_colors_hbm,  # output: flat (M*C/128, 128) row-major view (see dma_out)
     buf,  # (2, 8, G) input double buffer (geometry rows only)
-    gcol0,  # (G, C) output buffer, even chunks
-    gcol1,  # (G, C) output buffer, odd chunks
+    gcol0,  # (G*C/128, 128) output buffer, even chunks
+    gcol1,  # (G*C/128, 128) output buffer, odd chunks
     sems,  # (4,): 2 input slots + 2 output slots
     *,
     tiles_x: int,
     tile_h: int,
     tile_w: int,
     g: int,
+    c: int,
+    rowpad: bool,
 ):
-    """d L / d colors_inst, written chunk-by-chunk into ROW-major (M, C).
+    """d L / d colors_inst, written chunk-by-chunk in ROW-major order.
 
     Recomputes blend weights (no residuals are stored by the forward):
     grad_colors[j, c] = sum_p w[p, j] * gout[p, c] — one MXU matmul/chunk.
@@ -743,6 +745,13 @@ def _backward_kernel(
     px, py = _pixel_coords(t, tiles_x, tile_h, tile_w, p)
     nchunks = pl.cdiv(count, g)
     gout = gout_ref[0, :, :]  # (P, C)
+    if rowpad:
+        # fallback shape (GAGS_BWD_ROWPAD=1): lane-pad the cotangent to 128
+        # channels so the chunk matmul emits (G, 128) directly — guaranteed
+        # tile-aligned DMA windows at 8x the MXU flops (~2 ms/step extra).
+        gout = jnp.concatenate(
+            [gout, jnp.zeros((p, 128 - c), jnp.float32)], axis=1
+        )
 
     def dma_in(k, slot):
         off = pl.multiple_of(start + k * g, g)
@@ -750,28 +759,39 @@ def _backward_kernel(
             data_hbm.at[:GEOM_ROWS, pl.ds(off, g)], buf.at[slot], sems.at[slot]
         )
 
+    # ROW-major gradient output: a G-row span of row-major (M, C) is one
+    # contiguous HBM write (the old (C, M) layout wrote C strided spans),
+    # and — decisively — the downstream ReductionLayout u16-table build +
+    # red_slot row gather see a CANONICAL array. The (C, M) output's
+    # transposed view poisoned that gather to per-element stride (HLO
+    # fusion.9 = 17.5 ms/step at 360p/300k), and every XLA- or Pallas-side
+    # relayout attempt LOST (identity dot: flat — layout walks through it;
+    # Pallas canonical copy: +7 ms — XLA materialises the pathological
+    # transpose before the custom call). Emitting rows from the kernel is
+    # conversion-free.
+    #
+    # Mosaic memref windows must span whole 128-lane tiles on the minor
+    # dim, which rules out (G, C<128) windows of an (M, C) buffer ("slice
+    # shape along dimension 1 must be aligned to tiling (128), but is 16"
+    # — found on-hardware only; interpret mode doesn't enforce tiling).
+    # So the HBM buffer is the FLAT row-major view (M*C/128, 128): bit-
+    # identical bytes, every chunk window (G*C/128, 128) spans full tiles,
+    # and the caller reshapes back to (M, C) for free (row-major bitcast).
+    #
+    # `which` is a PYTHON int: the double buffer is two separate refs
+    # selected by pl.when predication, NOT a (2, ...) stack indexed at the
+    # traced slot — that slice trips the same minor-dim tiling rule.
+    rows_per_chunk = g if rowpad else (g * c) // 128
+
     def dma_out(k, which):
-        # ROW-major (M, C) gradient output: a G-row span of (M, C) is one
-        # contiguous HBM write (the old (C, M) layout wrote C strided
-        # spans), and — decisively — the downstream ReductionLayout
-        # u16-table build + red_slot row gather see a CANONICAL array.
-        # The (C, M) output's transposed view poisoned that gather to
-        # per-element stride (HLO fusion.9 = 17.5 ms/step at 360p/300k),
-        # and every XLA- or Pallas-side relayout attempt LOST (identity
-        # dot: flat — layout walks through it; Pallas canonical copy:
-        # +7 ms — XLA materialises the pathological transpose before the
-        # custom call). Emitting rows from the kernel is conversion-free.
-        #
-        # `which` is a PYTHON int: the (G, C) double buffer is two separate
-        # refs selected by pl.when predication, NOT a (2, G, C) stack
-        # indexed at the traced slot — C (e.g. 16) is lane-padded to 128,
-        # and Mosaic rejects memref_slice on the padded minor dim ("slice
-        # shape along dimension 2 must be aligned to tiling (128)"); found
-        # on-hardware only (interpret mode doesn't enforce tiling).
         ref = gcol0 if which == 0 else gcol1
-        off = pl.multiple_of(start + k * g, g)
+        off_flat = pl.multiple_of(
+            (start + k * g) * rows_per_chunk // g, rows_per_chunk
+        )
         return pltpu.make_async_copy(
-            ref, grad_colors_hbm.at[pl.ds(off, g), :], sems.at[2 + which]
+            ref,
+            grad_colors_hbm.at[pl.ds(off_flat, rows_per_chunk), :],
+            sems.at[2 + which],
         )
 
     @pl.when(nchunks > 0)
@@ -799,11 +819,15 @@ def _backward_kernel(
         # handles the transposed-lhs form natively)
         res = jax.lax.dot_general(
             w,  # (P, G)
-            gout,  # (P, C)
+            gout,  # (P, C) — (P, 128) in rowpad mode
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (G, C)
+        )  # (G, C) / (G, 128)
+        if not rowpad:
+            # (G, C) -> flat row-major (G*C/128, 128): 8 sublane groups of
+            # C lanes pack into each 128-lane output row
+            res = res.reshape((g * c) // 128, 128)
 
         # reclaim this parity's buffer (write from 2 chunks ago), store,
         # and kick the write — predicated per buffer (see dma_out's note)
@@ -1814,7 +1838,14 @@ def tile_blend_backward(
 ):
     """Returns grad wrt per-instance colours, ROW-major shape (M, C) — the
     layout the downstream ReductionLayout u16-table build + row gather
-    want (see _backward_kernel.dma_out's note).
+    want (see _backward_kernel.dma_out's note). Internally the HBM output
+    is lane-padded to (M, 128) — the kernel pads the cotangent to 128
+    channels so every chunk matmul emits a whole-tile (G, 128) DMA window
+    directly (~8x the chunk-matmul flops; measured battery 8). The
+    zero-extra-flops alternative — a flat (M*C/128, 128) row-major view —
+    needs an in-kernel (G, C)->(G*C/128, 128) value reshape that Mosaic
+    rejects on-device (battery 8); GAGS_BWD_FLAT=1 keeps it testable
+    against future Mosaic releases.
 
     Rows past the last tile's padded range are never written — callers must
     rely on the sentinel Gaussian id to drop them in the segment-sum.
@@ -1823,6 +1854,16 @@ def tile_blend_backward(
     p = tile_h * tile_w
     c = grad_tile_colors.shape[-1]
     m = inst_data.shape[1]
+    # Default is the lane-padded (M, 128) output: battery 8 proved Mosaic
+    # rejects the flat view's in-kernel (G, C)->(G*C/128, 128) value
+    # reshape ("expected a layout with tiling (8, 128) or less for memref"
+    # class). GAGS_BWD_FLAT=1 keeps the zero-extra-flops flat view
+    # testable against future Mosaic releases.
+    rowpad = not bool(int(os.environ.get("GAGS_BWD_FLAT", "0")))
+    if (chunk * c) % 128 or (m * c) % 128:
+        rowpad = True  # flat view needs whole 128-lane output rows per chunk
+    out_rows, out_cols = ((m, 128) if rowpad else ((m * c) // 128, 128))
+    buf_rows = chunk if rowpad else (chunk * c) // 128
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1837,8 +1878,8 @@ def tile_blend_backward(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, GEOM_ROWS, chunk), jnp.float32),
-            pltpu.VMEM((chunk, c), jnp.float32),
-            pltpu.VMEM((chunk, c), jnp.float32),
+            pltpu.VMEM((buf_rows, out_cols), jnp.float32),
+            pltpu.VMEM((buf_rows, out_cols), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -1847,17 +1888,20 @@ def tile_blend_backward(
         _backward_kernel(
             ts, tc, data, gout, out, buf, gcol0, gcol1, sems,
             tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w, g=chunk,
+            c=c, rowpad=rowpad,
         )
 
-    zeros = jnp.zeros((m, c), jnp.float32)
+    zeros = jnp.zeros((out_rows, out_cols), jnp.float32)
     (grad_colors,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((m, c), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((out_rows, out_cols), jnp.float32)],
         # +2 scalar-prefetch operands precede the tensor inputs in the
         # aliasing index space: zeros is tensor input #2 → operand index 4
         input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(tile_starts, tile_counts, inst_data, grad_tile_colors, zeros)
-    return grad_colors
+    if rowpad:
+        return grad_colors[:, :c]
+    return grad_colors.reshape(m, c)
