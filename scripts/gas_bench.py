@@ -92,27 +92,34 @@ stage_totals: dict = {}
 def with_retries(fn, *args, attempts: int = 4, base_sleep: float = 30.0, **kw):
     """Retry through transient tunnel failures (remote_compile broken
     pipes killed this leg in two consecutive batteries mid-encoder; the
-    tunnel recovered minutes later both times). Non-transient errors
-    re-raise immediately; a genuinely dead tunnel exhausts the attempts
-    and the leg's outer `timeout` still bounds the run."""
-    for attempt in range(attempts):
-        try:
-            return fn(*args, **kw)
-        except Exception as exc:  # noqa: BLE001 — filtered below
-            msg = repr(exc)
-            transient = any(
-                s in msg for s in ("UNAVAILABLE", "Broken pipe", "transport",
-                                   "DEADLINE_EXCEEDED", "Connection reset")
-            )
-            if not transient or attempt == attempts - 1:
-                raise
-            sleep = base_sleep * (attempt + 1)
-            print(
-                f"transient backend error (attempt {attempt + 1}/{attempts}):"
-                f" {msg:.200} — retrying in {sleep:.0f}s",
-                flush=True,
-            )
-            time.sleep(sleep)
+    tunnel recovered minutes later both times) by RE-EXECING the whole
+    script: battery 6 showed an in-process retry hangs — the broken pipe
+    poisons the live JAX client, so only a fresh process (fresh client /
+    tunnel connection) recovers. Non-transient errors re-raise
+    immediately; GAGS_GASBENCH_RETRY bounds the re-exec chain and the
+    leg's outer `timeout` still bounds the total run."""
+    del attempts  # re-exec chain is bounded by the env counter instead
+    try:
+        return fn(*args, **kw)
+    except Exception as exc:  # noqa: BLE001 — filtered below
+        msg = repr(exc)
+        transient = any(
+            s in msg for s in ("UNAVAILABLE", "Broken pipe", "transport",
+                               "DEADLINE_EXCEEDED", "Connection reset")
+        )
+        prior = int(os.environ.get("GAGS_GASBENCH_RETRY", "0"))
+        if not transient or prior >= 3:
+            raise
+        sleep = base_sleep * (prior + 1)
+        print(
+            f"transient backend error (re-exec {prior + 1}/3):"
+            f" {msg:.200} — fresh process in {sleep:.0f}s",
+            flush=True,
+        )
+        time.sleep(sleep)
+        os.environ["GAGS_GASBENCH_RETRY"] = str(prior + 1)
+        sys.stdout.flush()
+        os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
 def run_image(i: int, embed=None, image=None):
