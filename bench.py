@@ -175,7 +175,10 @@ def main():
     # slope method which overestimated ~30% on this backend
     from gags_tpu.utils.timing import device_time_drain
 
-    def timed(cfg_, k, geom=None):
+    def timed(cfg_, k, geom=None, samples=1):
+        """min over `samples` independent k-frame drains. Noise on this
+        backend is one-sided (tunnel/enqueue stalls only ADD time), so
+        the min is the least-contaminated estimate for ranking."""
         m_, q_, s_ = geom if geom is not None else (means, quats, scales)
 
         @jax.jit
@@ -185,9 +188,12 @@ def main():
                 background=bg, config=cfg_,
             ).image
 
-        return device_time_drain(
-            lambda f: render(m_, q_, s_, opac, f), feats,
-            k=k, warmup=warmup,
+        return min(
+            device_time_drain(
+                lambda f: render(m_, q_, s_, opac, f), feats,
+                k=k, warmup=warmup,
+            )
+            for _ in range(max(samples, 1))
         )
 
     # staged-kernel candidates: numerically identical (exact identity-
@@ -245,7 +251,7 @@ def main():
                     print(f"# {flags} parity {rel:.3e} — skipped",
                           file=sys.stderr)
                     return cfg_best, t_best
-                t = timed(cand, 16)
+                t = timed(cand, 24, samples=2)
                 print(f"# {flags}: {t * 1e3:.2f} ms (best {t_best * 1e3:.2f})",
                       file=sys.stderr)
                 if t < t_best:
@@ -257,7 +263,7 @@ def main():
                       file=sys.stderr)
                 return cfg_best, t_best
 
-        t0 = timed(cfg, 16)
+        t0 = timed(cfg, 24, samples=2)
         print(f"# base config: {t0 * 1e3:.2f} ms", file=sys.stderr)
         # kernel_relayout / packed_out candidates removed: ruled out by
         # the r4 battery (NOTES.md round-4 — layout_probe shows krel's
@@ -372,7 +378,7 @@ def main():
                 scale = float(jnp.max(jnp.abs(ref_k))) + 1e-8
                 rel = float(jnp.max(jnp.abs(img_k - ref_k))) / scale
                 if np.isfinite(rel) and rel <= 1e-5:
-                    t = timed(cand, 16, geom=geom_t)
+                    t = timed(cand, 24, geom=geom_t, samples=2)
                     if t < t0:
                         cfg, t0 = cand, t
                         means, quats, scales = geom_t
@@ -401,7 +407,22 @@ def main():
             print(f"# shared tune-store write failed: {exc!r}",
                   file=sys.stderr)
 
-    dt = timed(cfg, iters)
+    # Final headline: median of >=3 independent k>=60 drains with the
+    # spread on record (VERDICT r4 #1a — a single k=30 drain swung +-30%
+    # across batteries on the same tuned config; every +-2 ms decision
+    # downstream inherits that noise unless the spread is visible).
+    if on_cpu:
+        dt = timed(cfg, iters)
+    else:
+        runs = sorted(timed(cfg, max(iters, 60)) for _ in range(3))
+        dt = runs[len(runs) // 2]
+        spread = (runs[-1] - runs[0]) / dt
+        print(
+            "# headline drains (ms): "
+            + " ".join(f"{r * 1e3:.2f}" for r in runs)
+            + f" | median {dt * 1e3:.2f}, spread {spread:.1%}",
+            file=sys.stderr,
+        )
     fps = 1.0 / dt
 
     print(
@@ -419,4 +440,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # a tunnel broken-pipe mid-bench would otherwise zero the round's
+    # headline record — recover with a fresh process (fresh JAX client;
+    # the tune cache makes the re-run cheap). See scripts/_retry.py.
+    import os as _os
+
+    sys.path.insert(0, _os.path.join(_os.path.dirname(
+        _os.path.abspath(__file__)), "scripts"))
+    from _retry import reexec_on_transient
+
+    reexec_on_transient(main)

@@ -711,6 +711,33 @@ def tile_blend_forward_fast(
     return out
 
 
+def _flat_pack(res, g: int, c: int):
+    """Pack (G, C) rows into the flat row-major (G*C/128, 128) view via
+    exact 0/1 selection matmuls (see the call site's note). Requires
+    (g * c) % 128 == 0 and 128 % c == 0."""
+    f = 128 // c
+    rows = (g * c) // 128
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, g), 0)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, g), 1)
+    ch_idx = jax.lax.broadcasted_iota(jnp.int32, (c, 128), 0)
+    l_idx = jax.lax.broadcasted_iota(jnp.int32, (c, 128), 1)
+    out = jnp.zeros((rows, 128), jnp.float32)
+    for s in range(f):
+        p_s = (j_idx == r_idx * f + s).astype(jnp.float32)
+        q_s = (l_idx == s * c + ch_idx).astype(jnp.float32)
+        picked = jax.lax.dot_general(  # (rows, C): rows r get instance r*f+s
+            p_s, res, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out = out + jax.lax.dot_general(  # lanes [s*C, s*C+C) <- picked
+            picked, q_s, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return out
+
+
 def _backward_kernel(
     tile_starts_ref,
     tile_counts_ref,
@@ -825,9 +852,20 @@ def _backward_kernel(
             precision=jax.lax.Precision.HIGHEST,
         )  # (G, C) / (G, 128)
         if not rowpad:
-            # (G, C) -> flat row-major (G*C/128, 128): 8 sublane groups of
-            # C lanes pack into each 128-lane output row
-            res = res.reshape((g * c) // 128, 128)
+            # (G, C) -> flat row-major (G*C/128, 128) WITHOUT a value
+            # reshape: Mosaic rejects the cross-lane (G, C)->(G*C/128,
+            # 128) reshape on-device (battery 8 — it is a sublane->lane
+            # repack, not a relayout-free view). Instead pack via F =
+            # 128/C exact 0/1 selection-matmul pairs on the idle MXU:
+            #   flat = sum_s P_s @ res @ Q_s
+            # P_s (rows, G) picks instance rows s, s+F, s+2F, ...; Q_s
+            # (C, 128) places their C channels at lanes [s*C, s*C+C).
+            # Every product is 1.0*x (exact under HIGHEST's f32-split
+            # passes) and every output element sums exactly ONE nonzero
+            # => bit-identical bytes to the reshape. Cost: G*G*C +
+            # G*C*128 MACs/chunk = ~25% of the main chunk matmul (vs
+            # rowpad's 8x) on the otherwise-idle MXU.
+            res = _flat_pack(res, g, c)
 
         # reclaim this parity's buffer (write from 2 chunks ago), store,
         # and kick the write — predicated per buffer (see dma_out's note)
@@ -1838,14 +1876,14 @@ def tile_blend_backward(
 ):
     """Returns grad wrt per-instance colours, ROW-major shape (M, C) — the
     layout the downstream ReductionLayout u16-table build + row gather
-    want (see _backward_kernel.dma_out's note). Internally the HBM output
-    is lane-padded to (M, 128) — the kernel pads the cotangent to 128
-    channels so every chunk matmul emits a whole-tile (G, 128) DMA window
-    directly (~8x the chunk-matmul flops; measured battery 8). The
-    zero-extra-flops alternative — a flat (M*C/128, 128) row-major view —
-    needs an in-kernel (G, C)->(G*C/128, 128) value reshape that Mosaic
-    rejects on-device (battery 8); GAGS_BWD_FLAT=1 keeps it testable
-    against future Mosaic releases.
+    want (see _backward_kernel.dma_out's note). With GAGS_BWD_ROWPAD=1
+    the HBM output is lane-padded to (M, 128) — the kernel pads the
+    cotangent to 128 channels so every chunk matmul emits a (G, 128) window
+    directly at ~8x the chunk-matmul flops (measured battery 8) — kept as
+    the GAGS_BWD_ROWPAD=1 fallback. The default is the flat (M*C/128,
+    128) row-major view, packed in-kernel by exact selection matmuls
+    (_flat_pack) because Mosaic rejects the equivalent value reshape
+    on-device (battery 8).
 
     Rows past the last tile's padded range are never written — callers must
     rely on the sentinel Gaussian id to drop them in the segment-sum.
@@ -1854,12 +1892,16 @@ def tile_blend_backward(
     p = tile_h * tile_w
     c = grad_tile_colors.shape[-1]
     m = inst_data.shape[1]
-    # Default is the lane-padded (M, 128) output: battery 8 proved Mosaic
-    # rejects the flat view's in-kernel (G, C)->(G*C/128, 128) value
-    # reshape ("expected a layout with tiling (8, 128) or less for memref"
-    # class). GAGS_BWD_FLAT=1 keeps the zero-extra-flops flat view
-    # testable against future Mosaic releases.
-    rowpad = not bool(int(os.environ.get("GAGS_BWD_FLAT", "0")))
+    # Default is the flat (M*C/128, 128) row-major view. Battery 8 proved
+    # Mosaic rejects an in-kernel (G, C)->(G*C/128, 128) VALUE RESHAPE
+    # ("expected a layout with tiling (8, 128) or less for memref" class);
+    # the kernel now packs via exact selection matmuls instead
+    # (_flat_pack), which never asks Mosaic for a cross-lane relayout.
+    # GAGS_BWD_ROWPAD=1 forces the guaranteed-compile lane-pad fallback
+    # ((M, 128) output, ~8x chunk-matmul flops + an 8x-bigger pre-zeroed
+    # alias donor — the 960 us broadcast_in_dim f32[M,128] in the r4
+    # train profile).
+    rowpad = bool(int(os.environ.get("GAGS_BWD_ROWPAD", "0")))
     if (chunk * c) % 128 or (m * c) % 128:
         rowpad = True  # flat view needs whole 128-lane output rows per chunk
     out_rows, out_cols = ((m, 128) if rowpad else ((m * c) // 128, 128))

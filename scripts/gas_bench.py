@@ -9,6 +9,7 @@ masks survive to the crop/embed stages — an upper-bound workload.
 
 Usage: python scripts/gas_bench.py [n_points] [bf16] [n_images]
 """
+import os
 import sys
 import time
 

@@ -9,13 +9,16 @@ encoder (`segment_anything` pip dep, driven at preprocess.py:526).
 
 Usage: python scripts/sam_profile.py [batch] [bf16|f32]
 """
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+from _retry import reexec_on_transient
 from gags_tpu.models.sam import SAM, SAMConfig
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
@@ -42,16 +45,22 @@ imgs = jnp.asarray(
     .normal(size=(B, cfg.image_size, cfg.image_size, 3))
     .astype(np.float32)
 )
-e = encode(imgs)
-jax.block_until_ready(e)
+# the compile + first execution is where two batteries died on tunnel
+# broken pipes — recover with a fresh process (see scripts/_retry.py)
+e = reexec_on_transient(lambda: jax.block_until_ready(encode(imgs)))
 
 K = 3
 out = "/tmp/gags_sam_trace"
-with jax.profiler.trace(out):
-    for _ in range(K):
-        e = encode(imgs)
-    jax.block_until_ready(e)
-    np.asarray(e).ravel()[:1]
+
+def _traced():
+    with jax.profiler.trace(out):
+        e = None
+        for _ in range(K):
+            e = encode(imgs)
+        jax.block_until_ready(e)
+        np.asarray(e).ravel()[:1]
+
+reexec_on_transient(_traced)
 
 from xprof.convert import raw_to_tool_data as rtd
 import glob, json, collections

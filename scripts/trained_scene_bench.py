@@ -16,11 +16,15 @@ Usage: python scripts/trained_scene_bench.py [opaque_frac ...]
        (default sweeps 0.0 / 0.3 / 0.5 / 0.7)
 """
 import json
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 import jax, jax.numpy as jnp
+
+from _retry import reexec_on_transient
 
 from gags_tpu.splat.rasterizer import RasterizeConfig, rasterize
 from gags_tpu.utils.synthetic import make_scene, make_camera
@@ -49,7 +53,12 @@ except Exception:
                           tile_cull=False, fused_keys=True)
 print(f"cfg: {cfg.tile_h}x{cfg.tile_w} chunk={cfg.chunk} "
       f"bf16={cfg.blend_bf16} fkeys={cfg.fused_keys} "
-      f"bf={cfg.budget_factor}", flush=True)
+      f"bf={cfg.budget_factor} soa={cfg.soa_geom}", flush=True)
+
+if cfg.soa_geom:  # the tuned winner may be the lane-major-geometry config
+    from gags_tpu.splat.rasterizer import soa_geometry
+
+    means, quats, scales = soa_geometry(means, quats, scales)
 
 rng = np.random.default_rng(7)
 base_opac = np.asarray(raw["opacities"])
@@ -72,6 +81,7 @@ for frac in fracs:
         opac = np.where(opaque, hi, lo).astype(np.float32)
         label = f"trained-like opaque={frac:.0%}"
     o = jnp.asarray(opac)
-    dt = device_time_drain(lambda f: full(means, quats, scales, o, f),
-                           feats, k=20, warmup=2)
+    dt = reexec_on_transient(
+        lambda: device_time_drain(lambda f: full(means, quats, scales, o, f),
+                                  feats, k=20, warmup=2))
     print(f"{label:28s} {dt*1000:7.3f} ms = {1.0/dt:6.2f} FPS", flush=True)

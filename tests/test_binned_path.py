@@ -73,3 +73,40 @@ def test_binned_gradients_match():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
 
 
+def test_backward_flat_pack_matches_rowpad_bitwise():
+    """The default flat (M*C/128, 128) output — packed in-kernel by exact
+    selection matmuls (_flat_pack, pallas_kernel.py) — must be BIT-identical
+    to the GAGS_BWD_ROWPAD=1 lane-pad fallback: every 1.0*x product is
+    exact and every output element sums exactly one nonzero."""
+    import os
+
+    raw = make_scene(N, seed=3)
+    cam = make_camera(W, H)
+    means = jnp.asarray(raw["means"])
+    quats = jnp.asarray(raw["quats"])
+    scales = jnp.asarray(raw["scales"])
+    opac = jnp.asarray(raw["opacities"])
+    feats = jnp.asarray(raw["features"])
+    tgt = jnp.asarray(np.random.default_rng(4).normal(size=(H, W, 16)), jnp.float32)
+    binned = prepare_binning(means, quats, scales, cam.viewmat, cam.K, W, H, CFG)
+
+    def loss_binned(f):
+        img, _ = rasterize_binned(
+            means, quats, scales, opac, f, cam.viewmat, cam.K,
+            binned.inst_gid, binned.tile_starts, binned.tile_counts, W, H,
+            config=CFG, order=binned.order,
+            red_slot=binned.red.slot_to_pos, red_rank=binned.red.slot_rank,
+            red_block=binned.red.chunk_block,
+        )
+        return jnp.mean(jnp.abs(img - tgt))
+
+    assert os.environ.get("GAGS_BWD_ROWPAD") is None
+    g_flat = np.asarray(jax.grad(loss_binned)(feats))
+    os.environ["GAGS_BWD_ROWPAD"] = "1"
+    try:
+        g_pad = np.asarray(jax.grad(loss_binned)(feats))
+    finally:
+        del os.environ["GAGS_BWD_ROWPAD"]
+    np.testing.assert_array_equal(g_flat, g_pad)
+
+
