@@ -127,7 +127,7 @@ def region_balanced_l1(
 
 
 def region_variance_loss(
-    feat: jnp.ndarray,  # (H, W, C)
+    feat: jnp.ndarray,  # (..., C) — (H, W, C) or pre-flattened (H*W, C)
     seg: jnp.ndarray,  # (H, W) int32, -1 = invalid
     max_segments: int,
     axis_name: str | None = None,
@@ -143,16 +143,16 @@ def region_variance_loss(
     full-image variance on every device); h is then the strip height, so
     the h*w normaliser is rescaled by the axis size.
     """
-    h, w, c = feat.shape
+    c = feat.shape[-1]
     ids = (seg + 1).reshape(-1)
     flat = feat.reshape(-1, c)
     ns = max_segments + 1
     packed = jnp.concatenate(
-        [jnp.ones((h * w, 1), feat.dtype), flat, flat * flat], axis=1
+        [jnp.ones((flat.shape[0], 1), feat.dtype), flat, flat * flat], axis=1
     )  # (P, 1+2C) — one kernel pass computes count + both moments
     out = _segsum(packed, ids, ns)
     cnt, s1, s2 = out[:, 0], out[:, 1 : 1 + c], out[:, 1 + c :]
-    npix = h * w
+    npix = flat.shape[0]
     if axis_name is not None:
         cnt = jax.lax.psum(cnt, axis_name)
         s1 = jax.lax.psum(s1, axis_name)

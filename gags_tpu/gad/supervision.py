@@ -53,10 +53,10 @@ def mixed_seg_map(seg_map: jnp.ndarray, scale_map: jnp.ndarray) -> jnp.ndarray:
 
 @jax.custom_vjp
 def fused_supervision_l1(
-    decoded: jnp.ndarray,   # (H, W, D) f32 decoder output
+    decoded: jnp.ndarray,   # (..., D) f32 decoder output (3-D or flat)
     img_embed: jnp.ndarray,  # (M, D) per-mask CLIP embeddings (data, no grad)
-    seg_sml: jnp.ndarray,   # (H, W, 3) int32 s/m/l ids, -1 = no mask
-    scale_map: jnp.ndarray,  # (H, W, 3) granularity weights
+    seg_sml: jnp.ndarray,   # (..., 3) int32 s/m/l ids, -1 = no mask
+    scale_map: jnp.ndarray,  # (..., 3) granularity weights
 ) -> jnp.ndarray:
     """Masked per-pixel L1 against the blended GT map, residual-free.
 
@@ -80,13 +80,17 @@ def fused_supervision_l1(
     ~7.7 ms/step at 360p/512-d. 2-D arrays leave XLA no 3-D layout
     freedom; the boundary reshapes are bitcasts on canonical layouts and
     the per-element math/reduction order is unchanged (bit-identical).
+
+    Leading dims are polymorphic: (H, W, D) and pre-flattened (H*W, D)
+    callers get identical values (the train step passes flat pixels so no
+    big 3-D tensor ever exists — see gad/train.py's _supervision_losses).
     """
-    h, w, d = decoded.shape
+    lead, d = decoded.shape[:-1], decoded.shape[-1]
     gt, maskf = _fused_sup_primal(
         img_embed, seg_sml.reshape(-1, 3), scale_map.reshape(-1, 3)
     )
     dec2 = decoded.reshape(-1, d)
-    return jnp.mean(jnp.abs(dec2 * maskf - gt * maskf), axis=-1).reshape(h, w)
+    return jnp.mean(jnp.abs(dec2 * maskf - gt * maskf), axis=-1).reshape(lead)
 
 
 def _fused_sup_primal(img_embed, seg2, scale2):
@@ -94,9 +98,15 @@ def _fused_sup_primal(img_embed, seg2, scale2):
     # gather+fma terms, one loop fusion (see that function's comment).
     # seg2/scale2 are flat (P, 3); returns ((P, D), (P, 1)).
     maskf = jnp.all(seg2 != -1, axis=-1).astype(jnp.float32)[..., None]
+    # convert the (M, D) TABLE once, not the three (P, D) gather outputs:
+    # the r4 train profile showed each gather's f16->f32 convert as a
+    # separate unfused 1.14 ms / 450 MB elementwise op (230400x512) —
+    # 3.4 ms/step for what is a ~300-row table cast. Gather rows in f32;
+    # values are bit-identical (same cast, applied before the copy).
+    table = img_embed.astype(jnp.float32)
 
     def term(g):
-        f = img_embed[seg2[..., g] % img_embed.shape[0]].astype(jnp.float32)
+        f = table[seg2[..., g] % table.shape[0]]
         return f * scale2[..., g : g + 1]
 
     return term(0) + term(1) + term(2), maskf
@@ -111,21 +121,23 @@ def _fused_sup_fwd(decoded, img_embed, seg_sml, scale_map):
 
 def _fused_sup_bwd(res, g):
     decoded, img_embed, seg_sml, scale_map = res
-    h, w, d = decoded.shape
+    lead, d = decoded.shape[:-1], decoded.shape[-1]
     seg2 = seg_sml.reshape(-1, 3)
     gt, maskf = _fused_sup_primal(img_embed, seg2, scale_map.reshape(-1, 3))
     dec2 = decoded.reshape(-1, d)
     sgn = jnp.sign(dec2 * maskf - gt * maskf)  # (P, D)
     gm = (g.reshape(-1) / d)[..., None] * maskf  # (P, 1)
-    d_decoded = (gm * sgn).reshape(h, w, d)
+    d_decoded = (gm * sgn).reshape(lead + (d,))
+
+    table = img_embed.astype(jnp.float32)  # cast the table, not the gathers
 
     def d_scale_term(k):
-        f = img_embed[seg2[..., k] % img_embed.shape[0]].astype(jnp.float32)
+        f = table[seg2[..., k] % table.shape[0]]
         return -jnp.sum(sgn * f, axis=-1) * gm[..., 0]  # (P,)
 
     d_scale = jnp.stack(
         [d_scale_term(k) for k in range(3)], axis=-1
-    ).reshape(h, w, 3)
+    ).reshape(lead + (3,))
     import numpy as np
 
     d_seg = np.zeros(seg_sml.shape, dtype=jax.dtypes.float0)
@@ -178,11 +190,10 @@ def blend_gt_feature_map(
         # the generic path's (H, W, 3, D) f32 intermediate costs ~14 ms/step
         # at 360p/512-d in reshape/copy/convert traffic (1.4 GB)
         mask = jnp.all(valid, axis=-1)[..., None]
+        table = img_embed.astype(jnp.float32)  # cast table, not gathers
 
         def term(g):
-            f = img_embed[seg_sml[..., g] % img_embed.shape[0]].astype(
-                jnp.float32
-            )
+            f = table[seg_sml[..., g] % table.shape[0]]
             return f * scale_map[..., g : g + 1]
 
         return term(0) + term(1) + term(2), mask

@@ -182,13 +182,19 @@ def supervised_l1_pix(cfg: GadConfig, decoded, scale_map, batch):
     """Masked per-pixel L1 vs the blended GT map — fused custom-VJP when
     eligible (supervision already at render resolution, default mode),
     generic composition otherwise. Shared by the single-chip, DP and
-    gshard-strip loss functions (decoded carries the local render shape)."""
+    gshard-strip loss functions (decoded carries the local render shape,
+    3-D (h, w, D) or pre-flattened (h*w, D) — see _supervision_losses)."""
     seg_map = batch["seg_map"]
-    if cfg.fused_supervision and tuple(seg_map.shape[:2]) == tuple(
-        decoded.shape[:2]
+    lead = decoded.shape[:-1]
+    n_px = 1
+    for s in lead:
+        n_px *= int(s)
+    if cfg.fused_supervision and n_px == int(seg_map.shape[0]) * int(
+        seg_map.shape[1]
     ):
         return fused_supervision_l1(
-            decoded, batch["img_embed"], seg_map[..., 1:4], scale_map
+            decoded, batch["img_embed"],
+            seg_map[..., 1:4].reshape(lead + (3,)), scale_map,
         )
     gt_map, mask = blend_gt_feature_map(batch["img_embed"], seg_map, scale_map)
     maskf = mask.astype(jnp.float32)
@@ -197,11 +203,42 @@ def supervised_l1_pix(cfg: GadConfig, decoded, scale_map, batch):
 
 def _scale_map_fn(cfg: GadConfig, scl, scl_params, feat_map):
     """Learned 3-way granularity map, or a fixed one under --single_scale
-    (reference create_scale_map, train.py:38-47,146-149)."""
+    (reference create_scale_map, train.py:38-47,146-149). feat_map may be
+    (H, W, F) or pre-flattened (H*W, F); the output keeps its leading shape."""
     if cfg.single_scale:
         w = jnp.asarray(_SINGLE_SCALE[cfg.single_scale], jnp.float32)
-        return jnp.broadcast_to(w, (*feat_map.shape[:2], 3))
+        return jnp.broadcast_to(w, feat_map.shape[:-1] + (3,))
     return scl.apply(scl_params, jax.lax.stop_gradient(feat_map))
+
+
+def _supervision_losses(cfg: GadConfig, dec, scl, dec_params, scl_params,
+                        feat_map, batch):
+    """Scale decode → mixed-seg compose → feature decode → L1/entropy/
+    region-variance. Shared by the plain and binned train steps.
+
+    Every D-dim tensor runs FLAT (H*W, ·) when the fused supervision path
+    is eligible: the r4 battery-8 HLO profile showed the 3-D (360, 640,
+    512) intermediates each paying a {2,1,0}->{1,2,0} layout copy
+    (1.43 ms, 3 copies = 4.3 ms/step) to reconcile the decoder conv
+    fusions' layout choice with the reduction's — 2-D matmul operands
+    leave XLA no 3-D layout freedom. Only the tiny (H, W, 3) scale map is
+    ever reshaped back to 3-D (mixed_seg_map's k=5 box smooth is spatial).
+    Bit-identical math (reshapes only).
+
+    Returns (l1_feature, ent, regvar, scale_px) — scale_px has the same
+    leading shape as the pixels ((..., 3)); metrics take channel means.
+    """
+    hw = tuple(feat_map.shape[:2])
+    flat_ok = cfg.fused_supervision and tuple(batch["seg_map"].shape[:2]) == hw
+    px = feat_map.reshape(-1, feat_map.shape[-1]) if flat_ok else feat_map
+    scale_px = _scale_map_fn(cfg, scl, scl_params, px)  # (..., 3)
+    seg_mixed = mixed_seg_map(batch["seg_map"], scale_px.reshape(hw + (3,)))
+    decoded = dec.apply(dec_params, px)  # (..., D)
+    l1_pix = supervised_l1_pix(cfg, decoded, scale_px, batch)
+    l1_feature = losses.region_balanced_l1(l1_pix, seg_mixed, cfg.max_segments)
+    ent = losses.scale_entropy_loss(scale_px)
+    regvar = losses.region_variance_loss(px, seg_mixed, cfg.max_segments)
+    return l1_feature, ent, regvar, scale_px
 
 def make_train_step(statics: Dict[str, Any], width: int, height: int, cfg: GadConfig):
     """Returns jitted step(state, geom, batch, entropy_w, regionvar_w) →
@@ -226,15 +263,9 @@ def make_train_step(statics: Dict[str, Any], width: int, height: int, cfg: GadCo
         )
         feat_map = res.image  # (H, W, F)
 
-        scale_map = _scale_map_fn(cfg, scl, scl_params, feat_map)  # (H, W, 3)
-        seg_mixed = mixed_seg_map(batch["seg_map"], scale_map)  # (H, W) ids
-
-        decoded = dec.apply(dec_params, feat_map)  # (H, W, D)
-        l1_pix = supervised_l1_pix(cfg, decoded, scale_map, batch)
-        l1_feature = losses.region_balanced_l1(l1_pix, seg_mixed, cfg.max_segments)
-
-        ent = losses.scale_entropy_loss(scale_map)
-        regvar = losses.region_variance_loss(feat_map, seg_mixed, cfg.max_segments)
+        l1_feature, ent, regvar, scale_px = _supervision_losses(
+            cfg, dec, scl, dec_params, scl_params, feat_map, batch
+        )
 
         total = l1_feature + entropy_w * ent + regionvar_w * regvar
         metrics = dict(
@@ -242,9 +273,9 @@ def make_train_step(statics: Dict[str, Any], width: int, height: int, cfg: GadCo
             l1_feature=l1_feature,
             entropy=ent,
             region_var=regvar,
-            scale_mean_s=jnp.mean(scale_map[..., 0]),
-            scale_mean_m=jnp.mean(scale_map[..., 1]),
-            scale_mean_l=jnp.mean(scale_map[..., 2]),
+            scale_mean_s=jnp.mean(scale_px[..., 0]),
+            scale_mean_m=jnp.mean(scale_px[..., 1]),
+            scale_mean_l=jnp.mean(scale_px[..., 2]),
             overflow=res.overflow,
         )
         return total, metrics
@@ -299,22 +330,18 @@ def make_train_step_binned(statics: Dict[str, Any], width: int, height: int, cfg
             order=batch["order"], red_slot=batch["red_slot"],
             red_rank=batch["red_rank"], red_block=batch["red_block"],
         )
-        scale_map = _scale_map_fn(cfg, scl, scl_params, feat_map)
-        seg_mixed = mixed_seg_map(batch["seg_map"], scale_map)
-        decoded = dec.apply(dec_params, feat_map)
-        l1_pix = supervised_l1_pix(cfg, decoded, scale_map, batch)
-        l1_feature = losses.region_balanced_l1(l1_pix, seg_mixed, cfg.max_segments)
-        ent = losses.scale_entropy_loss(scale_map)
-        regvar = losses.region_variance_loss(feat_map, seg_mixed, cfg.max_segments)
+        l1_feature, ent, regvar, scale_px = _supervision_losses(
+            cfg, dec, scl, dec_params, scl_params, feat_map, batch
+        )
         total = l1_feature + entropy_w * ent + regionvar_w * regvar
         metrics = dict(
             loss=total,
             l1_feature=l1_feature,
             entropy=ent,
             region_var=regvar,
-            scale_mean_s=jnp.mean(scale_map[..., 0]),
-            scale_mean_m=jnp.mean(scale_map[..., 1]),
-            scale_mean_l=jnp.mean(scale_map[..., 2]),
+            scale_mean_s=jnp.mean(scale_px[..., 0]),
+            scale_mean_m=jnp.mean(scale_px[..., 1]),
+            scale_mean_l=jnp.mean(scale_px[..., 2]),
             overflow=jnp.zeros((), jnp.int32),  # checked at cache build
         )
         return total, metrics

@@ -347,6 +347,7 @@ def _forward_fast_kernel(
     p_block: int,
     mxu_sigma: bool,
     blend_bf16: bool,
+    exit_stats: bool = False,
 ):
     """Inference-only forward blend (unaligned ranges), VMEM-traffic-dieted.
 
@@ -381,7 +382,11 @@ def _forward_fast_kernel(
     yields the EXCLUSIVE prefix directly, so the backward-shift
     `lt_incl - l1m` (an f32 re-extension of a bf16 row, two ops) is
     replaced by idle-MXU work."""
-    geom_hbm, col_hbm, bg_ref, out_ref, gbuf, cbuf, acc_ref, sems = refs
+    if exit_stats:
+        (geom_hbm, col_hbm, bg_ref, out_ref, stats_ref, gbuf, cbuf,
+         acc_ref, sems) = refs
+    else:
+        geom_hbm, col_hbm, bg_ref, out_ref, gbuf, cbuf, acc_ref, sems = refs
     t = pl.program_id(0)
     start = tile_starts_ref[t]
     count = tile_counts_ref[t]
@@ -451,11 +456,16 @@ def _forward_fast_kernel(
         seg_start(0, 0)
 
     def seg_cond(carry):
-        s, log_t = carry
+        # exit_stats threads a chunks-done counter through the carry; the
+        # default path's carry is unchanged (identical code to r4).
+        s, log_t = carry[0], carry[-1]
         return jnp.logical_and(s < nseg, jnp.max(log_t) >= t_eps)
 
     def seg_body(carry):
-        s, log_t0 = carry
+        if exit_stats:
+            s, kd0, log_t0 = carry
+        else:
+            s, log_t0 = carry
         slot = jax.lax.rem(s, 2)
 
         @pl.when(s + 1 < nseg)
@@ -603,13 +613,18 @@ def _forward_fast_kernel(
                 new_log_t.append(lt + cum[:, g - 1 : g])
             return (k + 1, jnp.concatenate(new_log_t, axis=0))
 
-        _, log_t1 = jax.lax.while_loop(
+        k_done, log_t1 = jax.lax.while_loop(
             chunk_cond, chunk_body, (jnp.zeros((), jnp.int32), log_t0)
         )
+        if exit_stats:
+            return s + 1, kd0 + k_done, log_t1
         return s + 1, log_t1
 
-    init = (jnp.zeros((), jnp.int32), jnp.zeros((p, 1), jnp.float32))
-    s_done, _ = jax.lax.while_loop(seg_cond, seg_body, init)
+    zero = jnp.zeros((), jnp.int32)
+    log_t_init = jnp.zeros((p, 1), jnp.float32)
+    init = (zero, zero, log_t_init) if exit_stats else (zero, log_t_init)
+    done = jax.lax.while_loop(seg_cond, seg_body, init)
+    s_done = done[0]
     aw_fin = acc_ref[:, c : c + 1]
 
     # early exit leaves the prefetched segment in flight — drain it
@@ -623,6 +638,25 @@ def _forward_fast_kernel(
     out_ref[0, :, :c] = acc_ref[:, :c] + t_fin * bg_ref[0:1, :]
     out_ref[0, :, c : c + 1] = 1.0 - t_fin
 
+    if exit_stats:
+        # per-tile early-exit counters, row 0 lanes 0-3: segments done,
+        # total segments, chunks done, total chunks. Whole-(8, 128) write
+        # (Mosaic minor-dim rule: no sub-128-lane windows).
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        lanec = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        k_total = done[1]
+        v = jnp.where(
+            lanec == 0, s_done.astype(jnp.float32),
+            jnp.where(
+                lanec == 1, nseg.astype(jnp.float32),
+                jnp.where(
+                    lanec == 2, k_total.astype(jnp.float32),
+                    jnp.where(lanec == 3, nchunks.astype(jnp.float32), 0.0),
+                ),
+            ),
+        )
+        stats_ref[0] = jnp.where(row == 0, v, 0.0)
+
 
 SEG_CHUNKS = 8  # chunks streamed per segment DMA in the fast kernel
 
@@ -631,7 +665,7 @@ SEG_CHUNKS = 8  # chunks streamed per segment DMA in the fast kernel
     jax.jit,
     static_argnames=(
         "tiles_x", "tiles_y", "tile_h", "tile_w", "chunk", "p_block",
-        "seg_chunks", "mxu_sigma", "blend_bf16", "interpret",
+        "seg_chunks", "mxu_sigma", "blend_bf16", "interpret", "exit_stats",
     ),
 )
 def tile_blend_forward_fast(
@@ -651,12 +685,19 @@ def tile_blend_forward_fast(
     mxu_sigma: bool = True,
     blend_bf16: bool = False,
     interpret: bool = False,
+    exit_stats: bool = False,
 ):
     """Inference forward blend over unaligned ranges. Returns (T, P, C+1).
 
     Instance arrays must carry >= seg_chunks*chunk rows of sentinel slack
     past the last tile range (zero rows — the rasterizer pads the gather
     index list): segment DMAs read whole seg windows.
+
+    exit_stats=True additionally returns a (T, 8, 128) f32 counter block:
+    row 0 lanes 0-3 = (segments done, total segments, chunks done, total
+    chunks) per tile — the kernel's OWN early-termination telemetry for
+    trained-scene analysis (scripts/trained_scene_bench.py). The default
+    path's loop carries are unchanged.
     """
     num_tiles = tiles_x * tiles_y
     p = tile_h * tile_w
@@ -675,6 +716,19 @@ def tile_blend_forward_fast(
     bg2d = bg.reshape(1, c).astype(jnp.float32)
 
     out_block = (1, p, c + 1)
+    out_specs = [
+        pl.BlockSpec(
+            out_block, lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((num_tiles,) + out_block[1:], jnp.float32)]
+    if exit_stats:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 8, 128), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((num_tiles, 8, 128), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -683,11 +737,7 @@ def tile_blend_forward_fast(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, c), lambda t, *_: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                out_block, lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, GEOM_ROWS, seg_chunks * chunk), jnp.float32),
             pltpu.VMEM((2, c, seg_chunks * chunk), color_inst.dtype),
@@ -700,15 +750,18 @@ def tile_blend_forward_fast(
     kernel = functools.partial(
         _forward_fast_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
         g=chunk, p_block=p_block, mxu_sigma=mxu_sigma, blend_bf16=blend_bf16,
+        exit_stats=exit_stats,
     )
-    (out,) = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((num_tiles,) + out_block[1:], jnp.float32)],
+        out_shape=out_shape,
         cost_estimate=_fwd_cost(num_tiles, p, chunk, c, m),
         interpret=interpret,
     )(tile_starts, tile_counts, geom_inst, color_inst, bg2d)
-    return out
+    if exit_stats:
+        return outs[0], outs[1]
+    return outs[0]
 
 
 def _flat_pack(res, g: int, c: int):

@@ -450,13 +450,17 @@ def _pad_channels(colors):
 
 
 def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, grid_dims, cfg,
-                    *, pre_split_colors=None, c_true=None):
+                    *, pre_split_colors=None, c_true=None, exit_stats=False):
     """`pre_split_colors`: forward-only (SoA) fast path — the (N+1, Cu)
     u16 colour table ALREADY channel-padded, sentinel-row-appended,
     rank-permuted and bit-converted (bf16 bits when cfg.fast_color_rows,
     [hi|lo] f32 halves otherwise). Conversion commutes with the row
     permutation, so the gathered `got` rows are bit-identical to the
-    classic chain; `colors` is ignored and `c_true` must be given."""
+    classic chain; `colors` is ignored and `c_true` must be given.
+
+    `exit_stats`: unaligned path only — returns a third value, the fast
+    kernel's per-tile (T, 8, 128) early-termination counters (see
+    tile_blend_forward_fast)."""
     tiles_x, tiles_y = grid_dims
     if pre_split_colors is None:
         colors, c_true = _pad_channels(colors)
@@ -543,7 +547,11 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, 
             mxu_sigma=cfg.mxu_sigma,
             blend_bf16=cfg.blend_bf16,
             interpret=cfg.interpret,
+            exit_stats=exit_stats,
         )
+        if exit_stats:
+            out, stats = out
+            return out[..., :c_true], out[..., -1:], stats
         return out[..., :c_true], out[..., -1:]
     # training path: ONE row-major gather of geometry + colours together
     # (contiguous 8+C floats per index), one transpose to lane-major

@@ -105,6 +105,26 @@ FWD_LEGS = [
 for name, cfg in FWD_LEGS:
     leg(name, lambda cfg=cfg: fwd(cfg))
 
+# exit-stats variant (trained_scene_bench telemetry): extra (T, 8, 128)
+# counter output + 3-tuple seg-loop carry — must compile on-device
+def stats_leg():
+    from gags_tpu.splat.rasterizer import _blend_fwd_impl, _prepare
+
+    cfg = RasterizeConfig(aligned=False, fast_color_rows=True,
+                          blend_bf16=True, budget_factor=8)
+    _, b, geom, tx, ty = _prepare(means, quats, scales, opac, cam.viewmat,
+                                  cam.K, W, H, cfg)
+    img, _, st = jax.jit(
+        lambda f: _blend_fwd_impl(
+            f, geom, b.inst_gid, b.tile_starts, b.tile_counts,
+            jnp.zeros((16,)), (tx, ty), cfg, exit_stats=True)
+    )(feats)
+    assert (np.asarray(st)[:, 0, 2] <= np.asarray(st)[:, 0, 3]).all()
+    return img
+
+
+leg("fast bf16 exit_stats (counters output)", stats_leg)
+
 # tuned-combo leg (the bench winner's full flag set, incl. SoA + CHW)
 leg("fast TUNED combo (bf16+fkeys+chw+soa 16x32 c256)", lambda: fwd(
     RasterizeConfig(aligned=False, fast_color_rows=True, blend_bf16=True,

@@ -24,7 +24,11 @@ timeout 3600 python scripts/kernel_sweep.py 2>&1 | grep -v WARNING
 timeout 2400 python scripts/tpu_validate.py 2>&1 | grep -v WARNING | tail -14
 timeout 1500 env GAGS_BWD_ROWPAD=1 python scripts/tpu_validate.py 2>&1 | grep -v WARNING | grep "binned colour grad"
 timeout 2400 python scripts/train_bench.py 2>&1 | grep -v WARNING | tail -6
+# fused supervision + flat-pixel decode (new this round: the whole loss
+# tail runs on (HW, D) 2-D arrays — no 3-D layout copies); A/B vs default
+timeout 2400 env GAGS_FSUP=1 python scripts/train_bench.py 2>&1 | grep -v WARNING | tail -6
 timeout 2400 python scripts/train_profile.py 2>&1 | grep -v WARNING | tail -40
+timeout 2400 env GAGS_FSUP=1 python scripts/train_profile.py 2>&1 | grep -v WARNING | tail -40
 timeout 3600 env GAGS_BENCH_RETUNE=1 python bench.py 2>&1 | grep -v WARNING
 timeout 2400 python scripts/stage_drain.py tuned 2>&1 | grep -v WARNING
 timeout 3600 python scripts/bench_1080p.py 2>&1 | grep -v WARNING

@@ -32,6 +32,11 @@ cfg = GadConfig(
     raster=RasterizeConfig(
         tile_h=_th, tile_w=_tw,
         fast_fwd_aligned=os.environ.get("GAGS_FASTFWD", "0") == "1",
+        # GAGS_TRAIN_BF: training instance-budget trim A/B — every
+        # M-length stream in the step (backward chunks, u16 table build,
+        # reduction gather) scales with it; overflow is printed below and
+        # must stay 0 for the number to count
+        budget_factor=float(os.environ.get("GAGS_TRAIN_BF", "4.0")),
     ),
 )
 state, statics = create_train_state(scene, jax.random.PRNGKey(0), cfg)
@@ -41,7 +46,10 @@ cam = make_camera(W, H)
 t0 = time.time()
 b = prepare_binning(geom["means"], geom["quats"], geom["scales"], cam.viewmat, cam.K, W, H, cfg.raster, opacities=geom["opacities"])
 jax.block_until_ready(b)
-print(f"prepare_binning: {time.time()-t0:.1f}s (incl compile), overflow={int(b.overflow)}", flush=True)
+print(f"prepare_binning: {time.time()-t0:.1f}s (incl compile), "
+      f"overflow={int(b.overflow)}, valid={int(b.num_valid)} of "
+      f"budget {cfg.raster.instance_budget(N)} (bf={cfg.raster.budget_factor})",
+      flush=True)
 
 rng = np.random.default_rng(1)
 emb = rng.normal(size=(M_MASKS, 512)).astype(np.float16)

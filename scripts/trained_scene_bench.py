@@ -26,7 +26,9 @@ import jax, jax.numpy as jnp
 
 from _retry import reexec_on_transient
 
-from gags_tpu.splat.rasterizer import RasterizeConfig, rasterize
+from gags_tpu.splat.rasterizer import (
+    RasterizeConfig, rasterize, _blend_fwd_impl, _prepare,
+)
 from gags_tpu.utils.synthetic import make_scene, make_camera
 from gags_tpu.utils.timing import device_time_drain
 
@@ -84,4 +86,23 @@ for frac in fracs:
     dt = reexec_on_transient(
         lambda: device_time_drain(lambda f: full(means, quats, scales, o, f),
                                   feats, k=20, warmup=2))
-    print(f"{label:28s} {dt*1000:7.3f} ms = {1.0/dt:6.2f} FPS", flush=True)
+    # the kernel's OWN early-termination counters (VERDICT r4 #7): per-
+    # tile (segments done, total, chunks done, total) from exit_stats
+    tx, ty = -(-W // cfg.tile_w), -(-H // cfg.tile_h)
+
+    @jax.jit
+    def stats_pass(m, q, s, o_, f):
+        _, b, geom, _, _ = _prepare(m, q, s, o_, cam.viewmat, cam.K, W, H,
+                                    cfg)
+        _, _, st = _blend_fwd_impl(
+            f, geom, b.inst_gid, b.tile_starts, b.tile_counts, bg,
+            (tx, ty), cfg, exit_stats=True,
+        )
+        return st
+
+    st = np.asarray(reexec_on_transient(
+        lambda: stats_pass(means, quats, scales, o, feats)))[:, 0, :4]
+    kd, kt = st[:, 2].sum(), max(st[:, 3].sum(), 1.0)
+    print(f"{label:28s} {dt*1000:7.3f} ms = {1.0/dt:6.2f} FPS | "
+          f"chunk-stop {1.0 - kd/kt:6.1%} ({int(kd)}/{int(kt)} chunks run)",
+          flush=True)

@@ -6,6 +6,10 @@ import jax.numpy as jnp
 from gags_tpu.splat.autotune import autotune_config
 from gags_tpu.splat.rasterizer import RasterizeConfig, rasterize
 
+import pytest
+
+pytestmark = pytest.mark.slow  # integration tier: full suite still runs them; `-m 'not slow'` is the fast iteration tier
+
 W, H, F = 64, 32, 40.0
 
 

@@ -8,6 +8,10 @@ from gags_tpu.splat.projection import project_gaussians
 from gags_tpu.splat.reference import rasterize_reference
 from gags_tpu.splat.rasterizer import RasterizeConfig, rasterize
 
+import pytest
+
+pytestmark = pytest.mark.slow  # integration tier: full suite still runs them; `-m 'not slow'` is the fast iteration tier
+
 W, H, F = 48, 24, 40.0
 CFG = RasterizeConfig(
     tile_h=8, tile_w=16, chunk=8, budget_factor=8, interpret=True,

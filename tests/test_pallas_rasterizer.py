@@ -760,3 +760,40 @@ def test_chunk_size_value_equivalent(bf16):
     tol = 5e-2 if bf16 else 1e-3
     assert np.abs(np.asarray(a.image) - np.asarray(b.image)).max() <= tol * scale
     assert int(b.overflow) == 0
+
+
+def test_exit_stats_counters():
+    """exit_stats=True returns the fast kernel's per-tile early-exit
+    counters (segments done/total, chunks done/total) WITHOUT changing the
+    image, and the counters are self-consistent: done <= total, and with
+    saturating opacities the chunks-done total can only shrink."""
+    from gags_tpu.splat.rasterizer import _blend_fwd_impl, _prepare
+
+    means, quats, scales, op, col, vm, K = _scene(400, 5, 16)
+    cfg = RasterizeConfig(
+        tile_h=8, tile_w=16, chunk=8, budget_factor=8, interpret=True,
+        aligned=False, fast_color_rows=True,
+    )
+    bg = jnp.zeros((16,), jnp.float32)
+
+    def run(o):
+        _, b, geom, tx, ty = _prepare(
+            means, quats, scales, o, vm, K, W, H, cfg
+        )
+        img, alpha, st = _blend_fwd_impl(
+            col, geom, b.inst_gid, b.tile_starts, b.tile_counts, bg,
+            (tx, ty), cfg, exit_stats=True,
+        )
+        img2, _ = _blend_fwd_impl(
+            col, geom, b.inst_gid, b.tile_starts, b.tile_counts, bg,
+            (tx, ty), cfg,
+        )
+        np.testing.assert_array_equal(np.asarray(img), np.asarray(img2))
+        return np.asarray(st)[:, 0, :4]
+
+    st = run(op)
+    assert (st[:, 0] <= st[:, 1]).all() and (st[:, 2] <= st[:, 3]).all()
+    # saturating opacities: strictly earlier termination is allowed, more
+    # work is not (same binning budget semantics)
+    st_sat = run(jnp.full_like(op, 0.999))
+    assert st_sat[:, 2].sum() <= st[:, 3].sum()

@@ -14,6 +14,8 @@ from gags_tpu.gas.generator import (
     stability_score,
 )
 
+pytestmark = pytest.mark.slow  # integration tier: full suite still runs them; `-m 'not slow'` is the fast iteration tier
+
 
 @pytest.fixture(scope="module")
 def tiny_sam():

@@ -15,6 +15,10 @@ from gags_tpu.scene.gaussian_data import GaussianScene
 from gags_tpu.splat.rasterizer import RasterizeConfig
 from gags_tpu.utils.synthetic import make_camera, make_scene
 
+import pytest
+
+pytestmark = pytest.mark.slow  # integration tier: full suite still runs them; `-m 'not slow'` is the fast iteration tier
+
 W, H, N = 32, 16, 48
 
 
