@@ -27,6 +27,9 @@ timeout 2400 python scripts/train_bench.py 2>&1 | grep -v WARNING | tail -6
 # fused supervision + flat-pixel decode (new this round: the whole loss
 # tail runs on (HW, D) 2-D arrays — no 3-D layout copies); A/B vs default
 timeout 2400 env GAGS_FSUP=1 python scripts/train_bench.py 2>&1 | grep -v WARNING | tail -6
+# training instance-budget trim: every M-length stream (backward chunks,
+# u16 grad-table build, reduction gather) scales with it; needs 0 overflow
+timeout 2400 env GAGS_FSUP=1 GAGS_TRAIN_BF=2.5 python scripts/train_bench.py 2>&1 | grep -v WARNING | tail -6
 timeout 2400 python scripts/train_profile.py 2>&1 | grep -v WARNING | tail -40
 timeout 2400 env GAGS_FSUP=1 python scripts/train_profile.py 2>&1 | grep -v WARNING | tail -40
 timeout 3600 env GAGS_BENCH_RETUNE=1 python bench.py 2>&1 | grep -v WARNING
