@@ -336,16 +336,27 @@ def _strip_local_loss(
             axis, geom_l, feats_l, batch["viewmat"], batch["K"],
             width, height, cfg.raster, bg, budget_slack=budget_slack,
         )
-        scale_map = scl.apply(scl_params, jax.lax.stop_gradient(feat_map))
+        # flat-pixel strip tail when the fused supervision path is
+        # eligible (same rationale as gad/train._supervision_losses: 2-D
+        # operands kill the 3-D layout copies; bit-identical). The strip
+        # smoothing (_mixed_seg_map_strip) still needs the 3-D scale map.
+        hw_l = tuple(feat_map.shape[:2])
+        flat_ok = (
+            cfg.fused_supervision
+            and tuple(batch["seg_map"].shape[:2]) == hw_l
+        )
+        px = feat_map.reshape(-1, feat_map.shape[-1]) if flat_ok else feat_map
+        scale_px = scl.apply(scl_params, jax.lax.stop_gradient(px))
+        scale_map = scale_px.reshape(hw_l + (3,))
         seg_mixed = _mixed_seg_map_strip(batch["seg_map"], scale_map, axis)
-        decoded = dec.apply(dec_params, feat_map)
-        l1_pix = supervised_l1_pix(cfg, decoded, scale_map, batch)
+        decoded = dec.apply(dec_params, px)
+        l1_pix = supervised_l1_pix(cfg, decoded, scale_px, batch)
         l1_feature = losses.region_balanced_l1(
             l1_pix, seg_mixed, cfg.max_segments, axis_name=axis
         )
-        ent = jax.lax.pmean(losses.scale_entropy_loss(scale_map), axis)
+        ent = jax.lax.pmean(losses.scale_entropy_loss(scale_px), axis)
         regvar = losses.region_variance_loss(
-            feat_map, seg_mixed, cfg.max_segments, axis_name=axis
+            px, seg_mixed, cfg.max_segments, axis_name=axis
         )
         loss = l1_feature + entropy_w * ent + regionvar_w * regvar
         return loss, ovf

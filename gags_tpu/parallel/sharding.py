@@ -25,9 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from gags_tpu.gad.train import GadConfig, TrainState
 from gags_tpu.scene.gaussian_data import GaussianScene
 from gags_tpu.splat.rasterizer import rasterize, rasterize_binned
-from gags_tpu.gad import losses
-from gags_tpu.gad.supervision import mixed_seg_map
-from gags_tpu.gad.train import supervised_l1_pix
+from gags_tpu.gad.train import _supervision_losses
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
@@ -95,13 +93,11 @@ def make_dp_train_step(
                 background=bg, config=cfg.raster,
             )
             feat_map = res.image
-        scale_map = scl.apply(scl_params, jax.lax.stop_gradient(feat_map))
-        seg_mixed = mixed_seg_map(batch["seg_map"], scale_map)
-        decoded = dec.apply(dec_params, feat_map)
-        l1_pix = supervised_l1_pix(cfg, decoded, scale_map, batch)
-        l1_feature = losses.region_balanced_l1(l1_pix, seg_mixed, cfg.max_segments)
-        ent = losses.scale_entropy_loss(scale_map)
-        regvar = losses.region_variance_loss(feat_map, seg_mixed, cfg.max_segments)
+        # shared flat-pixel supervision tail (gad/train._supervision_losses:
+        # 2-D operands leave XLA no 3-D layout freedom — bit-identical)
+        l1_feature, ent, regvar, _ = _supervision_losses(
+            cfg, dec, scl, dec_params, scl_params, feat_map, batch
+        )
         return l1_feature + entropy_w * ent + regionvar_w * regvar
 
     def per_device(state: TrainState, geom, batch, entropy_w, regionvar_w):
