@@ -65,6 +65,11 @@ class GadConfig:
     # Applies only on the same-resolution default supervision path; other
     # paths silently use the generic composition.
     fused_supervision: bool = False
+    # mixed-precision decoders: bf16 matmuls/activations, f32 params and
+    # f32 final normalise/softmax. The (HW, 256) decoder intermediates are
+    # the train step's dominant HBM traffic (r4 profile); the supervision
+    # target is itself fp16 CLIP (reference preprocess.py:33-35).
+    decoder_bf16: bool = False
     raster: RasterizeConfig = RasterizeConfig()
 
     def save(self, model_dir: str) -> None:
@@ -130,8 +135,9 @@ def create_train_state(
             "matching feature_dim or strip the features to train fresh"
         )
 
-    dec = FeatureDecoder(output_dim=cfg.clip_dim)
-    scl = ScaleDecoder()
+    dt = jnp.bfloat16 if cfg.decoder_bf16 else None
+    dec = FeatureDecoder(output_dim=cfg.clip_dim, dtype=dt)
+    scl = ScaleDecoder(dtype=dt)
     k1, k2 = jax.random.split(key)
     dummy = jnp.zeros((1, 1, cfg.feature_dim))
     dec_params = dec.init(k1, dummy)

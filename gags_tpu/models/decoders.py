@@ -15,6 +15,8 @@ Architectures (exact parity with the reference):
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -41,35 +43,48 @@ def _torch_conv_bias_init(fan_in):
     return init
 
 
-def _dense(feat_out, fan_in, name):
+def _dense(feat_out, fan_in, name, dtype=None):
     return nn.Dense(
         feat_out,
         name=name,
+        dtype=dtype,  # compute dtype; params stay f32 (param_dtype default)
         kernel_init=_torch_conv_kernel_init,
         bias_init=_torch_conv_bias_init(fan_in),
     )
 
 
 class FeatureDecoder(nn.Module):
-    """16-dim distilled features → 512-dim CLIP space, per pixel."""
+    """16-dim distilled features → 512-dim CLIP space, per pixel.
+
+    ``dtype=jnp.bfloat16`` runs the dense stack in mixed precision: bf16
+    matmuls + activations with f32 params, and the final L2-normalise in
+    f32. The (HW, 256) intermediates are the train step's dominant HBM
+    traffic (r4 battery-8 profile: 8-9 HBM-bound ~1 ms fusions), so bf16
+    halves their bytes; the GT supervision targets are themselves fp16
+    CLIP embeds (reference preprocess.py:33-35), so bf16 activations sit
+    inside the supervision's own precision.
+    """
 
     output_dim: int = 512
     hidden: int = 256
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (..., C_in) channel-last. Returns (..., output_dim), unit-norm."""
         h = self.hidden
         c_in = x.shape[-1]
-        x1 = nn.relu(_dense(h, c_in, "d0")(x))
-        x2 = nn.relu(_dense(h, h, "d1")(x1))
-        x2 = nn.relu(_dense(h, h, "d2")(x2))
-        x3 = nn.relu(_dense(h, h, "d3")(x1 + x2))
-        x4 = nn.relu(_dense(h, h, "d4")(x3))
-        x4 = nn.relu(_dense(h, h, "d5")(x4))
-        x5 = nn.relu(_dense(h, h, "d6")(x3 + x4))
-        x5 = nn.relu(_dense(h, h, "d7")(x5))
-        x5 = _dense(self.output_dim, h, "d8")(x5)
+        dt = self.dtype
+        x1 = nn.relu(_dense(h, c_in, "d0", dt)(x))
+        x2 = nn.relu(_dense(h, h, "d1", dt)(x1))
+        x2 = nn.relu(_dense(h, h, "d2", dt)(x2))
+        x3 = nn.relu(_dense(h, h, "d3", dt)(x1 + x2))
+        x4 = nn.relu(_dense(h, h, "d4", dt)(x3))
+        x4 = nn.relu(_dense(h, h, "d5", dt)(x4))
+        x5 = nn.relu(_dense(h, h, "d6", dt)(x3 + x4))
+        x5 = nn.relu(_dense(h, h, "d7", dt)(x5))
+        x5 = _dense(self.output_dim, h, "d8", dt)(x5)
+        x5 = x5.astype(jnp.float32)
         # L2-normalise with a grad-safe rsqrt (x=0 gives 0, not NaN —
         # features start at zero so the unprotected sqrt VJP would poison
         # the very first step)
@@ -81,10 +96,11 @@ class ScaleDecoder(nn.Module):
     """16-dim features → 3-way granularity (subpart/part/whole) softmax."""
 
     output_dim: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, h in enumerate((64, 128, 64, 32, 16)):
-            x = nn.relu(_dense(h, x.shape[-1], f"d{i}")(x))
-        x = _dense(self.output_dim, x.shape[-1], "d5")(x)
-        return nn.softmax(x, axis=-1)
+            x = nn.relu(_dense(h, x.shape[-1], f"d{i}", self.dtype)(x))
+        x = _dense(self.output_dim, x.shape[-1], "d5", self.dtype)(x)
+        return nn.softmax(x.astype(jnp.float32), axis=-1)

@@ -29,6 +29,8 @@ cfg = GadConfig(
     max_segments=1024,
     # GAGS_FSUP=1: residual-free supervision+L1 custom VJP A/B
     fused_supervision=os.environ.get("GAGS_FSUP", "0") == "1",
+    # GAGS_DEC_BF16=1: mixed-precision decoders (bf16 matmuls, f32 params)
+    decoder_bf16=os.environ.get("GAGS_DEC_BF16", "0") == "1",
     raster=RasterizeConfig(
         tile_h=_th, tile_w=_tw,
         fast_fwd_aligned=os.environ.get("GAGS_FASTFWD", "0") == "1",

@@ -27,6 +27,7 @@ from gags_tpu.splat.rasterizer import RasterizeConfig as _RC
 cfg = GadConfig(
     max_segments=1024,
     fused_supervision=_os.environ.get("GAGS_FSUP", "0") == "1",
+    decoder_bf16=_os.environ.get("GAGS_DEC_BF16", "0") == "1",
     raster=_RC(
         fast_fwd_aligned=_os.environ.get("GAGS_FASTFWD", "0") == "1",
     ),

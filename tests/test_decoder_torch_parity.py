@@ -67,3 +67,27 @@ def test_scale_decoder_matches_torch_conv_stack():
     expect = out[0].permute(1, 2, 0).numpy()
     np.testing.assert_allclose(got, expect, atol=2e-5)
     np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
+
+
+def test_decoders_bf16_compute_close_to_f32():
+    """decoder_bf16 runs the dense stacks in bf16 with f32 params; the
+    unit-norm / softmax outputs must stay within bf16 tolerance of the
+    f32 stack (same params: dtype only changes compute, not init)."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(5, 6, 16)).astype(np.float32))
+
+    dec32 = FeatureDecoder(output_dim=40, hidden=32)
+    dec16 = FeatureDecoder(output_dim=40, hidden=32, dtype=jnp.bfloat16)
+    variables = dec32.init(jax.random.PRNGKey(5), x)
+    f32 = np.asarray(dec32.apply(variables, x))
+    bf16 = np.asarray(dec16.apply(variables, x))
+    assert bf16.dtype == np.float32  # final normalise is f32
+    np.testing.assert_allclose(bf16, f32, atol=3e-2)
+
+    scl32 = ScaleDecoder()
+    scl16 = ScaleDecoder(dtype=jnp.bfloat16)
+    sv = scl32.init(jax.random.PRNGKey(6), x)
+    s32 = np.asarray(scl32.apply(sv, x))
+    s16 = np.asarray(scl16.apply(sv, x))
+    np.testing.assert_allclose(s16, s32, atol=3e-2)
+    np.testing.assert_allclose(s16.sum(-1), 1.0, atol=1e-5)

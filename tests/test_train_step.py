@@ -204,3 +204,28 @@ def test_schedule_weights():
     assert loss_weights(1, cfg) == (1e-3, 0.0)
     assert loss_weights(15000, cfg) == (1e-3, 0.0)
     assert loss_weights(15001, cfg) == (2e-3, 0.1)
+
+
+def test_decoder_bf16_step_close_to_f32(setup):
+    """decoder_bf16 changes compute dtype only: the step must run finite
+    and land within bf16 tolerance of the f32 step on the same state."""
+    state, statics, step, batch, cfg = setup
+    cfg16 = __import__("dataclasses").replace(cfg, decoder_bf16=True)
+    raw = make_scene(N, seed=0)
+    scene = GaussianScene(
+        means=jnp.asarray(raw["means"]), sh=jnp.asarray(raw["sh"]),
+        opacities_raw=jnp.asarray(np.log(raw["opacities"] / (1 - raw["opacities"]))),
+        scales_raw=jnp.asarray(np.log(raw["scales"])),
+        quats=jnp.asarray(raw["quats"]),
+        semantic_features=jnp.ones((N, 8)) * 0.1,
+    )
+    st16, statics16 = create_train_state(scene, jax.random.PRNGKey(0), cfg16)
+    step16 = make_train_step(statics16, W, H, cfg16)
+    geom = frozen_geometry(scene)
+    # run the f32 topology on the same state for the comparison
+    st32, statics32 = create_train_state(scene, jax.random.PRNGKey(0), cfg)
+    step32 = make_train_step(statics32, W, H, cfg)
+    _, m16 = step16(st16, geom, batch, jnp.float32(1e-3), jnp.float32(0.0))
+    _, m32 = step32(st32, geom, batch, jnp.float32(1e-3), jnp.float32(0.0))
+    assert np.isfinite(float(m16["loss"]))
+    np.testing.assert_allclose(float(m16["loss"]), float(m32["loss"]), rtol=3e-2)
