@@ -248,12 +248,31 @@ def run(rc: RunConfig, gad_cfg: GadConfig = None) -> TrainState:
             red_block=np.asarray(b.red.chunk_block),
         )
 
-    bin_cache, budgets = [], []
+    bin_cache, budgets, valids = [], [], []
     for ex in dataset.examples:
         b, budget = _bin_camera(ex, None)
         bin_cache.append(_cache_entry(b))
         budgets.append(budget if budget is not None else base_budget)
-    if rc.devices > 1 and len(set(budgets)) > 1:
+        valids.append(int(b.num_valid))
+    # Auto-tighten: after the first pass the loader KNOWS every camera's
+    # exact valid-instance count (binning is deterministic — geometry is
+    # frozen), so the default budget_factor*N budget is pure slack. Every
+    # M-length stream in the train step (backward chunks, u16 grad-table
+    # build, reduction gather) scales with the budget; the r5 battery
+    # measured 106.2 → 96.2 ms/step just going 4.0 → 2.5 on a scene using
+    # 30% of the 4.0x budget. Re-binning costs one extra compile up front;
+    # a 30k-iteration run pays that back within ~2k iterations.
+    chunk = gad_cfg.raster.chunk
+    tight = (max(valids) // chunk + 2) * chunk
+    if tight < max(budgets):
+        old = max(budgets)
+        for i, ex in enumerate(dataset.examples):
+            b, _ = _bin_camera(ex, tight)
+            bin_cache[i] = _cache_entry(b)
+        budgets = [tight] * len(budgets)
+        print(f"auto-tight budget: {old} → {tight} "
+              f"(max valid {max(valids)} over {len(valids)} cameras)")
+    elif rc.devices > 1 and len(set(budgets)) > 1:
         # dp batches stack per-camera binnings — re-prepare at one uniform
         # (max) budget so every camera's arrays share a static shape
         maxb = max(budgets)

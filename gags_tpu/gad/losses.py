@@ -13,9 +13,40 @@ for "no mask" (the reference keeps float maps with -1.0).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+# GAGS_L1_DOT=1: channel-mean reductions over wide (P, 512) maps as an
+# exact f32 MXU matmul instead of a VPU reduce. Rationale (r5 battery-1
+# FSUP train profile): XLA assigns {0,1} (pixel-minor) layouts to the
+# multiply_reduce fusions consuming the (P, 512) GT gather terms, while
+# the gathers/decoder emit {1,0} — three 1.41 ms {1,0}→{0,1} copies per
+# step. A dot consumer keeps {1,0}. precision=HIGHEST keeps the operands
+# exact f32 (no bf16 operand quantisation); only the reduction
+# association changes (matmul tree vs row reduce) — last-ulp level.
+_L1_DOT = os.environ.get("GAGS_L1_DOT", "0") == "1"
+
+
+def channel_mean(v: jnp.ndarray) -> jnp.ndarray:
+    """Mean over the trailing channel dim: (..., C) → (...).
+
+    With GAGS_L1_DOT and a wide channel dim, runs as an (P, C) @ (C, 8)
+    f32 HIGHEST-precision matmul (column 0) so the consumer accepts the
+    producer's {1,0} row-major layout; tiny/odd channel counts keep the
+    plain reduce (the MXU win only exists when C spans many lanes).
+    """
+    c = v.shape[-1]
+    if not (_L1_DOT and c >= 128):
+        return jnp.mean(v, axis=-1)
+    lead = v.shape[:-1]
+    ones = jnp.zeros((c, 8), v.dtype).at[:, 0].set(1.0 / c)
+    out = jax.lax.dot_general(
+        v.reshape(-1, c), ones, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[:, 0].reshape(lead)
 
 
 def l1(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -27,7 +58,7 @@ def l1_map(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
     (reference `l1_loss_map` averages over the channel dim, loss_utils.py:23-24)
     """
-    return jnp.mean(jnp.abs(x - y), axis=-1)
+    return channel_mean(jnp.abs(x - y))
 
 
 def l2(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

@@ -18,6 +18,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from gags_tpu.gad import losses
 from gags_tpu.utils.image import mean_smooth, resize_bilinear_align_corners, resize_nearest
 
 
@@ -90,7 +91,7 @@ def fused_supervision_l1(
         img_embed, seg_sml.reshape(-1, 3), scale_map.reshape(-1, 3)
     )
     dec2 = decoded.reshape(-1, d)
-    return jnp.mean(jnp.abs(dec2 * maskf - gt * maskf), axis=-1).reshape(lead)
+    return losses.channel_mean(jnp.abs(dec2 * maskf - gt * maskf)).reshape(lead)
 
 
 def _fused_sup_primal(img_embed, seg2, scale2):

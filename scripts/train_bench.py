@@ -53,6 +53,19 @@ print(f"prepare_binning: {time.time()-t0:.1f}s (incl compile), "
       f"budget {cfg.raster.instance_budget(N)} (bf={cfg.raster.budget_factor})",
       flush=True)
 
+# GAGS_TRAIN_AUTOB=1: auto-tight budget from the measured valid count —
+# mirrors cli/train_gad.py's loader (budget = valid rounded up +2 chunks)
+if os.environ.get("GAGS_TRAIN_AUTOB", "0") == "1":
+    import dataclasses as _dc
+    tight = (int(b.num_valid) // cfg.raster.chunk + 2) * cfg.raster.chunk
+    cfg = _dc.replace(cfg, raster=_dc.replace(cfg.raster, budget=tight))
+    t0 = time.time()
+    b = prepare_binning(geom["means"], geom["quats"], geom["scales"], cam.viewmat, cam.K, W, H, cfg.raster, opacities=geom["opacities"])
+    jax.block_until_ready(b)
+    print(f"auto-tight re-bin: {time.time()-t0:.1f}s, budget={tight}, "
+          f"overflow={int(b.overflow)}", flush=True)
+    assert int(b.overflow) == 0
+
 rng = np.random.default_rng(1)
 emb = rng.normal(size=(M_MASKS, 512)).astype(np.float16)
 emb /= np.linalg.norm(emb.astype(np.float32), axis=1, keepdims=True).astype(np.float16)

@@ -110,3 +110,44 @@ def test_backward_flat_pack_matches_rowpad_bitwise():
     np.testing.assert_array_equal(g_flat, g_pad)
 
 
+def test_tight_budget_binning_matches_default():
+    """Auto-tight budgets (cli/train_gad loader: budget = measured valid
+    count rounded up + 2 chunks) must not change the rendered image or
+    the feature gradients — the same real instances survive; only pad
+    slack shrinks."""
+    import dataclasses
+
+    raw = make_scene(N, seed=5)
+    cam = make_camera(W, H)
+    means = jnp.asarray(raw["means"])
+    quats = jnp.asarray(raw["quats"])
+    scales = jnp.asarray(raw["scales"])
+    opac = jnp.asarray(raw["opacities"])
+    feats = jnp.asarray(raw["features"])
+    tgt = jnp.asarray(np.random.default_rng(6).normal(size=(H, W, 16)), jnp.float32)
+
+    b0 = prepare_binning(means, quats, scales, cam.viewmat, cam.K, W, H, CFG)
+    assert int(b0.overflow) == 0
+    tight = (int(b0.num_valid) // CFG.chunk + 2) * CFG.chunk
+    assert tight < CFG.instance_budget(N)
+    cfg_t = dataclasses.replace(CFG, budget=tight)
+    b1 = prepare_binning(means, quats, scales, cam.viewmat, cam.K, W, H, cfg_t)
+    assert int(b1.overflow) == 0
+    assert b1.inst_gid.shape[0] < b0.inst_gid.shape[0]
+
+    def loss(f, b, cfg):
+        img, _ = rasterize_binned(
+            means, quats, scales, opac, f, cam.viewmat, cam.K,
+            b.inst_gid, b.tile_starts, b.tile_counts, W, H,
+            config=cfg, order=b.order,
+            red_slot=b.red.slot_to_pos, red_rank=b.red.slot_rank,
+            red_block=b.red.chunk_block,
+        )
+        return jnp.mean(jnp.abs(img - tgt)), img
+
+    g0 = jax.grad(lambda f: loss(f, b0, CFG)[0])(feats)
+    g1 = jax.grad(lambda f: loss(f, b1, cfg_t)[0])(feats)
+    _, img0 = loss(feats, b0, CFG)
+    _, img1 = loss(feats, b1, cfg_t)
+    np.testing.assert_allclose(np.asarray(img0), np.asarray(img1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-6)
