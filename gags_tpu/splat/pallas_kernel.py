@@ -348,6 +348,7 @@ def _forward_fast_kernel(
     mxu_sigma: bool,
     blend_bf16: bool,
     exit_stats: bool = False,
+    block_exit: bool = False,
 ):
     """Inference-only forward blend (unaligned ranges), VMEM-traffic-dieted.
 
@@ -382,9 +383,16 @@ def _forward_fast_kernel(
     yields the EXCLUSIVE prefix directly, so the backward-shift
     `lt_incl - l1m` (an f32 re-extension of a bf16 row, two ops) is
     replaced by idle-MXU work."""
-    if exit_stats:
+    lt_ref = None
+    if exit_stats and block_exit:
+        (geom_hbm, col_hbm, bg_ref, out_ref, stats_ref, gbuf, cbuf,
+         acc_ref, lt_ref, sems) = refs
+    elif exit_stats:
         (geom_hbm, col_hbm, bg_ref, out_ref, stats_ref, gbuf, cbuf,
          acc_ref, sems) = refs
+    elif block_exit:
+        (geom_hbm, col_hbm, bg_ref, out_ref, gbuf, cbuf, acc_ref,
+         lt_ref, sems) = refs
     else:
         geom_hbm, col_hbm, bg_ref, out_ref, gbuf, cbuf, acc_ref, sems = refs
     t = pl.program_id(0)
@@ -429,6 +437,16 @@ def _forward_fast_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
 
     acc_ref[:, :] = jnp.zeros_like(acc_ref)
+    if block_exit:
+        # per-pixel log-T lives in VMEM instead of the loop carry so each
+        # p_block slab can be SKIPPED once all its pixels saturate (the
+        # CUDA reference retires per-pixel threads; a p_block-pixel vector
+        # slab is the finest granularity that costs nothing here). Exactly
+        # output-preserving: a saturated block's pairs already blend with
+        # w = 0, so skipping its matmuls changes no byte of the image.
+        # The while carries hold only the TILE max (scalar) for the
+        # existing tile-level exit condition.
+        lt_ref[:, :] = jnp.zeros_like(lt_ref)
 
     def dma_seg(s, slot):
         # whole-segment streaming: ONE (8+C, seg_w) DMA pair per up-to-
@@ -546,10 +564,11 @@ def _forward_fast_kernel(
                 mx = rows[0:1, :]
                 my = rows[1:2, :]
 
-            new_log_t = []
-            for b in range(nb):
-                sl = slice(b * p_block, (b + 1) * p_block)
-                lt = log_t[sl]
+            def block_compute(sl, lt):
+                """One (p_block, G) slab: accumulates into acc_ref[sl]
+                and returns the slab's new log-T column (same math as
+                before the block_exit refactor — byte-identical HLO ops
+                for the default path)."""
                 if mxu_sigma:
                     s2n = jax.lax.dot_general(
                         x_feat[sl], coef,  # (Pb, 8) x (8, G)
@@ -588,8 +607,7 @@ def _forward_fast_kernel(
                             dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
-                        new_log_t.append(lt_i[:, g - 1 : g])
-                        continue
+                        return lt_i[:, g - 1 : g]
                 else:
                     dx = px_full[sl] - mx  # (Pb, G)
                     dy = py_full[sl] - my
@@ -610,7 +628,25 @@ def _forward_fast_kernel(
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
-                new_log_t.append(lt + cum[:, g - 1 : g])
+                return lt + cum[:, g - 1 : g]
+
+            if block_exit:
+                # skip saturated slabs; log_t carry is the tile max scalar
+                for b in range(nb):
+                    sl = slice(b * p_block, (b + 1) * p_block)
+
+                    @pl.when(jnp.max(lt_ref[sl, :]) >= t_eps)
+                    def _(sl=sl):
+                        lt_ref[sl, :] = block_compute(sl, lt_ref[sl, :])
+
+                return (k + 1, jnp.max(lt_ref[:, :]))
+            new_log_t = [
+                block_compute(
+                    slice(b * p_block, (b + 1) * p_block),
+                    log_t[b * p_block : (b + 1) * p_block],
+                )
+                for b in range(nb)
+            ]
             return (k + 1, jnp.concatenate(new_log_t, axis=0))
 
         k_done, log_t1 = jax.lax.while_loop(
@@ -621,7 +657,10 @@ def _forward_fast_kernel(
         return s + 1, log_t1
 
     zero = jnp.zeros((), jnp.int32)
-    log_t_init = jnp.zeros((p, 1), jnp.float32)
+    log_t_init = (
+        jnp.zeros((), jnp.float32) if block_exit  # tile max; slabs in VMEM
+        else jnp.zeros((p, 1), jnp.float32)
+    )
     init = (zero, zero, log_t_init) if exit_stats else (zero, log_t_init)
     done = jax.lax.while_loop(seg_cond, seg_body, init)
     s_done = done[0]
@@ -666,6 +705,7 @@ SEG_CHUNKS = 8  # chunks streamed per segment DMA in the fast kernel
     static_argnames=(
         "tiles_x", "tiles_y", "tile_h", "tile_w", "chunk", "p_block",
         "seg_chunks", "mxu_sigma", "blend_bf16", "interpret", "exit_stats",
+        "block_exit",
     ),
 )
 def tile_blend_forward_fast(
@@ -686,6 +726,7 @@ def tile_blend_forward_fast(
     blend_bf16: bool = False,
     interpret: bool = False,
     exit_stats: bool = False,
+    block_exit: bool = False,
 ):
     """Inference forward blend over unaligned ranges. Returns (T, P, C+1).
 
@@ -742,6 +783,9 @@ def tile_blend_forward_fast(
             pltpu.VMEM((2, GEOM_ROWS, seg_chunks * chunk), jnp.float32),
             pltpu.VMEM((2, c, seg_chunks * chunk), color_inst.dtype),
             pltpu.VMEM((p, c + 1), jnp.float32),
+        ]
+        + ([pltpu.VMEM((p, 1), jnp.float32)] if block_exit else [])
+        + [
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -750,7 +794,7 @@ def tile_blend_forward_fast(
     kernel = functools.partial(
         _forward_fast_kernel, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
         g=chunk, p_block=p_block, mxu_sigma=mxu_sigma, blend_bf16=blend_bf16,
-        exit_stats=exit_stats,
+        exit_stats=exit_stats, block_exit=block_exit,
     )
     outs = pl.pallas_call(
         kernel,

@@ -103,6 +103,14 @@ class RasterizeConfig:
     # rendering where downstream consumers (decoder + softmax relevancy)
     # are insensitive at that scale. Requires mxu_sigma.
     blend_bf16: bool = False
+    # p_block-level early termination (inference fast path): per-pixel
+    # log-T lives in kernel VMEM and each p_block slab's matmuls are
+    # SKIPPED once all its pixels saturate (T < 1e-4) — the TPU-native
+    # analogue of the CUDA per-pixel-thread retirement the reference's
+    # trained-scene frame rates ride on. Byte-identical output (saturated
+    # pixels already blend with w = 0); pays off on trained-statistics
+    # scenes with full surface coverage, ~free elsewhere.
+    block_exit: bool = False
     # shrink binning rects to each splat's alpha-floor contour
     # sqrt(2*ln(255*opacity)) when < 3 sigma — image-exact (those pairs
     # fail the kernels' 1/255 floor anyway), sheds instances on
@@ -548,6 +556,7 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, 
             blend_bf16=cfg.blend_bf16,
             interpret=cfg.interpret,
             exit_stats=exit_stats,
+            block_exit=cfg.block_exit,
         )
         if exit_stats:
             out, stats = out
@@ -581,6 +590,7 @@ def _blend_fwd_impl(colors, geom_table, inst_gid, tile_starts, tile_counts, bg, 
             mxu_sigma=cfg.mxu_sigma,
             blend_bf16=False,  # training forward stays f32
             interpret=cfg.interpret,
+            block_exit=cfg.block_exit,
         )
         return out[..., :c_true], out[..., -1:]
     inst_data = fast_gather_rows(table, inst_gid).T  # (8+Cp, M)

@@ -101,6 +101,17 @@ FWD_LEGS = [
                      tile_h=16, tile_w=16)),
     ("fast no-extents", RasterizeConfig(aligned=False, fast_color_rows=True,
                                         opacity_extents=False)),
+    # block_exit: per-p_block early termination (VMEM log-T scratch +
+    # pl.when-gated slab compute + scalar tile-max carries) — new Mosaic
+    # surface: sublane-sliced (p, 1) scratch stores, matmuls inside a
+    # predicated region
+    ("fast f32 block_exit", RasterizeConfig(aligned=False, block_exit=True)),
+    ("fast bf16 block_exit c256 pb256",
+     RasterizeConfig(aligned=False, fast_color_rows=True, blend_bf16=True,
+                     chunk=256, p_block=256, block_exit=True)),
+    ("fast bf16 block_exit 16x32",
+     RasterizeConfig(aligned=False, fast_color_rows=True, blend_bf16=True,
+                     tile_h=16, tile_w=32, block_exit=True)),
 ]
 for name, cfg in FWD_LEGS:
     leg(name, lambda cfg=cfg: fwd(cfg))

@@ -797,3 +797,33 @@ def test_exit_stats_counters():
     # work is not (same binning budget semantics)
     st_sat = run(jnp.full_like(op, 0.999))
     assert st_sat[:, 2].sum() <= st[:, 3].sum()
+
+
+@pytest.mark.parametrize(
+    "bf16,saturate", [(False, False), (True, False), (False, True), (True, True)]
+)
+def test_block_exit_bit_identical(bf16, saturate):
+    """block_exit=True (skip saturated p_block slabs — the TPU analogue of
+    the CUDA reference's per-pixel thread retirement) must be BIT-identical
+    to block_exit=False: a saturated slab's pairs already blend with w = 0.
+    Exercised with 4 slabs per tile (p_block=32 on a 128-px tile) in both
+    the f32 and bf16 pipelines, with and without near-opaque stacks that
+    actually drive slabs to saturation mid-tile."""
+    means, quats, scales, op, col, vm, K = _scene(400, 11, 16)
+    if saturate:
+        op = jnp.minimum(op * 5.0, 0.998)
+
+    def run(block_exit):
+        cfg = RasterizeConfig(
+            tile_h=8, tile_w=16, chunk=8, p_block=32, budget_factor=8,
+            interpret=True, aligned=False, blend_bf16=bf16,
+            block_exit=block_exit,
+        )
+        return rasterize(
+            means, quats, scales, op, col, vm, K, W, H, config=cfg
+        )
+
+    a, b = run(False), run(True)
+    np.testing.assert_array_equal(np.asarray(a.image), np.asarray(b.image))
+    np.testing.assert_array_equal(np.asarray(a.alpha), np.asarray(b.alpha))
+    assert int(b.overflow) == 0
