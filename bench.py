@@ -90,6 +90,16 @@ def _tune_cache_store(key: dict, cfg) -> None:
 def main():
     import jax
 
+    try:  # persistent compile cache: tune candidates a battery already
+        # compiled replay from disk instead of re-paying the 1-4 min
+        # remote compile (scripts/_retry.enable_compile_cache)
+        sys.path.insert(0, "/root/repo/scripts")
+        from _retry import enable_compile_cache
+
+        enable_compile_cache()
+    except Exception as exc:  # noqa: BLE001 — cache is best-effort
+        print(f"# compile-cache setup failed: {exc!r}", file=sys.stderr)
+
     if not _tpu_reachable():
         print("# TPU unreachable — CPU fallback bench", file=sys.stderr)
         jax.config.update("jax_platforms", "cpu")

@@ -63,8 +63,10 @@ class GadConfig:
     # residual-free supervision+L1 custom VJP (same math; cuts the
     # gt_map/d_gt HBM round trips — see supervision.fused_supervision_l1).
     # Applies only on the same-resolution default supervision path; other
-    # paths silently use the generic composition.
-    fused_supervision: bool = False
+    # paths silently use the generic composition. Default ON since r5
+    # battery 2: with auto-tight budgets it measured 81.1 vs 96.2 ms/step
+    # and is bit-identical (reshapes only) where it applies.
+    fused_supervision: bool = True
     # mixed-precision decoders: bf16 matmuls/activations, f32 params and
     # f32 final normalise/softmax. The (HW, 256) decoder intermediates are
     # the train step's dominant HBM traffic (r4 profile); the supervision

@@ -12,6 +12,35 @@ import os
 import sys
 import time
 
+
+def enable_compile_cache() -> None:
+    """Point JAX at the repo-local persistent compilation cache.
+
+    The battery's long legs (gas_bench, sam_profile) die to tunnel
+    broken-pipes MID-COMPILE-CHAIN and the fresh-process re-exec then
+    repays every remote compile from zero — three batteries lost their
+    GAS legs to exactly this (r4 b6/b8, r5 b1b/b2). With the persistent
+    cache the re-exec replays the already-paid compiles from disk and
+    only the one that was in flight is redone. Shares tests/.jax_cache
+    (cache keys include backend + HLO hash, so CPU/TPU entries coexist).
+    No-op if the PJRT backend can't serialize executables — then we're
+    simply back to today's behavior.
+    """
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(__file__), os.pardir,
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.abspath(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+try:  # every probe script imports _retry — wire the cache by default
+    enable_compile_cache()
+except Exception as _exc:  # noqa: BLE001 — cache is best-effort
+    print(f"# compile-cache setup failed: {_exc!r}", file=sys.stderr)
+
 _TRANSIENT = (
     "UNAVAILABLE",
     "Broken pipe",

@@ -15,8 +15,11 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+
+import _retry  # noqa: F401 — persistent compile cache across re-execs
 
 WORK = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gags_rehearsal"
 ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 500

@@ -14,9 +14,12 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+import _retry  # noqa: F401 — persistent compile cache across re-execs
 
 from gags_tpu.gas import masks as gm
 from gags_tpu.gas.generator import AutomaticMaskGenerator, GeneratorConfig

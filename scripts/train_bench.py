@@ -1,7 +1,10 @@
 """Measure GAD training throughput on TPU: binned step, LERF-like scale."""
 import sys, time
 sys.path.insert(0, "/root/repo")
+import os.path as _osp
+sys.path.insert(0, _osp.dirname(_osp.abspath(__file__)))
 import numpy as np, jax, jax.numpy as jnp
+import _retry  # noqa: F401 — persistent compile cache across re-execs
 from gags_tpu.gad.train import GadConfig, create_train_state, frozen_geometry, make_train_step_binned
 from gags_tpu.scene.gaussian_data import GaussianScene
 from gags_tpu.splat.rasterizer import RasterizeConfig, prepare_binning

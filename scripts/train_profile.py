@@ -5,7 +5,10 @@ step parts summed to ~100 ms while the step measured 197 ms)."""
 import sys
 
 sys.path.insert(0, "/root/repo")
+import os.path as _osp
+sys.path.insert(0, _osp.dirname(_osp.abspath(__file__)))
 import numpy as np, jax, jax.numpy as jnp
+import _retry  # noqa: F401 — persistent compile cache across re-execs
 from gags_tpu.gad.train import GadConfig, create_train_state, frozen_geometry, make_train_step_binned
 from gags_tpu.scene.gaussian_data import GaussianScene
 from gags_tpu.splat.rasterizer import prepare_binning
