@@ -25,8 +25,14 @@ binner so the ledger has owners. Geometry is passed as jit ARGS (never
 closed over: XLA would constant-fold projection/binning and the probe
 would lie — NOTES.md).
 
-Usage: python scripts/bench_1080p.py [anchor] [tiles] [soa] [trained]
-       (default: all four legs)
+  surface - make_surface_scene at 1080p/1M (heightfield with trained
+            opacity stats — the fog remap above can't saturate rays, so
+            its "trained" legs measure nothing the exit path can use)
+            with block_exit off/on: the VERDICT r4 #5 pair-count attack
+            at the workload where pairs actually die early.
+
+Usage: python scripts/bench_1080p.py [anchor] [tiles] [soa] [trained] [surface]
+       (default: all five legs)
 """
 import os
 import sys
@@ -42,8 +48,11 @@ from gags_tpu.splat.rasterizer import (
 from gags_tpu.utils.synthetic import make_scene, make_camera
 from gags_tpu.utils.timing import device_time_drain
 
-legs = set(sys.argv[1:]) or {"anchor", "tiles", "soa", "trained"}
+legs = set(sys.argv[1:]) or {"anchor", "tiles", "soa", "trained", "surface"}
 N, W, H = 1_000_000, 1920, 1080
+if bool(int(os.environ.get("GAGS_SMOKE", "0"))):  # tiny CPU dry run
+    jax.config.update("jax_platforms", "cpu")
+    N, W, H = 1500, 128, 64
 raw = make_scene(N, seed=0, extent=3.0)
 means, quats, scales, opac = (
     jnp.asarray(raw[k]) for k in ("means", "quats", "scales", "opacities")
@@ -57,6 +66,8 @@ bg = jnp.zeros((16,), jnp.float32)
 # overflow asserted on every leg.
 BASE = dict(aligned=False, fast_color_rows=True, blend_bf16=True,
             fused_keys=True, image_chw=True, chunk=256)
+if bool(int(os.environ.get("GAGS_SMOKE", "0"))):
+    BASE.update(interpret=True, chunk=8)
 
 
 def run(label, cfg, o=opac, geom=None, k=10):
@@ -132,3 +143,22 @@ if "trained" in legs:
     run("trained-stats 16x32 bf=4.5 (opaque=70%)",
         RasterizeConfig(tile_h=16, tile_w=32, budget_factor=4.5, **BASE),
         o=o_tr)
+
+if "surface" in legs:
+    from gags_tpu.utils.synthetic import make_surface_scene
+
+    surf = make_surface_scene(N, W, H, seed=3, opaque_frac=0.7)
+    sgeom = tuple(
+        jnp.asarray(surf[k]) for k in ("means", "quats", "scales"))
+    so = jnp.asarray(surf["opacities"])
+    feats = jnp.asarray(surf["features"])  # run() reads the module global
+    # aligned pancakes bin ~3x the fog instances — escalate the budget
+    # until 0 overflow, then A/B block_exit at the surviving factor
+    for be in (False, True):
+        for bf in (4.0, 6.0, 8.0, 10.0):
+            d = run(f"SURFACE 32x32 bf={bf} block_exit={int(be)}",
+                    RasterizeConfig(tile_h=32, tile_w=32, budget_factor=bf,
+                                    block_exit=be, **BASE),
+                    o=so, geom=sgeom)
+            if d is not None:
+                break

@@ -30,8 +30,8 @@ _tw = int(os.environ.get("GAGS_TILE_W", "32"))
 # (RasterizeConfig.fast_fwd_aligned A/B; grads untouched)
 cfg = GadConfig(
     max_segments=1024,
-    # GAGS_FSUP=1: residual-free supervision+L1 custom VJP A/B
-    fused_supervision=os.environ.get("GAGS_FSUP", "0") == "1",
+    # GAGS_FSUP=0 disables the (now-default) fused supervision VJP A/B
+    fused_supervision=os.environ.get("GAGS_FSUP", "1") == "1",
     # GAGS_DEC_BF16=1: mixed-precision decoders (bf16 matmuls, f32 params)
     decoder_bf16=os.environ.get("GAGS_DEC_BF16", "0") == "1",
     raster=RasterizeConfig(

@@ -12,8 +12,17 @@ kernel's existing tile-level exit gets the workload the 4090 reference
 actually runs. Headline bench.py is left untouched for cross-round
 comparability — this number is the honest trained-scene counterpart.
 
+Round-5 addition: the fog scene above has SPOTTY per-pixel coverage —
+even at opaque=70% most rays never cross T < 1e-4, so no exit scheme can
+fire (battery 1b measured chunk-stop 0.0%). The SURFACE legs re-run the
+A/B on make_surface_scene (heightfield filling the frustum, every ray
+hits opaque splats within a short depth prefix — the actual trained-3DGS
+workload) with block_exit off/on, which is where the reference's
+interactive rates come from (per-pixel thread retirement in the CUDA
+rasterizer).
+
 Usage: python scripts/trained_scene_bench.py [opaque_frac ...]
-       (default sweeps 0.0 / 0.3 / 0.5 / 0.7)
+       (default sweeps 0.0 / 0.3 / 0.5 / 0.7, then the surface legs)
 """
 import json
 import os
@@ -34,6 +43,10 @@ from gags_tpu.utils.timing import device_time_drain
 
 N, W, H = 250_000, 1280, 720
 fracs = [float(a) for a in sys.argv[1:]] or [0.0, 0.3, 0.5, 0.7]
+SMOKE = bool(int(os.environ.get("GAGS_SMOKE", "0")))  # tiny CPU dry run
+if SMOKE:
+    jax.config.update("jax_platforms", "cpu")
+    N, W, H, fracs = 600, 64, 32, [0.7]
 
 raw = make_scene(N, seed=0, extent=3.0)
 means, quats, scales = (
@@ -53,6 +66,10 @@ except Exception:
                           budget_factor=2.2, aligned=False,
                           fast_color_rows=True, blend_bf16=True,
                           tile_cull=False, fused_keys=True)
+if SMOKE:
+    from dataclasses import replace as _rep
+    cfg = _rep(cfg, interpret=True, tile_h=8, tile_w=16, chunk=8,
+               p_block=32, budget_factor=8.0, soa_geom=False)
 print(f"cfg: {cfg.tile_h}x{cfg.tile_w} chunk={cfg.chunk} "
       f"bf16={cfg.blend_bf16} fkeys={cfg.fused_keys} "
       f"bf={cfg.budget_factor} soa={cfg.soa_geom}", flush=True)
@@ -106,3 +123,65 @@ for frac in fracs:
     print(f"{label:28s} {dt*1000:7.3f} ms = {1.0/dt:6.2f} FPS | "
           f"chunk-stop {1.0 - kd/kt:6.1%} ({int(kd)}/{int(kt)} chunks run)",
           flush=True)
+
+# ---- SURFACE scene legs: block_exit A/B on the saturating workload ----
+# (heavier than the fog scene: aligned 6.5-px-sigma pancakes bin to ~3x
+# the instance count — budget escalates until 0 overflow, pair count is
+# printed so the A/B has a denominator)
+from dataclasses import replace
+
+from gags_tpu.utils.synthetic import make_surface_scene
+
+for opaque_frac in ((0.7,) if SMOKE else (0.7, 0.9)):
+    surf = make_surface_scene(N, W, H, seed=3, opaque_frac=opaque_frac)
+    sm, sq, ss, so, sf = (
+        jnp.asarray(surf[k])
+        for k in ("means", "quats", "scales", "opacities", "features")
+    )
+    if cfg.soa_geom:
+        sm, sq, ss = soa_geometry(sm, sq, ss)
+
+    base = None
+    for bf in (6.0, 8.0, 10.0):
+        base = replace(cfg, budget_factor=bf)
+        r = reexec_on_transient(
+            lambda: rasterize(sm, sq, ss, so, sf, cam.viewmat, cam.K,
+                              W, H, background=bg, config=base))
+        if int(r.overflow) == 0:
+            break
+        print(f"  (surface op={opaque_frac:.0%}: bf={bf} overflow "
+              f"{int(r.overflow)})", flush=True)
+
+    for be in (False, True):
+        c2 = replace(base, block_exit=be)
+
+        @jax.jit
+        def surf_full(m, q, s, o_, f, c2=c2):
+            return rasterize(m, q, s, o_, f, cam.viewmat, cam.K,
+                             W, H, background=bg, config=c2).image
+
+        dt = reexec_on_transient(
+            lambda: device_time_drain(
+                lambda f: surf_full(sm, sq, ss, so, f), sf, k=20, warmup=2))
+
+        @jax.jit
+        def surf_stats(m, q, s, o_, f, c2=c2):
+            pj, b, geom, _, _ = _prepare(m, q, s, o_, cam.viewmat, cam.K,
+                                         W, H, c2)
+            _, _, st = _blend_fwd_impl(
+                f, geom, b.inst_gid, b.tile_starts, b.tile_counts, bg,
+                (tx, ty), c2, exit_stats=True,
+            )
+            return st, b.num_valid
+
+        st, nv = reexec_on_transient(
+            lambda: surf_stats(sm, sq, ss, so, sf))
+        st = np.asarray(st)[:, 0, :4]
+        kd, kt = st[:, 2].sum(), max(st[:, 3].sum(), 1.0)
+        label = f"SURFACE op={opaque_frac:.0%} block_exit={int(be)}"
+        print(f"{label:28s} {dt*1000:7.3f} ms = {1.0/dt:6.2f} FPS | "
+              f"chunk-stop {1.0 - kd/kt:6.1%} "
+              f"({int(kd)}/{int(kt)} chunks run) | "
+              f"valid={int(nv)/1e6:.2f}M "
+              f"pairs={int(nv)*cfg.tile_h*cfg.tile_w/1e6:.0f}M",
+              flush=True)
