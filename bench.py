@@ -472,6 +472,23 @@ def main():
         sres = rasterize(*sgeom, opac, feats, cam.viewmat, cam.K, w, h,
                          background=bg, config=scfg)
     assert int(sres.overflow) == 0, "surface-scene budget overflow"
+    # auto-tight the budget from the measured valid count (same recipe as
+    # the train step): every M-length bin stream (expand, sort, gather)
+    # scales with the budget, and the escalation quantum above is coarse
+    from gags_tpu.splat.rasterizer import _prepare as _prep
+
+    _, sb, _, _, _ = jax.jit(
+        lambda m, q, s, o_: _prep(m, q, s, o_, cam.viewmat, cam.K,
+                                  w, h, scfg)
+    )(*sgeom, opac)
+    tight = (int(sb.num_valid) // scfg.chunk + 2) * scfg.chunk
+    tcfg = _dcs.replace(scfg, budget=tight)
+    tres = rasterize(*sgeom, opac, feats, cam.viewmat, cam.K, w, h,
+                     background=bg, config=tcfg)
+    if int(tres.overflow) == 0:
+        scfg = tcfg
+        print(f"# surface budget auto-tightened to {tight} "
+              f"(valid {int(sb.num_valid)})", file=sys.stderr)
     sdt, _ = median3(scfg, geom=sgeom)
     if not on_cpu:
         try:  # slab-level exit A/B at the same binning

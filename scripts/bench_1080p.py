@@ -153,12 +153,34 @@ if "surface" in legs:
     so = jnp.asarray(surf["opacities"])
     feats = jnp.asarray(surf["features"])  # run() reads the module global
     # aligned pancakes bin ~3x the fog instances — escalate the budget
-    # until 0 overflow, then A/B block_exit at the surviving factor
+    # until 0 overflow, auto-tighten from the valid count (train-step
+    # recipe), then A/B block_exit at the tight budget
+    from dataclasses import replace as _replace
+
+    sbase = None
+    for bf in (4.0, 6.0, 8.0, 10.0):
+        sbase = RasterizeConfig(tile_h=32, tile_w=32, budget_factor=bf,
+                                **BASE)
+        r = reexec_on_transient(
+            lambda: rasterize(*sgeom, so, feats, cam.viewmat, cam.K,
+                              W, H, background=bg, config=sbase))
+        if int(r.overflow) == 0:
+            break
+        print(f"  (surface: bf={bf} overflow {int(r.overflow)})",
+              flush=True)
+    _, b0, _, _, _ = jax.jit(
+        lambda m, q, s, o_: _prepare(m, q, s, o_, cam.viewmat, cam.K,
+                                     W, H, sbase)
+    )(*sgeom, so)
+    tight = (int(b0.num_valid) // sbase.chunk + 2) * sbase.chunk
+    tcfg = _replace(sbase, budget=tight)
+    r = reexec_on_transient(
+        lambda: rasterize(*sgeom, so, feats, cam.viewmat, cam.K,
+                          W, H, background=bg, config=tcfg))
+    if int(r.overflow) == 0:
+        sbase = tcfg
+        print(f"  (surface budget tightened to {tight}, "
+              f"valid {int(b0.num_valid)})", flush=True)
     for be in (False, True):
-        for bf in (4.0, 6.0, 8.0, 10.0):
-            d = run(f"SURFACE 32x32 bf={bf} block_exit={int(be)}",
-                    RasterizeConfig(tile_h=32, tile_w=32, budget_factor=bf,
-                                    block_exit=be, **BASE),
-                    o=so, geom=sgeom)
-            if d is not None:
-                break
+        run(f"SURFACE 32x32 tight block_exit={int(be)}",
+            _replace(sbase, block_exit=be), o=so, geom=sgeom)

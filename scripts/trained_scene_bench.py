@@ -152,8 +152,31 @@ for opaque_frac in ((0.7,) if SMOKE else (0.7, 0.9)):
         print(f"  (surface op={opaque_frac:.0%}: bf={bf} overflow "
               f"{int(r.overflow)})", flush=True)
 
-    for be in (False, True):
-        c2 = replace(base, block_exit=be)
+    # auto-tight budget from the measured valid count (train-step recipe)
+    _, b0, _, _, _ = jax.jit(
+        lambda m, q, s, o_: _prepare(m, q, s, o_, cam.viewmat, cam.K,
+                                     W, H, base)
+    )(sm, sq, ss, so)
+    tight = (int(b0.num_valid) // base.chunk + 2) * base.chunk
+    tbase = replace(base, budget=tight)
+    r = reexec_on_transient(
+        lambda: rasterize(sm, sq, ss, so, sf, cam.viewmat, cam.K,
+                          W, H, background=bg, config=tbase))
+    if int(r.overflow) == 0:
+        base = tbase
+        print(f"  (surface op={opaque_frac:.0%}: budget tightened to "
+              f"{tight}, valid {int(b0.num_valid)})", flush=True)
+
+    # variants: plain, slab-level exit, and ellipse-tile cull + exit
+    # (tile_cull lost 5.4 ms on the fog scene but the surface scene's
+    # aligned pancakes have bbox tiles their ellipse never touches)
+    variants = [("block_exit=0", dict(block_exit=False)),
+                ("block_exit=1", dict(block_exit=True))]
+    if not SMOKE:
+        variants.append(("exit+cull", dict(block_exit=True,
+                                           tile_cull=True)))
+    for vlabel, vflags in variants:
+        c2 = replace(base, **vflags)
 
         @jax.jit
         def surf_full(m, q, s, o_, f, c2=c2):
@@ -178,7 +201,7 @@ for opaque_frac in ((0.7,) if SMOKE else (0.7, 0.9)):
             lambda: surf_stats(sm, sq, ss, so, sf))
         st = np.asarray(st)[:, 0, :4]
         kd, kt = st[:, 2].sum(), max(st[:, 3].sum(), 1.0)
-        label = f"SURFACE op={opaque_frac:.0%} block_exit={int(be)}"
+        label = f"SURFACE op={opaque_frac:.0%} {vlabel}"
         print(f"{label:28s} {dt*1000:7.3f} ms = {1.0/dt:6.2f} FPS | "
               f"chunk-stop {1.0 - kd/kt:6.1%} "
               f"({int(kd)}/{int(kt)} chunks run) | "
