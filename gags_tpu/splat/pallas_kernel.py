@@ -679,18 +679,26 @@ def _forward_fast_kernel(
 
     if exit_stats:
         # per-tile early-exit counters, row 0 lanes 0-3: segments done,
-        # total segments, chunks done, total chunks. Whole-(8, 128) write
-        # (Mosaic minor-dim rule: no sub-128-lane windows).
+        # total segments, chunks done, total chunks; lane 4: final max
+        # ungated log-T (the exit quantity — lets probes see how far the
+        # slowest pixel is from t_eps). Whole-(8, 128) write (Mosaic
+        # minor-dim rule: no sub-128-lane windows).
         row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         lanec = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         k_total = done[1]
+        lt_fin = (
+            jnp.max(lt_ref[:, :]) if block_exit else jnp.max(done[-1])
+        )
         v = jnp.where(
             lanec == 0, s_done.astype(jnp.float32),
             jnp.where(
                 lanec == 1, nseg.astype(jnp.float32),
                 jnp.where(
                     lanec == 2, k_total.astype(jnp.float32),
-                    jnp.where(lanec == 3, nchunks.astype(jnp.float32), 0.0),
+                    jnp.where(
+                        lanec == 3, nchunks.astype(jnp.float32),
+                        jnp.where(lanec == 4, lt_fin, 0.0),
+                    ),
                 ),
             ),
         )

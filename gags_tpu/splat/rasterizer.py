@@ -1018,3 +1018,49 @@ def rasterize(
         means2d=proj.means2d,
         overflow=binned.overflow,
     )
+
+
+def rasterize_exit_stats(
+    means, quats, scales, opacities, colors, viewmat, K,
+    width: int, height: int,
+    background: Optional[jnp.ndarray] = None,
+    config: RasterizeConfig = RasterizeConfig(),
+):
+    """Fast-path forward WITH the kernel's per-tile early-exit counters.
+
+    Returns (tile_stats (T, 8, 128), num_valid). Row 0 lanes 0-4 of each
+    tile: segments done/total, chunks done/total, final max ungated
+    log-T (the exit-condition quantity).
+
+    This exists because `_blend_fwd_impl` takes tables ALREADY permuted
+    to depth-rank order — `rasterize()` does that permutation inline —
+    and every probe that called the impl directly with `_prepare`'s raw
+    gid-ordered table measured a garbage workload: round-5 battery 1b/3
+    recorded "chunk-stop 0.0%" from exactly this misuse (each instance
+    blended the geometry of gaussian rank-id instead of its own, so
+    saturation structure was destroyed while drain timings — which used
+    the correct `rasterize()` — stayed valid). Use THIS for counters.
+    """
+    assert not config.aligned, "exit stats: unaligned fast path only"
+    pj, binned, geom_table, tiles_x, tiles_y = _prepare(
+        means, quats, scales, opacities, viewmat, K, width, height, config
+    )
+    perm = order_ext(binned.order)
+    inv_order = jnp.argsort(binned.order).astype(jnp.int32)
+    inv_perm = jnp.concatenate(
+        [inv_order, jnp.full((1,), binned.order.shape[0], jnp.int32)]
+    )
+    if background is None:
+        background = jnp.zeros((colors.shape[1],), jnp.float32)
+    _, _, stats = _blend_fwd_impl(
+        permute_rows(colors, binned.order, inv_order),
+        permute_rows(geom_table, perm, inv_perm),
+        binned.inst_gid,
+        binned.tile_starts,
+        binned.tile_counts,
+        background,
+        (tiles_x, tiles_y),
+        config,
+        exit_stats=True,
+    )
+    return stats, binned.num_valid

@@ -119,19 +119,21 @@ for name, cfg in FWD_LEGS:
 # exit-stats variant (trained_scene_bench telemetry): extra (T, 8, 128)
 # counter output + 3-tuple seg-loop carry — must compile on-device
 def stats_leg():
-    from gags_tpu.splat.rasterizer import _blend_fwd_impl, _prepare
+    # via the public wrapper so the rank permutation is applied — the
+    # old direct _blend_fwd_impl call fed the gid-ordered table and its
+    # counters described a garbage workload (r5 batch-3 post-mortem)
+    from gags_tpu.splat.rasterizer import rasterize_exit_stats
 
     cfg = RasterizeConfig(aligned=False, fast_color_rows=True,
                           blend_bf16=True, budget_factor=8)
-    _, b, geom, tx, ty = _prepare(means, quats, scales, opac, cam.viewmat,
-                                  cam.K, W, H, cfg)
-    img, _, st = jax.jit(
-        lambda f: _blend_fwd_impl(
-            f, geom, b.inst_gid, b.tile_starts, b.tile_counts,
-            jnp.zeros((16,)), (tx, ty), cfg, exit_stats=True)
+    st, _ = jax.jit(
+        lambda f: rasterize_exit_stats(
+            means, quats, scales, opac, f, cam.viewmat, cam.K, W, H,
+            config=cfg)
     )(feats)
-    assert (np.asarray(st)[:, 0, 2] <= np.asarray(st)[:, 0, 3]).all()
-    return img
+    stn = np.asarray(st)
+    assert (stn[:, 0, 2] <= stn[:, 0, 3]).all()
+    return stn[:, 0, :4]
 
 
 leg("fast bf16 exit_stats (counters output)", stats_leg)

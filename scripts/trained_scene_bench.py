@@ -36,7 +36,7 @@ import jax, jax.numpy as jnp
 from _retry import reexec_on_transient
 
 from gags_tpu.splat.rasterizer import (
-    RasterizeConfig, rasterize, _blend_fwd_impl, _prepare,
+    RasterizeConfig, _prepare, rasterize, rasterize_exit_stats,
 )
 from gags_tpu.utils.synthetic import make_scene, make_camera
 from gags_tpu.utils.timing import device_time_drain
@@ -109,12 +109,8 @@ for frac in fracs:
 
     @jax.jit
     def stats_pass(m, q, s, o_, f):
-        _, b, geom, _, _ = _prepare(m, q, s, o_, cam.viewmat, cam.K, W, H,
-                                    cfg)
-        _, _, st = _blend_fwd_impl(
-            f, geom, b.inst_gid, b.tile_starts, b.tile_counts, bg,
-            (tx, ty), cfg, exit_stats=True,
-        )
+        st, _ = rasterize_exit_stats(m, q, s, o_, f, cam.viewmat, cam.K,
+                                     W, H, background=bg, config=cfg)
         return st
 
     st = np.asarray(reexec_on_transient(
@@ -189,13 +185,9 @@ for opaque_frac in ((0.7,) if SMOKE else (0.7, 0.9)):
 
         @jax.jit
         def surf_stats(m, q, s, o_, f, c2=c2):
-            pj, b, geom, _, _ = _prepare(m, q, s, o_, cam.viewmat, cam.K,
-                                         W, H, c2)
-            _, _, st = _blend_fwd_impl(
-                f, geom, b.inst_gid, b.tile_starts, b.tile_counts, bg,
-                (tx, ty), c2, exit_stats=True,
-            )
-            return st, b.num_valid
+            return rasterize_exit_stats(m, q, s, o_, f, cam.viewmat,
+                                        cam.K, W, H, background=bg,
+                                        config=c2)
 
         st, nv = reexec_on_transient(
             lambda: surf_stats(sm, sq, ss, so, sf))
