@@ -43,6 +43,9 @@ from gags_tpu.utils.timing import device_time_drain
 
 N, W, H = 250_000, 1280, 720
 fracs = [float(a) for a in sys.argv[1:]] or [0.0, 0.3, 0.5, 0.7]
+# GAGS_TSB_TILE=16x16 overrides the tuned tile shape (surface-scene exit
+# granularity A/B: a 1024-px tile exits only when ALL its pixels die)
+_tile_env = os.environ.get("GAGS_TSB_TILE", "")
 SMOKE = bool(int(os.environ.get("GAGS_SMOKE", "0")))  # tiny CPU dry run
 if SMOKE:
     jax.config.update("jax_platforms", "cpu")
@@ -70,6 +73,12 @@ if SMOKE:
     from dataclasses import replace as _rep
     cfg = _rep(cfg, interpret=True, tile_h=8, tile_w=16, chunk=8,
                p_block=32, budget_factor=8.0, soa_geom=False)
+if _tile_env:
+    from dataclasses import replace as _rep2
+    _th, _tw = (int(v) for v in _tile_env.split("x"))
+    cfg = _rep2(cfg, tile_h=_th, tile_w=_tw,
+                p_block=min(cfg.p_block, _th * _tw),
+                budget_factor=max(cfg.budget_factor, 4.0))
 print(f"cfg: {cfg.tile_h}x{cfg.tile_w} chunk={cfg.chunk} "
       f"bf16={cfg.blend_bf16} fkeys={cfg.fused_keys} "
       f"bf={cfg.budget_factor} soa={cfg.soa_geom}", flush=True)
